@@ -1,0 +1,631 @@
+"""Query registry: every SURVEY §2 operator demonstrated as a
+(spark, sf_dir) -> DataFrame callable with a DuckDB oracle-SQL twin.
+
+Conventions (driver contract, see ``__spark_entry__.py``):
+- every computed column is aliased identically in the Spark plan and
+  the oracle SQL (the driver hashes values after sorting columns by
+  name);
+- double aggregates go through exact decimal arithmetic and a final
+  cast to double so Spark's and DuckDB's float summation order can't
+  produce differing bits;
+- VALUES-backed scalar queries share one Python literal list between
+  the Spark DataFrame and the SQL text, so both engines parse the
+  same inputs.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.functions import (
+    normalize_street_names,
+    parse_numeric_value,
+)
+from rental_data_pipeline_spark.functions.text import derive_status
+from rental_data_pipeline_spark.operators.merge import merge_snapshots
+from rental_data_pipeline_spark.sources.tables import load_table
+
+QUERIES: dict = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Event-stream → listing-snapshot mapping (FIXTURES.md §5): user_id→key,
+# ts→updated_date, value→price_value, event_type='error'→is_unpublished.
+# ---------------------------------------------------------------------------
+
+def _event_snapshots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return ev.select(
+        F.col("user_id").alias("offer_id"),
+        F.col("ts").alias("updated_date"),
+        F.col("value").alias("price_value"),
+        (F.col("event_type") == "error").alias("is_unpublished"),
+        F.col("event_id"),
+    )
+
+
+_SNAPSHOT_CTE = """
+src AS (
+  SELECT user_id AS offer_id,
+         ts AS updated_date,
+         value AS price_value,
+         (event_type = 'error') AS is_unpublished,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+  FROM events
+),
+flagged AS (
+  SELECT *,
+         last_value(price_value IGNORE NULLS) OVER w_prev AS prev_price,
+         last_value(is_unpublished IGNORE NULLS) OVER w_prev AS prev_unpub
+  FROM src
+  WINDOW w_prev AS (
+    PARTITION BY offer_id ORDER BY seq
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+),
+ev AS (
+  SELECT *,
+         coalesce(updated_date IS NOT NULL AND is_unpublished
+                  AND prev_unpub = false, false) AS unpub_tr,
+         coalesce(updated_date IS NOT NULL
+                  AND NOT coalesce(updated_date IS NOT NULL AND is_unpublished
+                                   AND prev_unpub = false, false)
+                  AND price_value IS NOT NULL AND prev_price IS NOT NULL
+                  AND price_value <> prev_price, false) AS price_chg,
+         CAST(trunc(price_value) AS BIGINT)
+           - CAST(trunc(prev_price) AS BIGINT) AS diff
+  FROM flagged
+)
+"""
+
+
+@register(
+    "cdc_merge_state",
+    oracle=f"""
+WITH {_SNAPSHOT_CTE}
+SELECT offer_id,
+       arg_max(price_value, CASE WHEN price_value IS NOT NULL THEN seq END) AS price_value,
+       arg_max(is_unpublished, CASE WHEN is_unpublished IS NOT NULL THEN seq END) AS is_unpublished,
+       arg_min(updated_date, seq) AS publication_date,
+       arg_max(updated_date, CASE WHEN updated_date IS NOT NULL THEN seq END) AS last_active,
+       arg_max(updated_date, CASE WHEN unpub_tr THEN seq END) AS unpublished_date,
+       arg_max(diff, CASE WHEN price_chg THEN seq END) AS price_change_value,
+       arg_max(updated_date, CASE WHEN price_chg THEN seq END) AS price_change_date,
+       CASE WHEN count(*) FILTER (WHERE price_chg) > 0
+            THEN count(*) FILTER (WHERE price_chg) END AS total_price_changes,
+       string_agg(CAST(diff AS VARCHAR), ', ' ORDER BY seq)
+         FILTER (WHERE price_chg) AS price_changes,
+       string_agg(strftime(updated_date, '%Y-%m-%d %H:%M:%S'), ', ' ORDER BY seq)
+         FILTER (WHERE price_chg) AS price_changes_dates,
+       CASE WHEN coalesce(arg_max(is_unpublished,
+                 CASE WHEN is_unpublished IS NOT NULL THEN seq END), false)
+            THEN 'non active' ELSE 'active' END AS status
+FROM ev
+GROUP BY offer_id
+""",
+)
+def cdc_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: J1 upsert-with-CDC folded over the whole event stream
+    (SURVEY §2.4 J1/J12, §2.6 W1-W3, §2.5 A4-A6). One shuffle on key."""
+    snap = _event_snapshots(spark, sf_dir)
+    merged = merge_snapshots(
+        snap, key="offer_id", order_cols=["updated_date", "event_id"],
+        derive_status_col=True,
+    )
+    return merged.select(
+        "offer_id", "price_value", "is_unpublished", "publication_date",
+        "last_active", "unpublished_date", "price_change_value",
+        "price_change_date", "total_price_changes", "price_changes",
+        "price_changes_dates", "status",
+    )
+
+
+@register(
+    "cdc_price_changes",
+    oracle=f"""
+WITH {_SNAPSHOT_CTE}
+SELECT offer_id,
+       updated_date AS change_date,
+       diff AS price_diff,
+       price_value AS new_price,
+       prev_price AS old_price
+FROM ev WHERE price_chg
+""",
+)
+def cdc_price_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 as a row stream: every price-change event with its diff."""
+    snap = _event_snapshots(spark, sf_dir)
+    w = Window.partitionBy("offer_id").orderBy("updated_date", "event_id")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    prev_price = F.last("price_value", ignorenulls=True).over(w_prev)
+    prev_unpub = F.last("is_unpublished", ignorenulls=True).over(w_prev)
+    unpub_tr = (
+        F.col("updated_date").isNotNull()
+        & (F.col("is_unpublished") == F.lit(True))
+        & (prev_unpub == F.lit(False))
+    )
+    chg = (
+        F.col("updated_date").isNotNull()
+        & ~F.coalesce(unpub_tr, F.lit(False))
+        & F.col("price_value").isNotNull()
+        & prev_price.isNotNull()
+        & (F.col("price_value") != prev_price)
+    )
+    return (
+        snap.select(
+            "offer_id",
+            F.col("updated_date").alias("change_date"),
+            (F.col("price_value").cast("long") - prev_price.cast("long")).alias(
+                "price_diff"
+            ),
+            F.col("price_value").alias("new_price"),
+            prev_price.alias("old_price"),
+            F.coalesce(chg, F.lit(False)).alias("__chg"),
+        )
+        .where(F.col("__chg"))
+        .drop("__chg")
+    )
+
+
+@register(
+    "cdc_unpublish_transitions",
+    oracle=f"""
+WITH {_SNAPSHOT_CTE}
+SELECT offer_id, updated_date AS unpublished_at
+FROM ev WHERE unpub_tr
+""",
+)
+def cdc_unpublish_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W2: false→true transitions of is_unpublished."""
+    snap = _event_snapshots(spark, sf_dir)
+    w_prev = (
+        Window.partitionBy("offer_id")
+        .orderBy("updated_date", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_unpub = F.last("is_unpublished", ignorenulls=True).over(w_prev)
+    tr = (
+        F.col("updated_date").isNotNull()
+        & (F.col("is_unpublished") == F.lit(True))
+        & (prev_unpub == F.lit(False))
+    )
+    return (
+        snap.select(
+            "offer_id",
+            F.col("updated_date").alias("unpublished_at"),
+            F.coalesce(tr, F.lit(False)).alias("__tr"),
+        )
+        .where(F.col("__tr"))
+        .drop("__tr")
+    )
+
+
+@register(
+    "cdc_first_last_seen",
+    oracle="""
+SELECT user_id AS offer_id,
+       min(ts) AS first_seen,
+       max(ts) AS last_seen,
+       count(*) AS n_snapshots
+FROM events GROUP BY user_id
+""",
+)
+def cdc_first_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6/A1: publication_date / last_active as plain min/max per key."""
+    return (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.col("user_id").alias("offer_id"))
+        .agg(
+            F.min("ts").alias("first_seen"),
+            F.max("ts").alias("last_seen"),
+            F.count(F.lit(1)).alias("n_snapshots"),
+        )
+    )
+
+
+@register(
+    "dedup_last_wins",
+    oracle="""
+SELECT user_id AS offer_id,
+       arg_max(event_id, event_id) AS last_event_id,
+       arg_max(value, event_id) AS last_value,
+       arg_max(event_type, event_id) AS last_event_type,
+       arg_max(ts, event_id) AS last_ts
+FROM events GROUP BY user_id
+""",
+)
+def dedup_last_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: last-wins dedup by key with explicit order (max_by, no
+    row_number shuffle+sort — a single hash aggregation)."""
+    return (
+        load_table(spark, "events", sf_dir)
+        .groupBy(F.col("user_id").alias("offer_id"))
+        .agg(
+            F.max("event_id").alias("last_event_id"),
+            F.max_by("value", "event_id").alias("last_value"),
+            F.max_by("event_type", "event_id").alias("last_event_type"),
+            F.max_by("ts", "event_id").alias("last_ts"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Relational / TPC-H-shaped operators (joins, aggs, windows, filters).
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                * (1 + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '2001-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy groupBy-agg with pushdown filter.
+    Decimal arithmetic keeps the oracle bit-exact (SURVEY §7.4#4)."""
+    li = load_table(spark, "lineitem", sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")  # noqa: E731
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2001-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1) - dec("l_discount"))
+                * (F.lit(1) + dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_totalprice, rn
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+  FROM orders) t
+WHERE rn <= 3
+""",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K per group window (deterministic tiebreak on orderkey)."""
+    o = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", "o_totalprice",
+                 F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "enrich_supplier_geo",
+    oracle="""
+SELECT s.s_suppkey, s.s_name, n.n_name AS nation, r.r_name AS region
+FROM supplier s
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+""",
+)
+def enrich_supplier_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J11: two-stage enrichment as chained broadcast joins (the
+    geocode→route lookup chain re-expressed; dims broadcast, zero
+    shuffle of the fact side)."""
+    s = load_table(spark, "supplier", sf_dir)
+    n = load_table(spark, "nation", sf_dir)
+    r = load_table(spark, "region", sf_dir)
+    return (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "s_suppkey", "s_name",
+            F.col("n_name").alias("nation"),
+            F.col("r_name").alias("region"),
+        )
+    )
+
+
+@register(
+    "new_work_anti_join",
+    oracle="""
+SELECT c_custkey, c_name
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+""",
+)
+def new_work_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: anti-join — keys in one set but not the other."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "disappeared_anti_join",
+    oracle="""
+SELECT DISTINCT o_custkey
+FROM orders
+WHERE o_custkey NOT IN (
+  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+""",
+)
+def disappeared_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: keys active historically but absent from the current batch
+    (customers with no orders since 2000) → tombstone candidates."""
+    o = load_table(spark, "orders", sf_dir)
+    current = o.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        o.select("o_custkey").distinct()
+        .join(current, "o_custkey", "left_anti")
+    )
+
+
+@register(
+    "tombstone_union",
+    oracle="""
+SELECT o_custkey AS offer_id, false AS is_unpublished
+FROM (SELECT DISTINCT o_custkey FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+UNION ALL
+SELECT o_custkey AS offer_id, true AS is_unpublished
+FROM (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_custkey NOT IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'))
+""",
+)
+def tombstone_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: current batch ∪ synthetic tombstones for disappeared keys."""
+    o = load_table(spark, "orders", sf_dir)
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    current = (
+        o.where(F.col("o_orderdate") >= cutoff)
+        .select("o_custkey").distinct()
+        .select(F.col("o_custkey").alias("offer_id"),
+                F.lit(False).alias("is_unpublished"))
+    )
+    disappeared = (
+        o.select("o_custkey").distinct()
+        .join(
+            o.where(F.col("o_orderdate") >= cutoff).select("o_custkey"),
+            "o_custkey",
+            "left_anti",
+        )
+        .select(F.col("o_custkey").alias("offer_id"),
+                F.lit(True).alias("is_unpublished"))
+    )
+    return current.unionByName(disappeared)
+
+
+@register(
+    "scope_union",
+    oracle="""
+SELECT DISTINCT c_custkey AS work_key FROM (
+  SELECT c_custkey FROM customer
+  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  UNION ALL
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  UNION ALL
+  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+""",
+)
+def scope_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: work set = ∪ of flag-gated key sets, deduplicated."""
+    c = load_table(spark, "customer", sf_dir)
+    o = load_table(spark, "orders", sf_dir)
+    new = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.col("c_custkey").alias("work_key")
+    )
+    open_orders = o.where(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("work_key")
+    )
+    negative = c.where(F.col("c_acctbal") < 0).select(
+        F.col("c_custkey").alias("work_key")
+    )
+    return new.unionByName(open_orders).unionByName(negative).distinct()
+
+
+@register(
+    "filter_recent_or_active",
+    oracle="""
+WITH latest AS (
+  SELECT user_id AS offer_id,
+         arg_max(event_type, event_id) AS last_event_type,
+         max(ts) AS last_active
+  FROM events GROUP BY user_id
+), bound AS (SELECT max(ts) AS max_ts FROM events)
+SELECT offer_id, last_event_type, last_active,
+       CASE WHEN last_event_type = 'error' THEN 'non active' ELSE 'active' END AS status
+FROM latest, bound
+WHERE last_active >= max_ts - INTERVAL 7 DAY
+   OR last_event_type <> 'error'
+""",
+)
+def filter_recent_or_active(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: recent-or-active dashboard filter over merged state (the
+    'now' is the stream's max ts — injected, not wall clock)."""
+    ev = load_table(spark, "events", sf_dir)
+    latest = ev.groupBy(F.col("user_id").alias("offer_id")).agg(
+        F.max_by("event_type", "event_id").alias("last_event_type"),
+        F.max("ts").alias("last_active"),
+    )
+    bound = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        latest.crossJoin(F.broadcast(bound))
+        .where(
+            (F.col("last_active") >= F.col("max_ts") - F.expr("INTERVAL 7 DAYS"))
+            | (F.col("last_event_type") != "error")
+        )
+        .select(
+            "offer_id", "last_event_type", "last_active",
+            F.when(F.col("last_event_type") == "error", "non active")
+            .otherwise("active")
+            .alias("status"),
+        )
+    )
+
+
+@register(
+    "status_counts",
+    oracle="""
+SELECT CASE WHEN arg_max(event_type, event_id) = 'error'
+            THEN 'non active' ELSE 'active' END AS status,
+       count(*) AS n
+FROM events GROUP BY user_id
+""",
+)
+def status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 + A1/A2: status derivation + counts. (Grouped to per-user
+    status rows; oracle groups identically.)"""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy("user_id")
+        .agg(F.max_by("event_type", "event_id").alias("t"), F.count(F.lit(1)).alias("n"))
+        .select(
+            derive_status(F.col("t") == "error").alias("status"),
+            F.col("n"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# VALUES-backed scalar-function queries (X-series) — same literals feed
+# both engines.
+# ---------------------------------------------------------------------------
+
+NUMERIC_LITERALS: list[tuple[int, str | None]] = [
+    (1, "85 000 ₽/мес."),
+    (2, "85000"),
+    (3, "85 000,50"),
+    (4, "  12.5  "),
+    (5, "-3"),
+    (6, "junk"),
+    (7, None),
+    (8, ""),
+    (9, "abc 4 2 def"),
+    (10, "1 234 567"),
+    (11, "3,14 и ещё"),
+    (12, "-0,5%"),
+]
+
+
+def _values_sql(rows, cols) -> str:
+    def fmt(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
+    body = ", ".join("(" + ", ".join(fmt(v) for v in r) + ")" for r in rows)
+    return f"(VALUES {body}) t({', '.join(cols)})"
+
+
+@register(
+    "scalar_numeric_parse",
+    oracle=f"""
+SELECT id,
+       CASE WHEN m <> '' THEN CAST(m AS DOUBLE) END AS parsed
+FROM (
+  SELECT id,
+         regexp_extract(
+           regexp_replace(replace(coalesce(v, ''), ',', '.'),
+                          '[\\s\\x{{00A0}}]+', '', 'g'),
+           '(-?\\d+(?:\\.\\d+)?)', 1) AS m
+  FROM {_values_sql(NUMERIC_LITERALS, ["id", "v"])})
+""",
+)
+def scalar_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1 over shared literals: messy RU price strings → double."""
+    df = spark.createDataFrame(NUMERIC_LITERALS, "id int, v string")
+    return df.select("id", parse_numeric_value(F.col("v")).alias("parsed"))
+
+
+STREET_LITERALS: list[tuple[int, str | None]] = [
+    (1, "улица Тверская"),
+    (2, "Ленинградское шоссе"),
+    (3, "проспект Мира"),
+    (4, "Сивцев Вражек переулок"),
+    (5, "Гоголевский бульвар"),
+    (6, "Крымская набережная"),
+    (7, "Большая улица и малая улица"),
+    (8, "безулица"),
+    (9, None),
+    (10, "улицами не заменяется"),
+]
+
+
+@register(
+    "scalar_street_normalize",
+    oracle=f"""
+SELECT id,
+       array_to_string(list_transform(string_split(v, ' '),
+         w -> CASE w WHEN 'улица' THEN 'ул.'
+                     WHEN 'шоссе' THEN 'ш.'
+                     WHEN 'проспект' THEN 'просп.'
+                     WHEN 'переулок' THEN 'пер.'
+                     WHEN 'бульвар' THEN 'бул.'
+                     WHEN 'набережная' THEN 'наб.'
+                     ELSE w END), ' ') AS normalized
+FROM {_values_sql(STREET_LITERALS, ["id", "v"])}
+WHERE v IS NOT NULL
+""",
+)
+def scalar_street_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6 over shared literals. (Oracle emulates the Unicode word
+    boundary by whole-word matching on space-split tokens; literals are
+    chosen with space/string boundaries so both formulations agree.)"""
+    df = spark.createDataFrame(STREET_LITERALS, "id int, v string")
+    return (
+        df.where(F.col("v").isNotNull())
+        .select("id", normalize_street_names(F.col("v")).alias("normalized"))
+    )
+
+
+def queries():
+    return dict(QUERIES)
+
+
+def oracles():
+    return dict(ORACLES)
