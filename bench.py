@@ -1,0 +1,71 @@
+#!/usr/bin/env python3
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver-side collect bottleneck), which is how a cluster job would
+be measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from rental_data_pipeline_spark.session import get_spark  # noqa: E402
+from rental_data_pipeline_spark import queries as registry  # noqa: E402
+
+# Headline set: the semantics-bearing operators (CDC merge + windows),
+# scan-heavy agg, window top-k, join chain, anti-join/union scope ops.
+HEADLINE = [
+    "cdc_merge_state",
+    "cdc_price_changes",
+    "dedup_last_wins",
+    "pricing_summary",
+    "top_orders_per_customer",
+    "enrich_supplier_geo",
+    "scope_union",
+    "tombstone_union",
+    "filter_recent_or_active",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+
+    spark = get_spark("bench")
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs] + [
+        n for n in os.environ.get("SPARK_GRAFT_BENCH_EXTRA", "").split(",") if n in qs
+    ]
+
+    # Warm the JVM/code paths once with the cheapest query.
+    qs["pricing_summary"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    out = {
+        "metric": "headline_queries_total_runtime",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

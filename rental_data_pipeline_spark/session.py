@@ -55,6 +55,13 @@ def get_spark(
         # nanos timestamp type; read as long and convert at the source
         # (sources.tables.load_table) via integer division to micros.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # Whole-stage-codegen methods for multi-aggregate groupBys exceed
+        # HotSpot's 8000-bytecode JIT ceiling and run interpreted (measured
+        # 40-100x slowdowns, erratic as tiered compilation raced the query).
+        # Let the JIT compile huge generated methods; set on both driver
+        # (local mode) and executors (cluster mode).
+        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
