@@ -34,6 +34,13 @@ HEADLINE = [
     "scope_union",
     "tombstone_union",
     "filter_recent_or_active",
+    # training-data ops (documents/embeddings)
+    "text_token_stats",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "ann_bruteforce_topk",
+    "similarity_near_dup",
+    "multimodal_decode",
 ]
 
 
@@ -56,6 +63,9 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # queries are independent jobs: drop any operator-level persisted
+        # intermediates so one query's cache doesn't skew the next
+        spark.catalog.clearCache()
 
     out = {
         "metric": "headline_queries_total_runtime",

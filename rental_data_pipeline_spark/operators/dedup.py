@@ -1,0 +1,315 @@
+"""Deduplication operators for a training-data corpus: exact,
+fingerprint, n-gram Jaccard, MinHash+LSH, and SimHash.
+
+Beyond-reference training-data operators (the reference's only dedup is
+last-wins by key, SURVEY §2.4 J12). Every variant here is expressed as
+joins + aggregations so Catalyst/AQE own the physical plan:
+
+- **exact / fingerprint**: one hash aggregation on a derived key —
+  at 100 TB this is the cheapest possible full-corpus dedup (single
+  shuffle on a 128-bit key, map-side partial agg).
+- **n-gram Jaccard**: *inverted-index* pair generation — explode
+  shingles, self-join on the shingle, count co-occurrences per pair —
+  never a cross join. Shuffle volume is O(total shingles), and hot
+  shingles (stopword runs) can be frequency-capped.
+- **MinHash + LSH**: fixed-width signature (64 perms) per doc in ONE
+  aggregation pass over exploded shingles, then banding (16 bands x 4
+  rows) and a self-join on band keys. At scale this is the standard
+  sub-quadratic near-dup path: candidate volume is governed by band
+  collisions, not n^2; verification runs only on candidates.
+- **SimHash**: 32-bit signature via per-bit majority vote of token
+  hashes — one aggregation; banded self-join for Hamming-distance
+  candidates.
+
+All hashes are md5-derived (functions.hashing) so the DuckDB oracle
+computes bit-identical signatures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    NUM_PERM,
+    minhash_perm,
+    portable_hash64,
+)
+from rental_data_pipeline_spark.operators.textstats import tokens
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8 bits per band → candidates within Hamming radius
+
+
+def shingles_of(toks: Column, k: int = 3) -> Column:
+    """Distinct k-token shingles from an already-materialized token
+    array column.
+
+    Build this over a *column reference*, not an inline ``split(...)``
+    expression: a split inlined into the transform lambda re-evaluates
+    per array element — O(tokens²) per document (measured ~40x slower
+    on the corpus scan).
+    """
+    n = F.size(toks)
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard short docs
+    idx = F.sequence(F.lit(1), n - (k - 1))
+    return F.when(n >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Distinct k-token shingles (word n-grams) of a document."""
+    return shingles_of(tokens(text), k)
+
+
+def _tokenized(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(doc, toks) projection, spread across the cluster.
+
+    The repartition matters twice over: a small corpus file arrives as
+    ONE scan partition (no parallelism for the CPU-heavy shingle
+    expansion), and hash-partitioning by doc up front lets the
+    per-doc aggregations downstream reuse the partitioning instead of
+    shuffling the (much larger) exploded rows.
+
+    The partition count is explicit: AQE coalesces shuffles by BYTE
+    size, and a text corpus is small in bytes but huge in per-row
+    compute — auto-coalescing was observed folding the whole expansion
+    onto one core. An explicit count is exempt from AQE coalescing.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col)).select(
+        F.col(id_col).alias("doc"), tokens(text_col).alias("toks")
+    )
+
+
+def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: group by md5(text); emit groups, keeper (min id),
+    and duplicate count."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def fingerprint_duplicate_groups(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-exact dedup on the order-insensitive token-set fingerprint:
+    groups with >1 doc are shuffled/reordered duplicates."""
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col)))))
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .where(F.col("n_docs") > 1)
+    )
+
+
+def _shingle_pairs(
+    df: DataFrame, text_col: str, id_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """(doc shingle-set sizes, exploded doc↔shingle rows).
+
+    The explode is built in the SAME select as the shingle expression:
+    aliasing the array in one projection and exploding it in the next
+    makes `InferFiltersFromGenerate` push a filter that re-evaluates
+    the whole array expression outside codegen — measured 8x slower on
+    the corpus scan.
+    """
+    tok = _tokenized(df, text_col, id_col)
+    sh_expr = shingles_of(F.col("toks"), k)
+    sizes = tok.select("doc", F.size(sh_expr).alias("n_sh"))
+    exploded = tok.select("doc", F.explode(sh_expr).alias("shingle"))
+    return sizes, exploded
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """n-gram Jaccard near-dup pairs via inverted-index join (no cross
+    join): |A∩B| from shingle co-occurrence counts, |A∪B| = |A|+|B|−|A∩B|."""
+    sizes, exploded = _shingle_pairs(df, text_col, id_col, k)
+    # the inverted index feeds both sides of the self-join: persist so
+    # the shingle scan runs once, not twice (at cluster scale this is
+    # the materialized doc↔shingle index table)
+    exploded = exploded.persist()
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-perm MinHash signature per document, computed in one
+    aggregation over exploded shingles (columns mh0..mh63)."""
+    _, exploded = _shingle_pairs(df, text_col, id_col, k)
+    # materialize the md5-derived hash once per shingle row; the 64 perm
+    # expressions then reference the column instead of each inlining the
+    # md5 computation
+    hashed = exploded.select(
+        "doc", (portable_hash64(F.col("shingle")) % F.lit(2_147_483_647)).alias("h")
+    )
+    return hashed.groupBy("doc").agg(
+        *[F.min(minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(NUM_PERM)]
+    )
+
+
+def lsh_band_keys(sig: DataFrame) -> DataFrame:
+    """Band the signature: band key = md5 of the band's concatenated
+    minhash values (16 bands x 4 rows). One row per (doc, band)."""
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                    )
+                ).alias("bkey"),
+            )
+            for b in range(LSH_BANDS)
+        ]
+    )
+    return sig.select("doc", F.explode(bands).alias("bk")).select(
+        "doc", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signature → bands →
+    candidate pairs (any shared band) → verify with exact Jaccard ≥
+    threshold. Output equals brute-force Jaccard up to LSH recall."""
+    sig = minhash_signatures(df, k, text_col, id_col)
+    # signatures are tiny (|docs| x 64 ints) but expensive to compute:
+    # persist before the banded self-join so the signature aggregation
+    # runs once (the scale design materializes signatures as a table)
+    bk = lsh_band_keys(sig).persist()
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sh = _tokenized(df, text_col, id_col).select(
+        "doc", shingles_of(F.col("toks"), k).alias("sh")
+    ).persist()
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """32-bit SimHash per document: per-bit majority vote over the
+    portable hashes of its (distinct) tokens, folded in one aggregation."""
+    exploded = _tokenized(df, text_col, id_col).select(
+        "doc", F.explode(F.array_distinct(F.col("toks"))).alias("tok")
+    )
+    # materialize the hash once per token row (32 bit-sum expressions
+    # reference the column, not 32 inlined md5 computations)
+    hashed = exploded.select("doc", portable_hash64(F.col("tok")).alias("h"))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    agg = hashed.groupBy("doc").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"s{i}") * 2 >= F.col("n"), F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        term = bit * F.lit(1 << i).cast("long")
+        sim = term if sim is None else sim + term
+    return agg.select("doc", sim.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 32-bit signature into 4 bytes —
+    any pair within Hamming distance 3 shares at least one exact byte
+    (pigeonhole) — join per band, verify with bit_count(xor)."""
+    sig = simhash_signatures(df, text_col, id_col)
+    band_width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("simhash"), b * band_width)
+                .bitwiseAND(F.lit((1 << band_width) - 1))
+                .alias("bval"),
+            )
+            for b in range(SIMHASH_BANDS)
+        ]
+    )
+    bk = sig.select("doc", "simhash", F.explode(bands).alias("bk")).select(
+        "doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval")
+    ).persist()
+    a, b = bk.alias("a"), bk.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc_a"),
+            F.col("b.doc").alias("doc_b"),
+            ham.alias("hamming"),
+        )
+        .distinct()
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,124 @@
+"""Multimodal-column plumbing: opaque ``binary`` payloads with typed
+metadata, decoded/feature-extracted via Arrow-batched ``mapInPandas``.
+
+Beyond-reference training-data operators. The container has no
+image/audio codecs, so the *decode* step is a clearly-marked
+deterministic stub (``_stub_decode``) — but everything Spark-side is
+real and tested: the binary column, the metadata struct, the
+``mapInPandas`` batch shape (pandas DataFrame in/out, Arrow transfer),
+the multi-row frame-sampling emit, and the output schemas. Swapping the
+stub for PIL/ffmpeg changes one local function, not the plan.
+
+At 100 TB the payload column dominates I/O: these operators project the
+payload only inside the UDF stage (column pruning upstream), and the
+frame sampler emits rows proportional to payload size — partition by
+expected output, not input, when writing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("fake_width", T.LongType()),
+        T.StructField("fake_height", T.LongType()),
+    ]
+)
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("frame_offset", T.LongType()),
+    ]
+)
+
+FRAME_STRIDE = 64  # bytes of "video" per sampled frame
+
+
+def pack_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Materialize an opaque binary payload column + typed metadata
+    struct (the testdata has no media files; UTF-8 text bytes stand in
+    as the payload — the plumbing is identical)."""
+    payload = F.encode(F.col(text_col), "UTF-8")
+    # explicit repartition: a small corpus file is one scan split, which
+    # would serialize every downstream mapInPandas batch through a
+    # single Python worker (AQE coalescing is byte-based and would not
+    # re-split compute-heavy-but-small data either)
+    df = df.repartition(
+        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
+    )
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.length(payload).alias("n_bytes"),
+            F.lit("application/octet-stream").alias("content_type"),
+            F.md5(F.col(text_col)).alias("content_md5"),
+        ).alias("media_meta"),
+    )
+
+
+def _stub_decode(payload: bytes) -> tuple[int, int, int, int]:
+    """STUB for the real image/audio decoder (no codecs in this
+    container). Deterministic features derived from the raw bytes:
+    length, byte-sum checksum, and a fake geometry. Replace with e.g.
+    ``PIL.Image.open(io.BytesIO(payload))`` in production."""
+    n = len(payload)
+    checksum = sum(payload) % 1_000_000_007
+    return n, checksum, n % 640, (n // 640) + 1
+
+
+def decode_features(df: DataFrame) -> DataFrame:
+    """Decode/feature-extract each payload via mapInPandas (Arrow
+    batches; pandas in/out). Output: one row per input doc."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [_stub_decode(p) for p in pdf["payload"]]
+            if not feats:
+                continue
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "n_bytes": [f[0] for f in feats],
+                    "checksum": [f[1] for f in feats],
+                    "fake_width": [f[2] for f in feats],
+                    "fake_height": [f[3] for f in feats],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, DECODE_SCHEMA)
+
+
+def sample_frames(df: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame-sampling UDTF shape: each payload ("video") emits one row
+    per ``stride`` bytes — a multi-row mapInPandas emit, the same plan
+    shape as real video frame extraction."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[int] = []
+            idxs: list[int] = []
+            offs: list[int] = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = max(len(payload) // stride, 1)
+                for i in range(n_frames):
+                    ids.append(int(doc_id))
+                    idxs.append(i)
+                    offs.append(i * stride)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_idx": idxs, "frame_offset": offs}
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, FRAME_SCHEMA)

@@ -1,0 +1,162 @@
+"""Similarity search over an embedding column
+(``embeddings(vec_id, embedding array<float>, label)``).
+
+Beyond-reference training-data operators. Two paths:
+
+- **Brute-force cosine top-k** — the correctness baseline: broadcast
+  the (small) query set against the corpus, exact cosine via native
+  higher-order functions (``zip_with`` + ``aggregate``), per-query
+  ``row_number`` top-k. At cluster scale the corpus side stays
+  partitioned and never shuffles; cost is one scan x |queries|.
+- **Sign-LSH bucketed search** — the scale path: a random-hyperplane
+  style signature (sign bits of leading dimensions) buckets the corpus
+  once; each query probes only its own bucket. At 100 TB the bucket id
+  becomes the table's partition key so a query prunes to one partition
+  (partition pruning replaces the full scan). Recall < 1 by design.
+
+All arithmetic is double-precision sequential fold, matching the
+DuckDB oracle's ``list_cosine_similarity`` on ``DOUBLE[]`` bit-for-bit
+on this data; outputs are rounded to 6 dp and ranked on the rounded
+value with a deterministic id tiebreak so both engines rank identically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+SIGN_LSH_BITS = 6  # 64 buckets
+
+
+def _as_double(col: Column) -> Column:
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _corpus(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, v double[]) spread across the cluster. Explicit
+    partition count: embeddings are small in bytes but each downstream
+    pair costs a 64-dim fold — AQE's byte-based coalescing would fold
+    the compute onto one core."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col)).select(
+        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    )
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Exact dot product: sequential left-to-right double fold."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Brute-force exact top-k cosine neighbors for each query id.
+
+    The query side is tiny → broadcast; the corpus side is one scan,
+    no shuffle until the per-query top-k window (partitioned by query,
+    |queries| partitions).
+    """
+    corpus = _corpus(df, id_col, vec_col)
+    queries = corpus.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        corpus.crossJoin(F.broadcast(queries))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+def sign_lsh_bucket(vec: Column, bits: int = SIGN_LSH_BITS) -> Column:
+    """Random-hyperplane-style bucket id: sign bits of the leading
+    ``bits`` dimensions packed into an int (deterministic, portable)."""
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        ).cast("long")
+    return out
+
+
+def signlsh_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    top_k: int = 5,
+    bits: int = SIGN_LSH_BITS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Bucketed ANN: candidates share the query's sign-LSH bucket;
+    exact cosine + top-k within the bucket only."""
+    corpus = _corpus(df, id_col, vec_col).withColumn(
+        "bucket", sign_lsh_bucket(F.col("v"), bits)
+    )
+    queries = corpus.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        corpus.join(F.broadcast(queries), F.col("bucket") == F.col("qbucket"))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.4,
+    bits: int = SIGN_LSH_BITS,
+    bucketed: bool = True,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    ``bucketed=True`` prunes candidates to same-sign-LSH-bucket pairs
+    (the sub-quadratic scale path, recall < 1); ``False`` is the exact
+    quadratic baseline for small corpora/oracle checks.
+    """
+    corpus = _corpus(df, id_col, vec_col)
+    if bucketed:
+        corpus = corpus.withColumn("bucket", sign_lsh_bucket(F.col("v"), bits))
+    a = corpus.alias("a")
+    b = corpus.alias("b")
+    cond = F.col("a.vec_id") < F.col("b.vec_id")
+    if bucketed:
+        cond = cond & (F.col("a.bucket") == F.col("b.bucket"))
+    sim = F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, cond)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .where(F.col("sim") >= threshold)
+    )

@@ -1,0 +1,164 @@
+"""Text-analysis operators for a training-data pipeline over a
+``documents(doc_id, text, lang, source, n_chars)`` table: token
+counting, quality scoring, language-ID heuristic, and document
+fingerprinting.
+
+The reference pipeline has no text-corpus analytics (its text ops are
+the RU scraping scalars, SURVEY §2.7); these operators are the
+beyond-reference training-data set the engine needs at 100 TB. All of
+them are pure native Column expressions — tokenization, regex token
+counts, array folds — so they run inside whole-stage codegen with full
+scan pushdown: at cluster scale each is a single parquet scan with no
+shuffle (per-document map) or one hash aggregation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.functions.hashing import portable_hash64
+
+# Marker-token sets for the language-ID heuristic. A real corpus pipeline
+# uses character n-gram profiles (e.g. CLD-style); the portable heuristic
+# here scores membership of high-frequency function words per language
+# and takes the argmax with a fixed tie order.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "is"),
+    "de": ("der", "die", "das", "und", "ist"),
+    "fr": ("le", "la", "les", "et", "est"),
+    "es": ("el", "la", "los", "y", "es"),
+}
+
+# Stopwords for the quality score's stopword-ratio component.
+STOPWORDS: tuple[str, ...] = (
+    "the", "a", "of", "and", "is", "in", "to", "it", "on", "for",
+)
+
+# BPE-ish token pattern: runs of letters, runs of digits, or any single
+# non-space symbol — the shape of a byte-pair pre-tokenizer split.
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization (split on runs of whitespace)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.trim(c), r"\s+")
+
+
+def _with_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(id, text, __toks) projection, repartitioned.
+
+    Materializing the token array in its own projection keeps Catalyst
+    from inlining the split() into every downstream reference, and the
+    repartition spreads a single-split corpus file across the cluster
+    for the per-document compute (a small parquet arrives as ONE scan
+    partition otherwise). Explicit count: AQE coalesces by byte size
+    and would fold the compute back onto one core.
+    """
+    n = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(n, F.col(id_col)).select(
+        F.col(id_col), F.col(text_col), tokens(text_col).alias("__toks")
+    )
+
+
+def token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex tokens, distinct
+    tokens, type-token ratio, average token length."""
+    df = _with_tokens(df, text_col, id_col)
+    toks = F.col("__toks")
+    return df.select(
+        id_col,
+        F.size(toks).alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 6
+        ).alias("type_token_ratio"),
+        F.round(
+            F.aggregate(
+                toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+            ).cast("double")
+            / F.size(toks),
+            6,
+        ).alias("avg_token_len"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Quality scoring: length, stopword ratio, type-token ratio, and a
+    deterministic composite score in [0, 1].
+
+    Mirrors the C4/Gopher-style cheap filters (length bounds, stopword
+    presence, repetition) that gate web-scale corpora before training.
+    """
+    df = _with_tokens(df, text_col, id_col)
+    toks = F.col("__toks")
+    n = F.size(toks)
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_ratio = stop_hits.cast("double") / n
+    len_component = F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+    # weights: length 0.4, lexical diversity 0.4, stopword presence 0.2
+    score = F.round(
+        F.lit(0.4) * len_component
+        + F.lit(0.4) * ttr
+        + F.lit(0.2) * F.least(stop_ratio * 5, F.lit(1.0)),
+        6,
+    )
+    return df.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Language-ID heuristic: marker-word hit counts per language,
+    argmax with fixed tie order (en > de > fr > es), 'und' (undetermined)
+    when no marker hits at all."""
+    df = _with_tokens(df, text_col, id_col)
+    toks = F.col("__toks")
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best = None
+    best_score = None
+    for lang in LANG_MARKERS:  # fixed priority order on ties
+        if best is None:
+            best, best_score = F.lit(lang), scores[lang]
+        else:
+            cond = scores[lang] > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    return df.select(
+        id_col,
+        F.when(best_score > 0, best).otherwise(F.lit("und")).alias("predicted_lang"),
+        best_score.alias("marker_hits"),
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Document fingerprinting: an order-insensitive set fingerprint
+    (md5 of the sorted distinct token set — catches shuffled/near-dup
+    docs) and an order-sensitive rolling polynomial hash of the token
+    sequence (base-31 mod 2^31-1, portable to the oracle)."""
+    df = _with_tokens(df, text_col, id_col)
+    toks = F.col("__toks")
+    set_fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks))))
+    rolling = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * 31 + portable_hash64(t) % 1_000_003) % 2_147_483_647,
+    )
+    return df.select(
+        id_col,
+        set_fp.alias("set_fingerprint"),
+        rolling.alias("rolling_hash"),
+    )

@@ -633,3 +633,8 @@ def queries():
 
 def oracles():
     return dict(ORACLES)
+
+
+# Registered last so `register` above is defined when the submodule
+# imports back into this registry (deliberate tail import).
+from rental_data_pipeline_spark import queries_training  # noqa: E402,F401

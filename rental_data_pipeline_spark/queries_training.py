@@ -1,0 +1,435 @@
+"""Training-data-pipeline queries: dedup, similarity search, text
+analysis, multimodal plumbing — over ``documents`` / ``embeddings``.
+
+Every oracle reproduces the Spark computation with *identical
+arithmetic*: md5-derived portable hashes (functions.hashing), inlined
+MinHash constants shared between both engines, and explicit
+sequential-fold dot products (``list_reduce`` with a prepended init
+element ≡ Spark's ``aggregate`` with an init) so double results are
+bit-identical, then rounded to 6 dp.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.functions.hashing import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MERSENNE_P,
+    MINHASH_A,
+    MINHASH_B,
+    NUM_PERM,
+    portable_hash64_sql,
+)
+from rental_data_pipeline_spark.operators import dedup as D
+from rental_data_pipeline_spark.operators import multimodal as M
+from rental_data_pipeline_spark.operators import similarity as S
+from rental_data_pipeline_spark.operators import textstats as TS
+from rental_data_pipeline_spark.queries import register
+from rental_data_pipeline_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared SQL fragments (DuckDB). Tokenization must mirror
+# textstats.tokens: split(trim(text), '\s+').
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split_regex(trim(text), '\\s+')"
+
+_SHINGLES_CTE = f"""
+shingled AS (
+  SELECT doc_id AS doc,
+         CASE WHEN len(toks) >= 3 THEN
+           list_distinct(list_transform(range(1, len(toks) - 1),
+             i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+         ELSE [] END AS sh
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
+       len(list_distinct(toks)) AS n_distinct_tokens,
+       round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 6) AS type_token_ratio,
+       round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 6)
+         AS avg_token_len
+FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace + BPE-ish regex tokenizers, TTR."""
+    return TS.token_stats(load_table(spark, "documents", sf_dir))
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in TS.STOPWORDS)
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+SELECT doc_id,
+       n AS n_tokens,
+       round(stop_hits / n, 6) AS stopword_ratio,
+       round(ttr, 6) AS type_token_ratio,
+       round(0.4 * least(n / 100.0, 1.0) + 0.4 * ttr
+             + 0.2 * least(stop_hits / n * 5, 1.0), 6) AS quality_score
+FROM (
+  SELECT doc_id,
+         CAST(len(toks) AS DOUBLE) AS n,
+         CAST(len(list_filter(toks, t -> list_contains([{_STOP_SQL}], t))) AS DOUBLE)
+           AS stop_hits,
+         CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/Gopher-style cheap quality filters → composite score."""
+    df = TS.quality_score(load_table(spark, "documents", sf_dir))
+    return df.withColumn("n_tokens", F.col("n_tokens").cast("double"))
+
+
+_LANG_SCORE_SQL = {
+    lang: f"len(list_filter(toks, t -> list_contains([{', '.join(repr(m) for m in ms)}], t)))"
+    for lang, ms in TS.LANG_MARKERS.items()
+}
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+SELECT doc_id,
+       CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+            WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+            WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+            WHEN s_fr >= s_es THEN 'fr'
+            ELSE 'es' END AS predicted_lang,
+       greatest(s_en, s_de, s_fr, s_es) AS marker_hits,
+       s_en AS score_en, s_de AS score_de, s_fr AS score_fr, s_es AS score_es
+FROM (
+  SELECT doc_id,
+         {_LANG_SCORE_SQL['en']} AS s_en,
+         {_LANG_SCORE_SQL['de']} AS s_de,
+         {_LANG_SCORE_SQL['fr']} AS s_fr,
+         {_LANG_SCORE_SQL['es']} AS s_es
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
+""",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-token language-ID heuristic (argmax, fixed tie order)."""
+    return TS.language_id(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+SELECT doc_id,
+       md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS set_fingerprint,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(toks, t -> {portable_hash64_sql('t')} % 1000003)),
+         (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
+FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set fingerprint (md5 of sorted token set) + rolling polynomial
+    hash of the token sequence."""
+    return TS.fingerprint(load_table(spark, "documents", sf_dir))
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+SELECT md5(text) AS content_hash,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one hash aggregation on md5(text)."""
+    return D.exact_duplicates(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_fingerprint_groups",
+    oracle=f"""
+SELECT fp,
+       min(doc_id) AS keeper_id,
+       count(*) AS n_docs,
+       string_agg(doc_id, ',' ORDER BY doc_id) AS doc_ids
+FROM (SELECT doc_id,
+             md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS fp
+      FROM documents)
+GROUP BY fp HAVING count(*) > 1
+""",
+)
+def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffled/reordered duplicates: same token set, different order."""
+    df = D.fingerprint_duplicate_groups(load_table(spark, "documents", sf_dir))
+    return df.select(
+        "fp", "keeper_id", "n_docs",
+        F.concat_ws(",", F.col("doc_ids")).alias("doc_ids"),
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+s AS (SELECT doc, unnest(sh) AS shingle FROM shingled),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc),
+sz AS (SELECT doc, len(sh) AS n_sh FROM shingled)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter), 6) AS jaccard
+FROM inter JOIN sz x ON doc_a = x.doc JOIN sz y ON doc_b = y.doc
+WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter), 6) >= 0.8
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-gram Jaccard near-dup pairs via inverted-index join."""
+    return D.jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
+
+
+def _minhash_sql() -> str:
+    """DuckDB minhash signature CTE mirroring dedup.minhash_signatures."""
+    h = portable_hash64_sql("shingle")
+    mins = ",\n         ".join(
+        f"min(({MINHASH_A[i]} * (({h}) % {MERSENNE_P}) + {MINHASH_B[i]})"
+        f" % {MERSENNE_P}) AS mh{i}"
+        for i in range(NUM_PERM)
+    )
+    return f"""
+sig AS (
+  SELECT doc,
+         {mins}
+  FROM (SELECT doc, unnest(sh) AS shingle FROM shingled)
+  GROUP BY doc)
+"""
+
+
+def _band_keys_sql() -> str:
+    structs = ", ".join(
+        "{'band': %d, 'bkey': md5(%s)}"
+        % (
+            b,
+            " || ',' || ".join(f"CAST(mh{b * LSH_ROWS + r} AS VARCHAR)" for r in range(LSH_ROWS)),
+        )
+        for b in range(LSH_BANDS)
+    )
+    return f"""
+bk AS (
+  SELECT doc, u.band AS band, u.bkey AS bkey
+  FROM (SELECT doc, unnest([{structs}]) AS u FROM sig))
+"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+{_minhash_sql()},
+{_band_keys_sql()},
+cand AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM bk a JOIN bk b
+    ON a.band = b.band AND a.bkey = b.bkey AND a.doc < b.doc)
+SELECT doc_a, doc_b,
+       round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) AS jaccard
+FROM cand
+JOIN shingled x ON doc_a = x.doc
+JOIN shingled y ON doc_b = y.doc
+WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
+            / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) >= 0.8
+""",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) → LSH(16x4) candidates → exact-Jaccard verify."""
+    return D.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
+
+
+def _simhash_sql() -> str:
+    h = portable_hash64_sql("tok")
+    sums = ",\n         ".join(
+        f"sum(({h} >> {i}) & 1) AS s{i}" for i in range(D.SIMHASH_BITS)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN s{i} * 2 >= n THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(D.SIMHASH_BITS)
+    )
+    return f"""
+bitsums AS (
+  SELECT doc, count(*) AS n,
+         {sums}
+  FROM (SELECT doc_id AS doc, unnest(list_distinct({_TOKS})) AS tok FROM documents)
+  GROUP BY doc),
+sim AS (SELECT doc, {bits} AS simhash FROM bitsums)
+"""
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+WITH {_simhash_sql()},
+sbk AS (
+  SELECT doc, simhash, u.band AS band, u.bval AS bval
+  FROM (SELECT doc, simhash,
+               unnest([{", ".join("{'band': %d, 'bval': (simhash >> %d) & 255}" % (b, b * 8) for b in range(D.SIMHASH_BANDS))}]) AS u
+        FROM sim))
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sbk a JOIN sbk b
+  ON a.band = b.band AND a.bval = b.bval AND a.doc < b.doc
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(32) near-dup pairs: banded candidates, Hamming ≤ 3."""
+    return D.simhash_near_pairs(load_table(spark, "documents", sf_dir), max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings)
+# ---------------------------------------------------------------------------
+
+ANN_QUERY_IDS = [0, 1, 2, 3, 4]
+
+# Explicit sequential folds so DuckDB's summation order matches Spark's
+# aggregate() exactly (bit-identical doubles before rounding).
+_DOT = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE),"
+    " list_transform(range(1, len({a}) + 1), i -> {a}[i] * {b}[i])),"
+    " (acc, x) -> acc + x)"
+)
+
+
+def _cos_sql(a: str, b: str) -> str:
+    dot = _DOT.format(a=a, b=b)
+    na = f"sqrt({_DOT.format(a=a, b=a)})"
+    nb = f"sqrt({_DOT.format(a=b, b=b)})"
+    return f"round(({dot}) / (({na}) * ({nb})), 6)"
+
+
+_IDS_SQL = ", ".join(str(i) for i in ANN_QUERY_IDS)
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({_IDS_SQL})),
+scored AS (
+  SELECT query_id, vec_id, {_cos_sql('qv', 'v')} AS sim
+  FROM e CROSS JOIN q WHERE vec_id <> query_id)
+SELECT query_id, vec_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 10
+""",
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 per query (broadcast queries, one scan)."""
+    return S.cosine_topk(load_table(spark, "embeddings", sf_dir), ANN_QUERY_IDS, top_k=10)
+
+
+_BUCKET_SQL = " + ".join(
+    f"(CASE WHEN v[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(S.SIGN_LSH_BITS)
+)
+
+
+@register(
+    "ann_signlsh_topk",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, v, {_BUCKET_SQL} AS bucket
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket AS qbucket
+      FROM e WHERE vec_id IN ({_IDS_SQL})),
+scored AS (
+  SELECT query_id, vec_id, {_cos_sql('qv', 'v')} AS sim
+  FROM e JOIN q ON e.bucket = q.qbucket WHERE vec_id <> query_id)
+SELECT query_id, vec_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM scored) WHERE rank <= 5
+""",
+)
+def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-LSH bucketed ANN: probe only the query's bucket (the
+    partition-pruning scale path; recall < 1 by design)."""
+    return S.signlsh_topk(load_table(spark, "embeddings", sf_dir), ANN_QUERY_IDS, top_k=5)
+
+
+@register(
+    "similarity_near_dup",
+    oracle=f"""
+WITH e AS (
+  SELECT vec_id, v, {_BUCKET_SQL} AS bucket
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cos_sql('a.v', 'b.v')} AS sim
+FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE {_cos_sql('a.v', 'b.v')} >= 0.4
+""",
+)
+def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs within sign-LSH buckets."""
+    return S.embedding_near_dup_pairs(
+        load_table(spark, "embeddings", sf_dir), threshold=0.4, bucketed=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing (binary payload + mapInPandas decode)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_decode",
+    oracle="""
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       list_sum(list_transform(string_split_regex(text, ''), ch -> unicode(ch)))
+         % 1000000007 AS checksum,
+       octet_length(encode(text)) % 640 AS fake_width,
+       octet_length(encode(text)) // 640 + 1 AS fake_height
+FROM documents
+""",
+)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary payload → stub decode via Arrow-batched mapInPandas.
+    (The oracle recomputes the stub's byte arithmetic in SQL — valid
+    because the synthetic text is ASCII, so bytes == codepoints.)"""
+    packed = M.pack_binary(load_table(spark, "documents", sf_dir))
+    return M.decode_features(packed)
+
+
+@register(
+    "multimodal_frames",
+    oracle=f"""
+SELECT doc_id,
+       unnest(range(0, greatest(octet_length(encode(text)) // {M.FRAME_STRIDE}, 1)))
+         AS frame_idx,
+       unnest(range(0, greatest(octet_length(encode(text)) // {M.FRAME_STRIDE}, 1)))
+         * {M.FRAME_STRIDE} AS frame_offset
+FROM documents
+""",
+)
+def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling UDTF shape: N rows per payload via mapInPandas."""
+    packed = M.pack_binary(load_table(spark, "documents", sf_dir))
+    return M.sample_frames(packed)

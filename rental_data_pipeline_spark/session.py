@@ -55,13 +55,19 @@ def get_spark(
         # nanos timestamp type; read as long and convert at the source
         # (sources.tables.load_table) via integer division to micros.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        # Whole-stage-codegen methods for multi-aggregate groupBys exceed
-        # HotSpot's 8000-bytecode JIT ceiling and run interpreted (measured
-        # 40-100x slowdowns, erratic as tiered compilation raced the query).
-        # Let the JIT compile huge generated methods; set on both driver
-        # (local mode) and executors (cluster mode).
-        .config("spark.driver.extraJavaOptions", "-XX:-DontCompileHugeMethods")
-        .config("spark.executor.extraJavaOptions", "-XX:-DontCompileHugeMethods")
+        # Whole-stage-codegen methods between HotSpot's 8000-bytecode JIT
+        # ceiling and Spark's default hugeMethodLimit (65535) are poison:
+        # Spark keeps the generated code but the JVM never JIT-compiles
+        # it (or C2 spends tens of seconds trying), so wide multi-
+        # aggregate stages ran interpreted with erratic 40-100x
+        # slowdowns. Aligning hugeMethodLimit with the JIT ceiling makes
+        # Spark fall back to its stable interpreted-expression path for
+        # oversized stages while small stages keep codegen+JIT.
+        .config("spark.sql.codegen.hugeMethodLimit", "8000")
+        # Headroom for many compiled codegen stages in long sessions
+        # (default 240 MB cache disables the JIT when full).
+        .config("spark.driver.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
+        .config("spark.executor.extraJavaOptions", "-XX:ReservedCodeCacheSize=1g")
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

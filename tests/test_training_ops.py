@@ -1,0 +1,125 @@
+"""Training-data operators: dedup, similarity, text stats, multimodal."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.operators import dedup as D
+from rental_data_pipeline_spark.operators import multimodal as M
+from rental_data_pipeline_spark.operators import similarity as S
+from rental_data_pipeline_spark.operators import textstats as TS
+from rental_data_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return load_table(spark, "documents", sf_dir).cache()
+
+
+@pytest.fixture(scope="module")
+def embs(spark, sf_dir):
+    return load_table(spark, "embeddings", sf_dir).cache()
+
+
+def test_shingles_short_doc(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b c"), (3, "a b c d"), (4, "x")], "id int, text string"
+    )
+    rows = {
+        r["id"]: r["sh"]
+        for r in df.select("id", D.shingles("text").alias("sh")).collect()
+    }
+    assert rows[1] == []  # shorter than k → empty, not a descending-sequence bug
+    assert rows[2] == ["a b c"]
+    assert rows[3] == ["a b c", "b c d"]
+    assert rows[4] == []
+
+
+def test_exact_dedup_partitions_corpus(docs):
+    total = docs.count()
+    agg = D.exact_duplicates(docs).agg(F.sum("n_copies"), F.count(F.lit(1))).collect()[0]
+    assert agg[0] == total  # every doc in exactly one group
+    assert agg[1] <= total
+
+
+def test_minhash_lsh_matches_bruteforce_jaccard(docs):
+    brute = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in D.minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    # verified-LSH output ⊆ brute force, with identical jaccard values
+    assert set(lsh) <= set(brute)
+    for pair, j in lsh.items():
+        assert brute[pair] == j
+    # on the planted near-dups (jaccard ≥ 0.8), 16x4 LSH should have
+    # essentially full recall
+    assert len(lsh) >= 0.9 * len(brute)
+
+
+def test_simhash_identical_docs_have_zero_hamming(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "omega psi chi phi")],
+        "doc_id long, text string",
+    )
+    pairs = {(r.doc_a, r.doc_b): r.hamming for r in D.simhash_near_pairs(df).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_cosine_topk_self_excluded_and_sorted(embs):
+    out = S.cosine_topk(embs, [0, 1], top_k=5).collect()
+    by_q: dict = {}
+    for r in out:
+        assert r.vec_id != r.query_id
+        by_q.setdefault(r.query_id, []).append((r.rank, r.sim))
+    for q, rows in by_q.items():
+        rows.sort()
+        assert [r[0] for r in rows] == [1, 2, 3, 4, 5]
+        sims = [r[1] for r in rows]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_signlsh_subset_of_bruteforce_scores(embs):
+    brute = {
+        (r.query_id, r.vec_id): r.sim
+        for r in S.cosine_topk(embs, [0], top_k=10_000).collect()
+    }
+    bucketed = S.signlsh_topk(embs, [0], top_k=5).collect()
+    for r in bucketed:
+        assert brute[(r.query_id, r.vec_id)] == r.sim
+
+
+def test_quality_score_bounded(docs):
+    stats = TS.quality_score(docs).agg(
+        F.min("quality_score"), F.max("quality_score")
+    ).collect()[0]
+    assert 0.0 <= stats[0] <= stats[1] <= 1.0
+
+
+def test_multimodal_decode_matches_payload(docs):
+    packed = M.pack_binary(docs)
+    feats = {r.doc_id: r for r in M.decode_features(packed).collect()}
+    sample = {r.doc_id: r.text for r in docs.limit(20).collect()}
+    for doc_id, text in sample.items():
+        payload = text.encode("utf-8")
+        assert feats[doc_id].n_bytes == len(payload)
+        assert feats[doc_id].checksum == sum(payload) % 1_000_000_007
+
+
+def test_multimodal_frames_stride(docs):
+    packed = M.pack_binary(docs)
+    frames = M.sample_frames(packed).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), F.max("frame_offset").alias("mx")
+    )
+    joined = frames.join(
+        packed.select("doc_id", F.length("payload").alias("n_bytes")), "doc_id"
+    )
+    for r in joined.collect():
+        expected = max(r.n_bytes // M.FRAME_STRIDE, 1)
+        assert r.n == expected
+        assert r.mx == (expected - 1) * M.FRAME_STRIDE
