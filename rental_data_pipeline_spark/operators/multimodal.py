@@ -46,18 +46,34 @@ FRAME_SCHEMA = T.StructType(
 FRAME_STRIDE = 64  # bytes of "video" per sampled frame
 
 
+ROWS_PER_PYTHON_PARTITION = 2_000
+
+
+def _python_stage_partitions(df: DataFrame, id_col: str) -> DataFrame:
+    """Size the partition count of a pandas-UDF stage to the DATA, not
+    the cluster: every partition of a ``mapInPandas`` stage occupies a
+    Python worker process (fork + imports + Arrow channel), so tiny
+    inputs must not fan out to ``defaultParallelism`` workers, while a
+    single-split small file must not serialize a compute-heavy stage
+    through one worker either. Repartition only UP — a 100 TB scan
+    already carries thousands of splits and is left untouched."""
+    spark = df.sparkSession
+    n_rows = df.count()  # zero-column parquet scan — cheap at any scale
+    target = min(
+        spark.sparkContext.defaultParallelism,
+        max(1, -(-n_rows // ROWS_PER_PYTHON_PARTITION)),
+    )
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, F.col(id_col))
+    return df
+
+
 def pack_binary(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Materialize an opaque binary payload column + typed metadata
     struct (the testdata has no media files; UTF-8 text bytes stand in
     as the payload — the plumbing is identical)."""
     payload = F.encode(F.col(text_col), "UTF-8")
-    # explicit repartition: a small corpus file is one scan split, which
-    # would serialize every downstream mapInPandas batch through a
-    # single Python worker (AQE coalescing is byte-based and would not
-    # re-split compute-heavy-but-small data either)
-    df = df.repartition(
-        df.sparkSession.sparkContext.defaultParallelism, F.col(id_col)
-    )
+    df = _python_stage_partitions(df, id_col)
     return df.select(
         F.col(id_col),
         payload.alias("payload"),
