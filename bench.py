@@ -41,6 +41,9 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "similarity_near_dup",
     "multimodal_decode",
+    # extraction layer (render → parse → project round-trip)
+    "extract_listing_fields",
+    "extract_search_cards",
 ]
 
 

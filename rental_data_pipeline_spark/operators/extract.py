@@ -1,0 +1,439 @@
+"""Extraction operators: semi-structured HTML → typed records.
+
+Re-expresses the reference's scan layer (SURVEY §2.2, E1-E8;
+reference: scraper/html_parser.py:59-221 record extractor,
+parse_data.py:256-277 card splitter, html_parser.py:246-272
+label-value pairs, :309-363 geo classifier, :177-182 feature flags,
+:185-194 summary count) as Spark operators:
+
+- **E1** ``parse_listing_pages`` — one HTML page → one typed record,
+  via Arrow-batched ``mapInPandas`` (the only genuinely non-relational
+  step; everything downstream is native DataFrame ops).
+- **E2** ``split_cards`` — one search-page HTML → N card records
+  (UDTF-style multi-row emit from the same ``mapInPandas`` plan shape).
+- **E3** label-value pairs land in a ``MapType`` column ``facts``;
+  ``element_at`` / ``explode`` pivot them relationally downstream.
+- **E5** feature flags come out as an ``array<string>``; widening to
+  boolean ``has_*`` columns is a native ``array_contains`` projection
+  (``feature_flags``).
+- **E6** summary counts are extracted natively
+  (functions.text.extract_summary_count — regexp, no UDF).
+- **E8** error pages produce an ``error`` column; quarantine is a
+  plain ``where`` split (F5).
+
+The parser is a ~60-line stdlib ``html.parser`` mini-DOM with
+attribute-based selection — the public-knowledge analog of the
+reference's BeautifulSoup selectors (bs4 is not available in this
+container, and a full CSS engine is not needed: every reference
+selector is an attribute-equality match).
+
+Scale notes: HTML pages are large (100s of KB) and records small, so
+the extraction stage is the I/O cliff of a real crawl pipeline. The
+mapInPandas stage prunes to (id, html) before transfer, emits compact
+records, and everything after the UDF is JVM-side; partitioning
+follows the upstream file splits (thousands of splits at crawl scale —
+see multimodal._python_stage_partitions for the small-input guard).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+from html.parser import HTMLParser
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Mini-DOM (stdlib) + attribute selection
+# ---------------------------------------------------------------------------
+
+
+class _Node:
+    __slots__ = ("tag", "attrs", "children", "text_parts")
+
+    def __init__(self, tag: str, attrs: dict[str, str]):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[_Node] = []
+        self.text_parts: list[str] = []
+
+
+class _DomBuilder(HTMLParser):
+    """Build a tree of _Node from HTML (tolerant: unclosed tags close
+    at parent boundaries, like browser recovery for simple markup)."""
+
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.root = _Node("#root", {})
+        self.stack = [self.root]
+
+    def handle_starttag(self, tag, attrs):
+        node = _Node(tag, dict(attrs))
+        self.stack[-1].children.append(node)
+        if tag not in ("br", "img", "meta", "link", "input", "hr"):
+            self.stack.append(node)
+
+    def handle_endtag(self, tag):
+        for i in range(len(self.stack) - 1, 0, -1):
+            if self.stack[i].tag == tag:
+                del self.stack[i:]
+                break
+
+    def handle_data(self, data):
+        if data:
+            self.stack[-1].text_parts.append(data)
+
+
+def _parse_dom(html: str) -> _Node:
+    b = _DomBuilder()
+    b.feed(html)
+    return b.root
+
+
+def _text(node: _Node) -> str:
+    parts: list[str] = []
+
+    def rec(n: _Node) -> None:
+        parts.extend(n.text_parts)
+        for c in n.children:
+            rec(c)
+
+    rec(node)
+    return "".join(parts).strip()
+
+
+def _find_all(node: _Node, attr: str, value: str, out: list[_Node] | None = None) -> list[_Node]:
+    """All descendants where attrs[attr] == value (the reference's
+    ``[data-name="X"]`` selector class)."""
+    if out is None:
+        out = []
+    for c in node.children:
+        if c.attrs.get(attr) == value:
+            out.append(c)
+        _find_all(c, attr, value, out)
+    return out
+
+
+def _find_one(node: _Node, attr: str, value: str) -> _Node | None:
+    hits = _find_all(node, attr, value)
+    return hits[0] if hits else None
+
+
+def _find_tags(node: _Node, tag: str, out: list[_Node] | None = None) -> list[_Node]:
+    if out is None:
+        out = []
+    for c in node.children:
+        if c.tag == tag:
+            out.append(c)
+        _find_tags(c, tag, out)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# E1: listing-page record extraction
+# ---------------------------------------------------------------------------
+
+LISTING_SCHEMA = T.StructType(
+    [
+        T.StructField("offer_id", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("price_value", T.StringType()),
+        T.StructField("updated_date", T.StringType()),
+        T.StructField("description", T.StringType()),
+        T.StructField("address", T.StringType()),
+        T.StructField("metro_station", T.StringType()),
+        T.StructField("total_views", T.StringType()),
+        T.StructField("today_views", T.StringType()),
+        T.StructField("unique_views", T.StringType()),
+        T.StructField("is_unpublished", T.BooleanType()),
+        T.StructField("facts", T.MapType(T.StringType(), T.StringType())),
+        T.StructField("features", T.ArrayType(T.StringType())),
+        T.StructField("error", T.StringType()),
+    ]
+)
+
+_OFFER_ID_RE = re.compile(r"/rent/flat/(\d+)")
+_NUMS_RE = re.compile(r"\d+")
+
+
+def _parse_listing(html: str, url: str) -> dict:
+    """One listing page → one record (reference html_parser.py:59-221
+    semantics: first-match-wins selector priority, label-value pairs,
+    feature flags, unpublished marker, error sniff)."""
+    dom = _parse_dom(html)
+
+    err = _find_one(dom, "class", "error-code")
+    if err is not None:
+        return {"error": _text(err), "offer_id": _extract_offer_id(url)}
+
+    rec: dict = {"error": None}
+    rec["offer_id"] = _extract_offer_id(url)
+
+    # first-match-wins priority across price selectors (ref :72-91)
+    price = None
+    for attr, val in (
+        ("data-testid", "valuation_offerPrice"),
+        ("data-testid", "price-amount"),
+        ("data-mark", "MainPrice"),
+    ):
+        n = _find_one(dom, attr, val)
+        if n is not None and _text(n):
+            price = _text(n)
+            break
+    rec["price_value"] = price
+
+    title = _find_one(dom, "data-mark", "OfferSubtitle") or _find_one(
+        dom, "data-mark", "OfferTitle"
+    )
+    rec["title"] = _text(title) if title is not None else None
+
+    upd = _find_one(dom, "data-testid", "metadata-updated-date")
+    rec["updated_date"] = (
+        _text(upd).replace("Обновлено: ", "") if upd is not None and _text(upd) else None
+    )
+
+    desc = _find_one(dom, "data-name", "Description")
+    rec["description"] = _text(desc) if desc is not None else None
+
+    stats = _find_one(dom, "data-name", "OfferStats")
+    views = _NUMS_RE.findall(_text(stats)) if stats is not None else []
+    rec["total_views"], rec["today_views"], rec["unique_views"] = (
+        (views[0], views[1], views[2]) if len(views) == 3 else (None, None, None)
+    )
+
+    geo = _find_one(dom, "data-name", "Geo")
+    rec["address"] = None
+    rec["metro_station"] = None
+    if geo is not None:
+        addr = _find_one(geo, "itemprop", "name")
+        if addr is not None:
+            rec["address"] = addr.attrs.get("content") or None
+        metro = _find_one(geo, "data-name", "UndergroundItem")
+        if metro is not None:
+            links = _find_tags(metro, "a")
+            if links:
+                rec["metro_station"] = _text(links[0]).replace("м. ", "")
+
+    rec["is_unpublished"] = _find_one(dom, "data-name", "OfferUnpublished") is not None
+
+    # E3: label-value pairs → map (ref :246-272; skips label == value)
+    facts: dict[str, str] = {}
+    for sel in ("OfferFactItem", "ObjectFactoidsItem"):
+        for item in _find_all(dom, "data-name", sel):
+            spans = _find_tags(item, "span")
+            if len(spans) >= 2:
+                label, value = _text(spans[0]), _text(spans[-1])
+                if label and value and label != value:
+                    facts[label] = value
+    rec["facts"] = facts or None
+
+    # E5: feature flags (ref :177-182) — array here, widened natively
+    feats = [_text(n) for n in _find_all(dom, "data-name", "FeaturesItem")]
+    rec["features"] = [f for f in feats if f] or None
+    return rec
+
+
+def _extract_offer_id(url: str | None) -> str | None:
+    if not url:
+        return None
+    m = _OFFER_ID_RE.search(url)
+    return m.group(1) if m else None
+
+
+def parse_listing_pages(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """E1: (html, url) rows → typed listing records via mapInPandas."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            recs = [
+                _parse_listing(h or "", u or "")
+                for h, u in zip(pdf[html_col], pdf[url_col])
+            ]
+            yield pd.DataFrame(
+                {f.name: [r.get(f.name) for r in recs] for f in LISTING_SCHEMA.fields}
+            )
+
+    return df.select(html_col, url_col).mapInPandas(run, LISTING_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# E2: search-page card splitter (1 page → N rows)
+# ---------------------------------------------------------------------------
+
+CARD_SCHEMA = T.StructType(
+    [
+        T.StructField("page_id", T.LongType()),
+        T.StructField("offer_id", T.StringType()),
+        T.StructField("offer_url", T.StringType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("price_value", T.StringType()),
+    ]
+)
+
+
+def _parse_card(card: _Node) -> dict:
+    rec: dict = {}
+    link_area = _find_one(card, "data-name", "LinkArea")
+    url = None
+    if link_area is not None:
+        for a in _find_tags(link_area, "a"):
+            href = a.attrs.get("href", "")
+            if "/rent/flat/" in href:
+                url = href.rstrip("/")
+                break
+    rec["offer_url"] = url
+    rec["offer_id"] = _extract_offer_id(url)
+    title = _find_one(card, "data-mark", "OfferTitle")
+    rec["title"] = _text(title) if title is not None else None
+    price = _find_one(card, "data-mark", "MainPrice")
+    rec["price_value"] = _text(price) if price is not None else None
+    return rec
+
+
+def split_cards(
+    df: DataFrame, html_col: str = "html", page_id_col: str = "page_id"
+) -> DataFrame:
+    """E2: each search-page HTML emits one row per
+    ``[data-name=CardComponent]`` (reference parse_data.py:256-277) —
+    multi-row mapInPandas emit (flatMap/UDTF plan shape)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: list[dict] = []
+            for pid, h in zip(pdf[page_id_col], pdf[html_col]):
+                dom = _parse_dom(h or "")
+                for card in _find_all(dom, "data-name", "CardComponent"):
+                    rec = _parse_card(card)
+                    rec["page_id"] = int(pid)
+                    out.append(rec)
+            yield pd.DataFrame(
+                {f.name: [r.get(f.name) for r in out] for f in CARD_SCHEMA.fields}
+            )
+
+    return df.select(page_id_col, html_col).mapInPandas(run, CARD_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# E5 widening + E8 quarantine — native projections over extraction output
+# ---------------------------------------------------------------------------
+
+
+def feature_flags(df: DataFrame, names: list[str], col: str = "features") -> DataFrame:
+    """E5: widen the features array into boolean ``has_*`` columns —
+    pure projection (flatten.py:45-54 renames in the reference)."""
+    flags = {
+        "has_" + re.sub(r"\W+", "_", n.lower()): F.coalesce(
+            F.array_contains(F.col(col), n), F.lit(False)
+        )
+        for n in names
+    }
+    return df.withColumns(flags)
+
+
+def quarantine_split(df: DataFrame, error_col: str = "error") -> tuple[DataFrame, DataFrame]:
+    """E8/F5: (clean, quarantined) split on the error column."""
+    clean = df.where(F.col(error_col).isNull()).drop(error_col)
+    bad = df.where(F.col(error_col).isNotNull())
+    return clean, bad
+
+
+# ---------------------------------------------------------------------------
+# Deterministic HTML fixtures (JVM-side rendering; tests + queries).
+# In production HTML arrives from crawl files; these render the same
+# markup shapes from table rows so extraction is oracle-checkable.
+# ---------------------------------------------------------------------------
+
+
+def listing_page_html(doc_id: Column, text: Column) -> Column:
+    """Render a listing page for a document row. All derived fields are
+    doc_id arithmetic, so a SQL oracle can recompute them exactly.
+    Every 7th listing is unpublished; every 50th renders an error page."""
+    rooms = doc_id % 4 + 1
+    area = doc_id % 60 + 30
+    floor = doc_id % 15 + 1
+    total = floor + doc_id % 10
+    price = (doc_id % 100 + 20) * 1000
+    views = doc_id % 900 + 17
+    today = doc_id % 40
+    uniq = doc_id % 500 + 5
+
+    error_page = F.lit(
+        '<html><body><h5 class="error-code">404 Страница не найдена</h5></body></html>'
+    )
+    title = F.format_string("%d-комн. кв., %d м², %d/%d этаж", rooms, area, floor, total)
+    page = F.concat(
+        F.lit("<html><body>"),
+        F.when(doc_id % 7 == 0, F.lit('<div data-name="OfferUnpublished"><span>Снято</span></div>')).otherwise(F.lit("")),
+        F.lit('<h1 data-mark="OfferTitle">'), title, F.lit("</h1>"),
+        F.format_string('<span data-mark="MainPrice">%d ₽/мес.</span>', price),
+        F.lit('<div data-name="OfferMetaData"><div data-testid="metadata-updated-date"><span>Обновлено: 12 мая, 14:30</span></div>'),
+        F.format_string(
+            '<div data-name="OfferStats">%d просмотров, %d за сегодня, %d уникальных</div></div>',
+            views, today, uniq,
+        ),
+        F.format_string(
+            '<div data-name="Geo"><div itemprop="name" content="Москва, ул. Тестовая, %d"></div>'
+            '<ul><li data-name="UndergroundItem"><a>м. Станция%d</a></li></ul></div>',
+            doc_id % 200 + 1, doc_id % 12,
+        ),
+        F.format_string(
+            '<div data-name="OfferFactItem"><span>Этаж</span><span>%d из %d</span></div>',
+            floor, total,
+        ),
+        F.format_string(
+            '<div data-name="OfferFactItem"><span>Общая площадь</span><span>%d м²</span></div>',
+            area,
+        ),
+        F.when(doc_id % 2 == 0, F.lit('<div data-name="FeaturesItem">Холодильник</div>')).otherwise(F.lit("")),
+        F.when(doc_id % 3 == 0, F.lit('<div data-name="FeaturesItem">Мебель</div>')).otherwise(F.lit("")),
+        F.lit('<div data-name="Description"><span>'), text, F.lit("</span></div>"),
+        F.lit("</body></html>"),
+    )
+    return F.when(doc_id % 50 == 0, error_page).otherwise(page)
+
+
+def listing_url(doc_id: Column) -> Column:
+    return F.format_string("https://example.test/rent/flat/%d/", doc_id + 100000)
+
+
+def search_card_html(doc_id: Column) -> Column:
+    """One CardComponent block per document row (search-page card)."""
+    rooms = doc_id % 4 + 1
+    area = doc_id % 60 + 30
+    price = (doc_id % 100 + 20) * 1000
+    return F.format_string(
+        '<article data-name="CardComponent"><div data-name="LinkArea">'
+        '<a href="/rent/flat/%d/">card</a></div>'
+        '<span data-mark="OfferTitle">%d-комн. кв., %d м²</span>'
+        '<span data-mark="MainPrice">%d ₽/мес.</span></article>',
+        doc_id + 100000, rooms, area, price,
+    )
+
+
+def search_pages_from_documents(df: DataFrame, cards_per_page: int = 25) -> DataFrame:
+    """Assemble card blocks into search pages (page_id, html): the
+    fixture twin of paginated crawl output (28 cards/page in the
+    reference, parse_data.py:90)."""
+    cards = df.select(
+        (F.col("doc_id") / cards_per_page).cast("long").alias("page_id"),
+        F.col("doc_id").alias("card_order"),
+        search_card_html(F.col("doc_id")).alias("card"),
+    )
+    return cards.groupBy("page_id").agg(
+        F.concat(
+            F.lit("<html><body>"),
+            F.concat_ws(
+                "",
+                F.array_sort(
+                    F.collect_list(F.struct("card_order", "card"))
+                ).getField("card"),
+            ),
+            F.lit("</body></html>"),
+        ).alias("html")
+    )

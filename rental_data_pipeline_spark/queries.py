@@ -635,6 +635,7 @@ def oracles():
     return dict(ORACLES)
 
 
-# Registered last so `register` above is defined when the submodule
-# imports back into this registry (deliberate tail import).
+# Registered last so `register` above is defined when the submodules
+# import back into this registry (deliberate tail imports).
 from rental_data_pipeline_spark import queries_training  # noqa: E402,F401
+from rental_data_pipeline_spark import queries_extract  # noqa: E402,F401

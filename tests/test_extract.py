@@ -1,0 +1,79 @@
+"""Extraction layer (E1-E8): mini-DOM parser semantics + operator
+plumbing over rendered fixtures."""
+
+from rental_data_pipeline_spark.operators import extract as X
+
+
+def test_parse_listing_first_match_priority():
+    # MainPrice is the LAST selector in priority order; a page with
+    # both price-amount and MainPrice must pick price-amount first
+    html = (
+        '<html><body><div data-testid="price-amount"><span>50 000 ₽</span></div>'
+        '<span data-mark="MainPrice">99 999 ₽</span></body></html>'
+    )
+    rec = X._parse_listing(html, "https://x/rent/flat/123/")
+    assert rec["price_value"] == "50 000 ₽"
+    assert rec["offer_id"] == "123"
+    assert rec["error"] is None
+    assert rec["is_unpublished"] is False
+
+
+def test_parse_listing_error_page_short_circuits():
+    html = '<html><body><h5 class="error-code">404</h5></body></html>'
+    rec = X._parse_listing(html, "https://x/rent/flat/77/")
+    assert rec["error"] == "404"
+    assert rec["offer_id"] == "77"
+
+
+def test_label_value_pairs_skip_equal_label_value():
+    html = (
+        '<html><body><div data-name="OfferFactItem"><span>Этаж</span>'
+        "<span>3 из 9</span></div>"
+        '<div data-name="OfferFactItem"><span>same</span><span>same</span></div>'
+        "</body></html>"
+    )
+    rec = X._parse_listing(html, "")
+    assert rec["facts"] == {"Этаж": "3 из 9"}
+
+
+def test_unclosed_tags_tolerated():
+    html = '<div data-name="Description"><span>text<p>more</div>'
+    rec = X._parse_listing("<html><body>" + html + "</body></html>", "")
+    assert rec["description"] == "textmore"
+
+
+def test_split_cards_multi_row_emit(spark):
+    page = (
+        "<html><body>"
+        '<article data-name="CardComponent"><div data-name="LinkArea">'
+        '<a href="/rent/flat/1/">c</a></div>'
+        '<span data-mark="MainPrice">10 ₽</span></article>'
+        '<article data-name="CardComponent"><div data-name="LinkArea">'
+        '<a href="/rent/flat/2/">c</a></div>'
+        '<span data-mark="MainPrice">20 ₽</span></article>'
+        "</body></html>"
+    )
+    df = spark.createDataFrame([(0, page)], "page_id long, html string")
+    rows = X.split_cards(df).orderBy("offer_id").collect()
+    assert [(r.offer_id, r.price_value) for r in rows] == [("1", "10 ₽"), ("2", "20 ₽")]
+
+
+def test_render_parse_roundtrip(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(i, f"doc text {i}") for i in range(1, 30)], "doc_id long, text string"
+    )
+    rendered = docs.select(
+        "doc_id",
+        X.listing_page_html(F.col("doc_id"), F.col("text")).alias("html"),
+        X.listing_url(F.col("doc_id")).alias("url"),
+    )
+    parsed = X.parse_listing_pages(rendered)
+    clean, bad = X.quarantine_split(parsed)
+    out = {r.offer_id: r for r in clean.collect()}
+    assert bad.count() == 0  # no doc_id % 50 == 0 in range(1,30)
+    assert len(out) == 29
+    r7 = out["100007"]  # doc_id 7: unpublished (7 % 7 == 0)
+    assert r7.is_unpublished is True
+    assert r7.facts["Этаж"] == "8 из 15"  # floor = 7%15+1 = 8, total = 8 + 7%10 = 15
