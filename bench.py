@@ -44,6 +44,8 @@ HEADLINE = [
     # extraction layer (render → parse → project round-trip)
     "extract_listing_fields",
     "extract_search_cards",
+    # event-time tumbling window agg (streaming twin)
+    "streaming_window_stats",
 ]
 
 

@@ -639,3 +639,4 @@ def oracles():
 # import back into this registry (deliberate tail imports).
 from rental_data_pipeline_spark import queries_training  # noqa: E402,F401
 from rental_data_pipeline_spark import queries_extract  # noqa: E402,F401
+from rental_data_pipeline_spark import queries_streaming  # noqa: E402,F401

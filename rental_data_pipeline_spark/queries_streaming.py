@@ -1,0 +1,120 @@
+"""Oracle-checked queries for the streaming path (SURVEY §2.8).
+
+``streaming_merge_state`` runs the REAL Structured Streaming pipeline
+(landing files → readStream → foreachBatch merge → state table) with
+``Trigger.AvailableNow``, then returns the state — which must equal
+the one-shot batch fold, so it shares the batch CDC oracle. This is
+the strongest cross-engine check available: DuckDB SQL vs a
+micro-batched streaming execution.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.queries import _SNAPSHOT_CTE, _event_snapshots, register
+from rental_data_pipeline_spark.sources.tables import load_table
+from rental_data_pipeline_spark.streaming import (
+    incremental_merge_stream,
+    read_snapshot_stream,
+    windowed_price_stats,
+)
+
+_STREAM_CHUNKS = 3
+
+
+@register(
+    "streaming_merge_state",
+    oracle=f"""
+WITH {_SNAPSHOT_CTE}
+SELECT offer_id,
+       arg_max(price_value, CASE WHEN price_value IS NOT NULL THEN seq END) AS price_value,
+       arg_max(is_unpublished, CASE WHEN is_unpublished IS NOT NULL THEN seq END) AS is_unpublished,
+       arg_min(updated_date, seq) AS publication_date,
+       arg_max(updated_date, CASE WHEN updated_date IS NOT NULL THEN seq END) AS last_active,
+       CASE WHEN count(*) FILTER (WHERE price_chg) > 0
+            THEN count(*) FILTER (WHERE price_chg) END AS total_price_changes,
+       string_agg(CAST(diff AS VARCHAR), ', ' ORDER BY seq)
+         FILTER (WHERE price_chg) AS price_changes
+FROM ev
+GROUP BY offer_id
+""",
+)
+def streaming_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T1/T3: events replayed as micro-batch files through
+    readStream → foreachBatch(merge_listings) → state table; the final
+    state equals the batch fold (equivalence asserted in
+    tests/test_streaming.py) and therefore shares its SQL oracle."""
+    snaps = _event_snapshots(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="rdp_stream_q_")
+    landing, state, ckpt = f"{base}/landing", f"{base}/state", f"{base}/ckpt"
+
+    # chunk the history into ASCENDING time ranges (date terciles): the
+    # micro-batch fold then replays events in the same global order the
+    # batch fold (and its oracle) uses. Out-of-order chunks would be
+    # processed too (T5: the reference has no ordering guard) but would
+    # legitimately produce different CDC history than the oracle.
+    dates = sorted(
+        r[0] for r in snaps.select(F.to_date("updated_date")).distinct().collect()
+    )
+    n = len(dates)
+    cuts = {d: (i * _STREAM_CHUNKS) // n for i, d in enumerate(dates)}
+    chunk_expr = F.coalesce(
+        *[F.when(F.to_date("updated_date") == F.lit(d), F.lit(c)) for d, c in cuts.items()],
+        F.lit(0),
+    )
+    snaps = snaps.withColumn("__chunk", chunk_expr)
+    for i in sorted(set(cuts.values())):
+        snaps.where(F.col("__chunk") == i).drop("__chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    stream = read_snapshot_stream(spark, landing, max_files_per_trigger=1)
+    q = incremental_merge_stream(stream, state, ckpt)
+    q.awaitTermination(600)
+
+    out = (
+        spark.read.parquet(state)
+        .select(
+            "offer_id",
+            "price_value",
+            "is_unpublished",
+            "publication_date",
+            "last_active",
+            "total_price_changes",
+            "price_changes",
+        )
+        .localCheckpoint(eager=True)  # detach from temp files before cleanup
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    return out
+
+
+@register(
+    "streaming_window_stats",
+    oracle="""
+SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+       count(*) AS n_snapshots,
+       count(DISTINCT user_id) AS n_offers,
+       avg(value) AS avg_price,
+       min(value) AS min_price,
+       max(value) AS max_price
+FROM events
+GROUP BY 1
+""",
+)
+def streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T4: the tumbling-window event-time aggregation (batch twin of
+    the watermarked streaming agg — same function, exact distinct)."""
+    ev = load_table(spark, "events", sf_dir)
+    snaps = ev.select(
+        F.col("user_id").alias("offer_id"),
+        F.col("ts").alias("updated_date"),
+        F.col("value").alias("price_value"),
+    )
+    out = windowed_price_stats(snaps, "1 hour", approx_distinct=False)
+    return out.drop("window_end")

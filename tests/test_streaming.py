@@ -1,0 +1,128 @@
+"""Streaming equivalence: chunked micro-batch merge == one-shot batch
+fold; watermarked window agg == batch window agg on on-time data."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.operators.merge import merge_snapshots
+from rental_data_pipeline_spark.streaming import (
+    incremental_merge_stream,
+    read_snapshot_stream,
+    windowed_price_stats,
+)
+from rental_data_pipeline_spark.streaming.incremental import SNAPSHOT_SCHEMA
+
+
+@pytest.fixture()
+def tmpdirs():
+    d = tempfile.mkdtemp(prefix="stream_test_")
+    yield f"{d}/landing", f"{d}/state", f"{d}/ckpt"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _snapshots(spark):
+    rows = []
+    # key 1: price change 100 -> 120 across chunks, then unpublish
+    rows += [
+        (1, "2024-01-01 10:00:00", 100.0, False, 1),
+        (1, "2024-01-02 10:00:00", 120.0, False, 2),
+        (1, "2024-01-03 10:00:00", None, True, 3),
+    ]
+    # key 2: appears only in chunk 2
+    rows += [(2, "2024-01-02 11:00:00", 55.0, False, 4)]
+    # key 3: same price re-observed (no change row), null never clobbers
+    rows += [
+        (3, "2024-01-01 09:00:00", 70.0, False, 5),
+        (3, "2024-01-03 09:00:00", 70.0, False, 6),
+    ]
+    df = spark.createDataFrame(
+        [(k, ts, p, u, e) for k, ts, p, u, e in rows],
+        "offer_id long, updated_date string, price_value double, "
+        "is_unpublished boolean, event_id long",
+    )
+    return df.withColumn("updated_date", F.to_timestamp("updated_date"))
+
+
+def test_chunked_stream_merge_equals_batch_fold(spark, tmpdirs):
+    landing, state, ckpt = tmpdirs
+    snaps = _snapshots(spark)
+
+    # land the history as one file per event day => 3 micro-batches
+    for day in (1, 2, 3):
+        chunk = snaps.where(F.dayofmonth("updated_date") == day)
+        chunk.coalesce(1).write.mode("append").parquet(landing)
+
+    stream = read_snapshot_stream(spark, landing, SNAPSHOT_SCHEMA, max_files_per_trigger=1)
+    q = incremental_merge_stream(stream, state, ckpt)
+    q.awaitTermination(120)
+
+    got = {
+        r.offer_id: r
+        for r in spark.read.parquet(state).collect()
+    }
+    want = {
+        r.offer_id: r
+        for r in merge_snapshots(
+            snaps, key="offer_id", order_cols=["updated_date", "event_id"]
+        ).collect()
+    }
+    assert set(got) == set(want) == {1, 2, 3}
+    for k in want:
+        g, w = got[k], want[k]
+        for col in (
+            "price_value",
+            "is_unpublished",
+            "publication_date",
+            "last_active",
+            "unpublished_date",
+            "price_change_value",
+            "total_price_changes",
+            "price_changes",
+            "price_changes_dates",
+        ):
+            assert getattr(g, col) == getattr(w, col), (k, col, g, w)
+    # spot-check CDC facts
+    assert got[1].price_changes == "20"
+    assert got[1].unpublished_date is not None
+    assert got[3].total_price_changes is None  # same price re-observed: no-op
+
+
+def test_windowed_price_stats_streaming_matches_batch(spark, tmpdirs):
+    landing, state, ckpt = tmpdirs
+    snaps = _snapshots(spark)
+    # one file per day => three micro-batches, so the watermark advances
+    # between batches and closed windows get flushed (append mode emits
+    # a window only in a batch AFTER the watermark passes its end)
+    for day in (1, 2, 3):
+        snaps.where(F.dayofmonth("updated_date") == day).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    stream = read_snapshot_stream(spark, landing, SNAPSHOT_SCHEMA, max_files_per_trigger=1)
+    out_dir, out_ckpt = state + "_win", ckpt + "_win"
+    q = (
+        windowed_price_stats(stream, "1 hour", "30 minutes")
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", out_ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # batch twin over the same rows; append mode emits a window in the
+    # first batch that runs after the watermark passed its end, so with
+    # day-chunked batches every day-1 window must be out by termination
+    batch = windowed_price_stats(snaps)
+    got = {r.window_start: r for r in spark.read.parquet(out_dir).collect()}
+    want = {r.window_start: r for r in batch.collect()}
+    day1 = {k for k in want if k.day == 1}
+    assert set(got) >= day1, (sorted(got), sorted(want))
+    assert set(got) <= set(want)
+    for k in got:
+        assert got[k].n_snapshots == want[k].n_snapshots
+        assert got[k].avg_price == want[k].avg_price
