@@ -1,0 +1,235 @@
+"""Oracle-checked queries for the remaining scalar layer (SURVEY §2.7):
+X2 Russian relative dates, X9 title decomposition, X10/X11/X13/X14/X19
+text plucking, X15 image-url rewrite, X21 smart split — each over a
+shared literal corpus so Spark and DuckDB evaluate identical inputs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.functions.dates import parse_russian_date_label
+from rental_data_pipeline_spark.functions.text import (
+    extract_offer_id,
+    extract_walking_minutes,
+    parse_offer_stats,
+    parse_price_info,
+    parse_title,
+    rewrite_image_urls,
+    smart_title_split,
+    strip_metro_prefix,
+    strip_updated_label,
+)
+from rental_data_pipeline_spark.queries import _values_sql, register
+
+_NOW = "2024-06-15 12:00:00"
+
+DATE_LITERALS: list[tuple[int, str | None]] = [
+    (1, "сегодня, 14:30"),
+    (2, "вчера, 09:05"),
+    (3, "12 мая, 14:30"),       # past this year → 2024
+    (4, "20 июн, 08:15"),       # future (> now) → rolled back to 2023
+    (5, "15 июн, 11:59"),       # past by 1 minute → 2024
+    (6, "15 июн, 12:01"),       # future by 1 minute → 2023
+    (7, "3 янв, 00:07"),
+    (8, "какой-то текст"),       # no time → passthrough
+    (9, "12 января, 14:30"),     # genitive month not in map → passthrough
+    (10, ""),
+    (11, None),
+    (12, "31 дек, 23:59"),       # future → 2023
+]
+
+
+@register(
+    "scalar_russian_dates",
+    oracle=f"""
+WITH t AS (SELECT * FROM {_values_sql(DATE_LITERALS, ["id", "label"])}),
+p AS (
+  SELECT id, label,
+         regexp_extract(label, '(\\d{{1,2}}):(\\d{{2}})', 1) AS hh,
+         regexp_extract(label, '(\\d{{1,2}}):(\\d{{2}})', 2) AS mi,
+         regexp_extract(label, '(\\d{{1,2}})\\s+([а-яА-Я]+)', 1) AS dd,
+         lower(regexp_extract(label, '(\\d{{1,2}})\\s+([а-яА-Я]+)', 2)) AS w
+  FROM t),
+m AS (
+  SELECT *, CASE w WHEN 'янв' THEN 1 WHEN 'фев' THEN 2 WHEN 'мар' THEN 3
+                   WHEN 'апр' THEN 4 WHEN 'май' THEN 5 WHEN 'мая' THEN 5
+                   WHEN 'июн' THEN 6 WHEN 'июл' THEN 7 WHEN 'авг' THEN 8
+                   WHEN 'сен' THEN 9 WHEN 'окт' THEN 10 WHEN 'ноя' THEN 11
+                   WHEN 'дек' THEN 12 END AS mon,
+         TIMESTAMP '{_NOW}' AS now
+  FROM p)
+SELECT id,
+  CASE
+    WHEN label IS NULL OR label = '' THEN NULL
+    WHEN hh = '' THEN label
+    WHEN label LIKE '%сегодня%' THEN
+      strftime(CAST(now AS DATE) + to_hours(CAST(hh AS INT))
+               + to_minutes(CAST(mi AS INT)), '%Y-%m-%d %H:%M:%S')
+    WHEN label LIKE '%вчера%' THEN
+      strftime(CAST(now AS DATE) - to_days(1) + to_hours(CAST(hh AS INT))
+               + to_minutes(CAST(mi AS INT)), '%Y-%m-%d %H:%M:%S')
+    WHEN dd = '' OR mon IS NULL THEN label
+    ELSE strftime(make_timestamp(
+           CASE WHEN make_timestamp(2024, mon, CAST(dd AS INT), CAST(hh AS INT),
+                                    CAST(mi AS INT), 0) > now
+                THEN 2023 ELSE 2024 END,
+           mon, CAST(dd AS INT), CAST(hh AS INT), CAST(mi AS INT), 0),
+         '%Y-%m-%d %H:%M:%S')
+  END AS parsed
+FROM m
+""",
+)
+def scalar_russian_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 with injected now (SURVEY §7.4#2): сегодня/вчера resolution,
+    exact-match month table, future→previous-year rollback, and the
+    reference's passthrough rules."""
+    df = spark.createDataFrame(DATE_LITERALS, "id int, label string")
+    return df.select(
+        "id", parse_russian_date_label(F.col("label"), _NOW).alias("parsed")
+    )
+
+
+TITLE_LITERALS: list[tuple[int, str | None]] = [
+    (1, "2-комн. кв., 54,2 м², 3/9 этаж"),
+    (2, "Студия, 25 м², 1/5 этаж"),
+    (3, "кв., 33,5 м², 7/12 этаж"),
+    (4, "просто текст"),
+    (5, "1-комн. кв., 40 м², 15/17 этаж"),
+]
+
+
+@register(
+    "scalar_title_decompose",
+    oracle=f"""
+WITH t AS (SELECT * FROM {_values_sql(TITLE_LITERALS, ["id", "v"])}),
+n AS (
+  SELECT id, v,
+         regexp_extract_all(regexp_replace(v, '(\\d+)/(\\d+)', '\\1 \\2', 'g'),
+                            '\\d+[.,]\\d+|\\d+') AS nums
+  FROM t)
+SELECT id,
+       CASE WHEN len(nums) >= 3 THEN
+         CASE WHEN len(nums) > 3 THEN CAST(nums[1] AS BIGINT) ELSE 0 END
+       END AS room_count,
+       CASE WHEN len(nums) >= 3
+            THEN CAST(replace(nums[-3], ',', '.') AS DOUBLE) END AS total_area,
+       CASE WHEN len(nums) >= 3 THEN CAST(nums[-2] AS BIGINT) END AS floor,
+       CASE WHEN len(nums) >= 3 THEN CAST(nums[-1] AS BIGINT) END AS total_floors
+FROM n
+""",
+)
+def scalar_title_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X9: positional number extraction from listing titles."""
+    df = spark.createDataFrame(TITLE_LITERALS, "id int, v string")
+    cols = parse_title(F.col("v"))
+    return df.select("id", *[expr.alias(name) for name, expr in cols.items()])
+
+
+TEXT_LITERALS: list[tuple[int, str, str, str, str]] = [
+    (
+        1,
+        "Длительный срок, коммунальные платежи включены, без комиссии, залог 50 000 ₽",
+        "1 263 просмотра, 23 за сегодня, 842 уникальных",
+        "Обновлено: м. Арбатская, 7 мин. пешком /rent/flat/310001/",
+        "Тверская, 8",
+    ),
+    (
+        2,
+        "На несколько месяцев, оплата по счётчикам",
+        "нет просмотров",
+        "Обновлено: м. Сокол, 12 мин. транспортом /rent/flat/310002/",
+        "Мира, 101",
+    ),
+    (
+        3,
+        "Длительный срок, без коммунальных, комиссия 50%, без залога",
+        "7 просмотров, 1 за сегодня, 5 уникальных",
+        "без метро /offer/9/",
+        "Арбат, 1",
+    ),
+]
+
+
+@register(
+    "scalar_text_pluck",
+    oracle=f"""
+WITH t AS (SELECT * FROM {_values_sql(TEXT_LITERALS, ["id", "price_info", "stats", "meta", "addr"])})
+SELECT id,
+       regexp_extract(price_info, '^([^,]*),', 1) AS rental_period,
+       CASE WHEN len(string_split(price_info, ',')) >= 2
+            THEN string_split(price_info, ',')[2] END AS utilities_payment,
+       CASE WHEN len(string_split(price_info, ',')) >= 3
+            THEN string_split(price_info, ',')[3] END AS commission,
+       CASE WHEN len(string_split(price_info, ',')) >= 4
+            THEN regexp_extract(price_info, '^[^,]*,[^,]*,[^,]*,(.*)$', 1) END
+         AS security_deposit,
+       CASE WHEN len(regexp_extract_all(stats, '\\d+')) = 3
+            THEN CAST(regexp_extract_all(stats, '\\d+')[1] AS BIGINT) END AS total_views,
+       regexp_replace(regexp_replace(meta, '^Обновлено: ', ''), 'м\\. ', '', 'g')
+         AS meta_stripped,
+       CASE WHEN regexp_extract(meta, '(\\d+)\\s*мин', 1) <> ''
+            THEN CAST(regexp_extract(meta, '(\\d+)\\s*мин', 1) AS BIGINT) END
+         AS walk_minutes,
+       CASE WHEN regexp_extract(meta, '/rent/flat/(\\d+)', 1) <> ''
+            THEN regexp_extract(meta, '/rent/flat/(\\d+)', 1) END AS offer_id
+FROM t
+""",
+)
+def scalar_text_pluck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10-X14, X19: price-info positional split, offer stats, label
+    strips, walking minutes, offer-id extraction — one projection."""
+    df = spark.createDataFrame(
+        TEXT_LITERALS, "id int, price_info string, stats string, meta string, addr string"
+    )
+    pi = parse_price_info(F.col("price_info"))
+    st = parse_offer_stats(F.col("stats"))
+    return df.select(
+        "id",
+        pi["rental_period"].alias("rental_period"),
+        pi["utilities_payment"].alias("utilities_payment"),
+        pi["commission"].alias("commission"),
+        pi["security_deposit"].alias("security_deposit"),
+        st["total_views"].alias("total_views"),
+        strip_metro_prefix(strip_updated_label(F.col("meta"))).alias("meta_stripped"),
+        extract_walking_minutes(F.col("meta")).alias("walk_minutes"),
+        extract_offer_id(F.col("meta")).alias("offer_id"),
+    )
+
+
+URL_LITERALS: list[tuple[int, list[str], str]] = [
+    (
+        1,
+        [
+            "https://cdn-cian.ru/a-4.jpg",
+            "https://other.example/b-4.jpg",
+            "https://cdn-cian.ru/c-2.jpg",
+        ],
+        "2-комн. кв., 54,2 м², 3/9 этаж",
+    ),
+    (2, [], "Студия, 25 м²"),
+    (3, ["https://cdn-cian.ru/x-4.jpg?sz=-4.jpg"], "а, б,1 в"),
+]
+
+
+@register(
+    "scalar_image_urls",
+    oracle=f"""
+WITH t AS (SELECT * FROM {_values_sql(URL_LITERALS, ["id", "urls", "title"])})
+SELECT id,
+       list_transform(list_filter(urls, u -> contains(u, 'cdn-cian.ru')),
+                      u -> regexp_replace(u, '-4\\.jpg$', '-1.jpg')) AS images,
+       string_split(regexp_replace(title, ',([^0-9]|$)', chr(1) || '\\1', 'g'),
+                    chr(1)) AS title_parts
+FROM t
+""",
+)
+def scalar_image_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15 (filter + transform over an array column) and X21 (split on
+    commas not followed by a digit)."""
+    df = spark.createDataFrame(URL_LITERALS, "id int, urls array<string>, title string")
+    return df.select(
+        "id",
+        rewrite_image_urls(F.col("urls")).alias("images"),
+        smart_title_split(F.col("title")).alias("title_parts"),
+    )
