@@ -1,0 +1,253 @@
+"""The five-step pipeline job (SURVEY §3.1, ref parse_data.py:510-542)
+as one Spark batch dataflow.
+
+    0 setup      S1 state load, S5/S6 search config → predicates
+    1 search     E2 card split → F5 → A2 ids → J7/J8 tombstones →
+                 P1 → X3-X5 → J1 merge
+    2 listings   J9 scope union (J6 ∪ J7 ∪ F2, flag-gated) →
+                 E1 parse → P1 → X3-X5 → J1 merge
+    3 distance   F3/P3 work select → J11 two-stage lookup joins →
+                 X16 km → J10 merge back
+    4 snapshots  K1 state JSON, K2 full CSV, F4+K3 filtered CSV
+    5 metrics    A7 per-stage row counts via ``Observation``
+
+Live HTTP never enters the query path (SURVEY §7.3): page content
+arrives as DataFrames — ``search_pages`` (page_id, html) and
+``listing_pages_for(ids)`` (html, url) — which in production read the
+crawl landing directory and in tests are rendered fixtures
+(operators/extract fixture renderers). The geo lookups (J11) are
+lookup *tables* (address→lat/lon, lat/lon→meters), replacing the
+reference's serial rate-limited HTTP (distance.py:39-90) with joins.
+
+Scale shape: one state-sized shuffle per merge (the merge is
+join-free, state rides as seed rows), broadcast lookups for geo, and
+all projections fused by Catalyst. The whole job is restartable from
+the state table (T3).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.functions.numeric import (
+    km_from_meters,
+    parse_numeric_value,
+)
+from rental_data_pipeline_spark.operators.extract import (
+    parse_listing_pages,
+    quarantine_split,
+    split_cards,
+)
+from rental_data_pipeline_spark.operators.merge import merge_listings
+from rental_data_pipeline_spark.operators.normalize import normalize_listings
+from rental_data_pipeline_spark.operators import sinks
+
+
+# ---------------------------------------------------------------------------
+# S5/S6: declarative search config → predicate / source URL
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class SearchConfig:
+    """The YAML search predicates (ref search_configs/search_config.yaml
+    + construct_url.py:16-40): effectively
+    ``price <= maxprice AND district IN (...) AND metro IN (...)``."""
+
+    maxprice: int | None = None
+    districts: list[int] = field(default_factory=list)
+    metros: list[int] = field(default_factory=list)
+    rooms: list[int] = field(default_factory=list)
+
+    def predicate(self, price_col: str = "price_value", district_col: str = "district",
+                  metro_col: str = "metro_id", rooms_col: str = "room_count"):
+        """The same predicates as ordinary ``where()`` clauses —
+        pushdown-to-website becomes pushdown-to-parquet (SURVEY §3.2)."""
+        p = F.lit(True)
+        if self.maxprice is not None:
+            p = p & (F.col(price_col) <= self.maxprice)
+        if self.districts:
+            p = p & F.col(district_col).isin(self.districts)
+        if self.metros:
+            p = p & F.col(metro_col).isin(self.metros)
+        if self.rooms:
+            p = p & F.col(rooms_col).isin(self.rooms)
+        return p
+
+
+def construct_search_url(cfg: SearchConfig, base: str = "https://example.test/cat.php",
+                         page: int | None = None) -> str:
+    """S6: compile predicates to the source query string with repeated
+    params for IN-lists (ref construct_url.py:16-40) — driver-side."""
+    parts = ["deal_type=rent", "engine_version=2", "offer_type=flat"]
+    if page is not None:
+        parts.append(f"p={page}")
+    if self_max := cfg.maxprice:
+        parts.append(f"maxprice={self_max}")
+    parts += [f"district%5B{i}%5D={d}" for i, d in enumerate(cfg.districts)]
+    parts += [f"metro%5B{i}%5D={m}" for i, m in enumerate(cfg.metros)]
+    parts += [f"room{r}=1" for r in cfg.rooms]
+    return base + "?" + "&".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# Pipeline
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PipelineConfig:
+    """T2 scope flags (defaults per parse_data.py:44-57) + injected now."""
+
+    now: str = "2024-06-15 12:00:00"
+    update_current_search_listings: bool = False
+    should_scrape_new: bool = True
+    check_if_unpublished: bool = True
+    check_missing_estimations: bool = False
+    search: SearchConfig = field(default_factory=SearchConfig)
+
+
+def _empty_state(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame(
+        [],
+        "offer_id string, price_value double, is_unpublished boolean, "
+        "description string, address string, distance double",
+    )
+
+
+def load_state(spark: SparkSession, state_path: str | None) -> DataFrame:
+    """S1: tolerant state load — missing/corrupt → empty (ref
+    parse_data.py:206-211)."""
+    if state_path:
+        try:
+            return spark.read.parquet(state_path)
+        except Exception:
+            pass
+    return _empty_state(spark)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    search_pages: DataFrame,
+    listing_pages_for: Callable[[DataFrame], DataFrame],
+    geocode_lookup: DataFrame,
+    route_lookup: DataFrame,
+    config: PipelineConfig | None = None,
+    state_path: str | None = None,
+    output_dir: str | None = None,
+) -> dict:
+    """Run the five steps; returns {"state": DataFrame, "metrics": {...}}.
+
+    ``search_pages``: (page_id, html) rows. ``listing_pages_for``:
+    ids DataFrame (offer_id) → (html, url) rows. ``geocode_lookup``:
+    (address, lat, lon). ``route_lookup``: (lat, lon, meters).
+    """
+    cfg = config or PipelineConfig()
+    metrics: dict[str, int] = {}
+
+    # ---- 0: state + scope (F1/F2/A2) --------------------------------
+    state = load_state(spark, state_path)
+    if state_path:
+        # the run ends by overwriting state_path; materialize the load
+        # so no downstream plan (scope, quarantine, snapshots) still
+        # depends on the files being replaced — the Spark analog of the
+        # reference's full reload into memory (parse_data.py:131-132)
+        state = state.localCheckpoint(eager=True)
+    active = state.where(~F.coalesce(F.col("is_unpublished"), F.lit(False)))
+    db_active_ids = active.select("offer_id").distinct()
+
+    # ---- 1: search phase (E2 → F5 → J7/J8 → J1) ----------------------
+    cards = split_cards(search_pages)
+    cards = cards.where(F.col("offer_id").isNotNull())  # F5
+    current_ids = cards.select("offer_id").distinct()   # A2
+
+    missing = db_active_ids.join(current_ids, "offer_id", "left_anti")  # J7
+    tombstones = missing.select(                                         # J8
+        "offer_id", F.lit(True).alias("is_unpublished"),
+        F.lit(cfg.now).cast("timestamp").alias("updated_date"),
+    )
+    search_batch = cards.select(
+        "offer_id",
+        parse_numeric_value(F.col("price_value")).alias("price_value"),  # X1
+        F.col("title"),
+    ).unionByName(tombstones, allowMissingColumns=True)
+    state = merge_listings(
+        state, search_batch, key="offer_id",
+        order_cols=[F.col("updated_date").asc_nulls_first()],
+        derive_status_col=True,
+    )
+
+    # ---- 2: listing phase (J9 scope → E1 → X3-X5 → J1) ---------------
+    scope = spark.createDataFrame([], "offer_id string")
+    if cfg.update_current_search_listings:
+        scope = scope.unionByName(current_ids)
+    elif cfg.should_scrape_new:
+        scope = scope.unionByName(                                        # J6
+            current_ids.join(db_active_ids, "offer_id", "left_anti")
+        )
+    if cfg.check_if_unpublished:
+        scope = scope.unionByName(missing)
+    if cfg.check_missing_estimations and "estimated_price" in state.columns:
+        scope = scope.unionByName(                                        # F2
+            state.where(
+                F.col("estimated_price").isNull()
+                & ~F.coalesce(F.col("is_unpublished"), F.lit(False))
+            ).select("offer_id")
+        )
+    scope = scope.distinct()                                              # J9
+
+    pages = listing_pages_for(scope)
+    parsed = parse_listing_pages(pages)
+    clean, quarantined = quarantine_split(parsed)                         # E8/F5
+    listing_batch = normalize_listings(clean, now=cfg.now).drop("facts", "features")
+    state = merge_listings(
+        state, listing_batch, key="offer_id",
+        order_cols=[F.col("updated_date").asc_nulls_first()],
+        derive_status_col=True,
+    )
+
+    # ---- 3: distance enrichment (F3 → J11 → X16 → J10) ---------------
+    need = state.where(                                                   # F3
+        F.col("distance").isNull()
+        & F.col("address").isNotNull()
+        & (F.col("address") != "")
+    ).select("offer_id", "address")                                       # P3
+    routed = (
+        need.join(F.broadcast(geocode_lookup), "address", "left")         # stage 1
+        .where(F.col("lat").isNotNull())
+        .join(F.broadcast(route_lookup), ["lat", "lon"], "left")          # stage 2
+        .where(F.col("meters").isNotNull())
+        .select("offer_id", km_from_meters(F.col("meters")).alias("distance"))  # P4/X16
+    )
+    state = merge_listings(
+        state, routed, key="offer_id",
+        order_cols=[F.lit(0)],
+        derive_status_col=True,
+    )
+
+    # ---- 4+5: snapshots (K1/K2/K3, F4) with observed counts (A7) -----
+    obs = Observation("state_metrics")
+    state = state.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_state"),
+        F.sum(F.when(F.col("status") == "active", 1).otherwise(0)).alias("n_active"),
+        F.sum(F.when(F.col("distance").isNotNull(), 1).otherwise(0)).alias("n_with_distance"),
+    )
+    if output_dir:
+        sinks.write_state_json(state, f"{output_dir}/state_json")
+        sinks.write_csv_snapshot(state, f"{output_dir}/combined_data")
+        sinks.write_filtered_csv(state, f"{output_dir}/combined_data_filtered", cfg.now)
+        if state_path:
+            # durable state for the next micro-batch (T3): stage through
+            # a checkpoint since we read the same path at step 0 — and
+            # return the checkpointed frame, whose lineage no longer
+            # depends on the files just replaced
+            state = state.localCheckpoint(eager=True)
+            state.write.mode("overwrite").parquet(state_path)
+        metrics.update({k: int(v) for k, v in obs.get.items()})
+        metrics["n_quarantined"] = quarantined.count()
+    return {"state": state, "metrics": metrics}
