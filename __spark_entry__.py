@@ -19,8 +19,10 @@ from rental_data_pipeline_spark import queries as _registry  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return _registry.QUERIES["cdc_merge_state"](spark, "/root/testdata/sf0.001")
+    """Flagship on /root/testdata/sf0.001: the full five-step pipeline
+    job (SURVEY §3.1) — extraction, tombstoning, CDC merges, geo
+    enrichment — over rendered fixtures; driver checks rows>0."""
+    return _registry.QUERIES["pipeline_end_to_end"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

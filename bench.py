@@ -46,6 +46,8 @@ HEADLINE = [
     "extract_search_cards",
     # event-time tumbling window agg (streaming twin)
     "streaming_window_stats",
+    # the full five-step job (extraction + 3 CDC merges + enrichment)
+    "pipeline_end_to_end",
 ]
 
 
