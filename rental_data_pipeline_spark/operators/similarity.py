@@ -128,6 +128,57 @@ def signlsh_topk(
     )
 
 
+N_IVF_CELLS = 8
+IVF_NPROBE = 2
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    n_cells: int = N_IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into ``n_cells``
+    Voronoi cells around centroid vectors; a query probes only its
+    ``nprobe`` nearest cells.
+
+    Centroids here are the embeddings of the ``n_cells`` smallest ids —
+    a deterministic stand-in for the offline k-means a production IVF
+    trains; the *index structure and query path* are the real thing.
+    At 100 TB the cell id is the table's partition key: assignment is a
+    map-side argmin against broadcast centroids (no shuffle), and a
+    query scans nprobe/n_cells of the data (partition pruning).
+    Recall < 1 by design; brute-force cosine_topk is the baseline."""
+    corpus = _corpus(df, id_col, vec_col)
+    centroids = (
+        corpus.orderBy("vec_id").limit(n_cells)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "cid",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
+    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
+    cells = ranked.where(F.col("rn") == 1).select("vec_id", "v", "cid")
+    qprobe = (
+        ranked.where(F.col("vec_id").isin(query_ids) & (F.col("rn") <= nprobe))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cells.join(F.broadcast(qprobe), "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.4,

@@ -433,3 +433,60 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling UDTF shape: N rows per payload via mapInPandas."""
     packed = M.pack_binary(load_table(spark, "documents", sf_dir))
     return M.sample_frames(packed)
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {S.N_IVF_CELLS}),
+scored AS (
+  SELECT e.vec_id, e.v, c.cid, {{csim}} AS csim FROM e CROSS JOIN c),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+  FROM scored),
+cells AS (SELECT vec_id, v, cid FROM ranked WHERE rn = 1),
+qprobe AS (
+  SELECT vec_id AS query_id, v AS qv, cid
+  FROM ranked WHERE rn <= {S.IVF_NPROBE} AND vec_id IN ({_IDS_SQL})),
+cand AS (
+  SELECT query_id, qv, vec_id, v
+  FROM cells JOIN qprobe USING (cid) WHERE vec_id <> query_id),
+s2 AS (SELECT query_id, vec_id, {_cos_sql('qv', 'v')} AS sim FROM cand)
+SELECT query_id, vec_id, sim, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
+  FROM s2)
+WHERE rank <= 5
+""".format(csim=_cos_sql("e.v", "c.cv")),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-cell ANN: Voronoi assignment to broadcast centroids, nprobe
+    cell pruning, exact cosine within probed cells (the scale path
+    where the cell id is the partition key)."""
+    return S.ivf_topk(load_table(spark, "embeddings", sf_dir), ANN_QUERY_IDS, top_k=5)
+
+
+@register(
+    "json_props_pluck",
+    oracle="""
+SELECT event_type,
+       count(*) AS n_events,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def json_props_pluck(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON payload plucking (SURVEY §2.7 tail: from_json /
+    get_json_object for HTTP response bodies) + aggregation."""
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(k).alias("sum_k"),
+            F.round(F.avg(k), 6).alias("avg_k"),
+        )
+    )
