@@ -233,3 +233,35 @@ def scalar_image_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
         rewrite_image_urls(F.col("urls")).alias("images"),
         smart_title_split(F.col("title")).alias("title_parts"),
     )
+
+
+FLATTEN_LITERALS: list[tuple[int, str | None, str | None, str | None, str | None]] = [
+    # (id, Комиссии, Комиссия, Залог, unknown passthrough col)
+    (1, "50%", None, "40 000", "x1"),
+    (2, None, "нет", None, "x2"),
+    (3, "30%", "нет", "10 000", None),   # both sources → last declared wins
+    (4, None, None, None, "x4"),
+]
+
+
+@register(
+    "flatten_rename_projection",
+    oracle=f"""
+SELECT id,
+       coalesce("Комиссия", "Комиссии") AS commission,
+       "Залог" AS security_deposit,
+       extra
+FROM {_values_sql(FLATTEN_LITERALS, ['id', '"Комиссии"', '"Комиссия"', '"Залог"', "extra"])}
+""",
+)
+def flatten_rename_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: RU/alias → EN rename with unknown-column passthrough and
+    last-wins coalesce when several source columns map to one EN name
+    (Комиссии+Комиссия → commission; ref flatten.py:57-71)."""
+    from rental_data_pipeline_spark.operators.flatten import flatten_listings
+
+    df = spark.createDataFrame(
+        FLATTEN_LITERALS,
+        "id int, `Комиссии` string, `Комиссия` string, `Залог` string, extra string",
+    )
+    return flatten_listings(df)
