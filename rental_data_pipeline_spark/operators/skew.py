@@ -1,0 +1,74 @@
+"""Skew mitigation utilities (scale path; no reference analog — the
+reference's dict-indexed merge never sees partition skew, but a 100 TB
+shuffle does).
+
+Two tools:
+
+- **AQE first**: the session enables
+  ``spark.sql.adaptive.skewJoin.enabled`` — sort-merge joins get
+  runtime-split automatically. Use explicit salting only where AQE
+  can't help: broadcast-ineligible joins against a *hot-key* build
+  side, or aggregations materializing large per-key state
+  (collect_list / exact distinct).
+- **``salted_join``**: replicate the small side ``salt_n`` ways and
+  scatter the big side's hot keys uniformly across the replicas, so
+  one hot key occupies ``salt_n`` tasks instead of one straggler.
+- **``two_phase_agg``**: pre-aggregate on (key, salt) then finish on
+  key — bounds per-task state for high-cardinality-value aggs where
+  map-side partial aggregation alone is not enough.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_SALT = "__salt"
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_n: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join where ``big`` has skewed keys: ``small`` is replicated
+    ``salt_n``× (explode over the salt range) and each big-side row
+    picks a uniform salt, splitting every hot key across ``salt_n``
+    tasks. Correct for any ``how`` where the replicated side is the
+    non-preserved side of the join."""
+    salted_small = small.withColumn(
+        _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
+    )
+    # uniform, deterministic salt: stable hash of the whole big row id
+    # space spreads each key's rows evenly without an RNG (replayable)
+    salted_big = big.withColumn(
+        _SALT,
+        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_n)).cast("int"),
+    )
+    out = salted_big.join(salted_small, [key, _SALT], how)
+    return out.drop(_SALT)
+
+
+def two_phase_agg(
+    df: DataFrame,
+    key: str,
+    aggs: Callable[[DataFrame], list[Column]],
+    finish: Callable[[DataFrame], list[Column]],
+    salt_n: int = 16,
+) -> DataFrame:
+    """Aggregation with bounded per-task state: phase 1 groups by
+    (key, salt) — each task sees ≤ 1/salt_n of a hot key's rows —
+    phase 2 merges the partials per key.
+
+    ``aggs(df)`` returns the phase-1 aggregate columns; ``finish(df)``
+    merges them per key (e.g. sum of partial counts)."""
+    salted = df.withColumn(
+        _SALT,
+        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_n)).cast("int"),
+    )
+    partial = salted.groupBy(key, _SALT).agg(*aggs(salted))
+    return partial.groupBy(key).agg(*finish(partial))

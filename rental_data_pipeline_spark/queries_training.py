@@ -490,3 +490,37 @@ def json_props_pluck(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(k), 6).alias("avg_k"),
         )
     )
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+SELECT n.n_name AS nation, count(*) AS n_orders, round(sum(o.o_totalprice), 4) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+""",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted-join skew pattern: the orders→customer join runs through
+    an explicit salt (operators.skew.salted_join) and must produce the
+    identical result as the plain equi-join oracle — demonstrating the
+    hot-key scatter is semantics-preserving."""
+    from rental_data_pipeline_spark.operators.skew import salted_join
+
+    o = load_table(spark, "orders", sf_dir)
+    c = load_table(spark, "customer", sf_dir).select("c_custkey", "c_nationkey")
+    n = load_table(spark, "nation", sf_dir)
+    joined = salted_join(
+        o.select(F.col("o_custkey").alias("c_custkey"), "o_totalprice"),
+        c, key="c_custkey", salt_n=8,
+    )
+    return (
+        joined.join(F.broadcast(n), joined.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 4).alias("revenue"),
+        )
+    )
