@@ -163,6 +163,11 @@ def run_pipeline(
     # ---- 1: search phase (E2 → F5 → J7/J8 → J1) ----------------------
     cards = split_cards(search_pages)
     cards = cards.where(F.col("offer_id").isNotNull())  # F5
+    # extracted records feed several branches (ids, anti-joins, batch);
+    # materialize so the HTML parse runs once, not once per branch — at
+    # crawl scale this is the extracted-records table the reference
+    # checkpoints as parsed_listings_flattened.json (K4)
+    cards = cards.persist()
     current_ids = cards.select("offer_id").distinct()   # A2
 
     missing = db_active_ids.join(current_ids, "offer_id", "left_anti")  # J7
@@ -201,7 +206,7 @@ def run_pipeline(
     scope = scope.distinct()                                              # J9
 
     pages = listing_pages_for(scope)
-    parsed = parse_listing_pages(pages)
+    parsed = parse_listing_pages(pages).persist()  # parse once (K4)
     clean, quarantined = quarantine_split(parsed)                         # E8/F5
     listing_batch = normalize_listings(clean, now=cfg.now).drop("facts", "features")
     state = merge_listings(
@@ -238,6 +243,8 @@ def run_pipeline(
         F.sum(F.when(F.col("distance").isNotNull(), 1).otherwise(0)).alias("n_with_distance"),
     )
     if output_dir:
+        # three snapshot writes share one computation of the merged state
+        state = state.persist()
         sinks.write_state_json(state, f"{output_dir}/state_json")
         sinks.write_csv_snapshot(state, f"{output_dir}/combined_data")
         sinks.write_filtered_csv(state, f"{output_dir}/combined_data_filtered", cfg.now)
