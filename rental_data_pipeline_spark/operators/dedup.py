@@ -139,14 +139,31 @@ def jaccard_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via inverted-index join (no cross
-    join): |A∩B| from shingle co-occurrence counts, |A∪B| = |A|+|B|−|A∩B|."""
+    join): |A∩B| from shingle co-occurrence counts, |A∪B| = |A|+|B|−|A∩B|.
+
+    ``max_doc_freq`` is the scale knob: a shingle appearing in f docs
+    contributes f² join rows, so one stopword-run shingle in 1M docs is
+    a 10¹²-row hot key. Capping drops shingles with doc-frequency above
+    the cap from the PAIR-GENERATION side only — |A∩B| then undercounts
+    by at most the capped shingles, making the reported Jaccard a lower
+    bound (pairs held together solely by ubiquitous shingles are
+    exactly the non-duplicates the cap is meant to suppress). Exact
+    semantics with ``None`` (default)."""
     sizes, exploded = _shingle_pairs(df, text_col, id_col, k)
     # the inverted index feeds both sides of the self-join: persist so
     # the shingle scan runs once, not twice (at cluster scale this is
     # the materialized doc↔shingle index table)
     exploded = exploded.persist()
+    if max_doc_freq is not None:
+        freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        exploded = (
+            exploded.join(freq.where(F.col("__df") <= max_doc_freq), "shingle")
+            .drop("__df")
+            .persist()
+        )
     a = exploded.alias("a")
     b = exploded.alias("b")
     inter = (

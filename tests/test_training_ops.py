@@ -123,3 +123,28 @@ def test_multimodal_frames_stride(docs):
         expected = max(r.n_bytes // M.FRAME_STRIDE, 1)
         assert r.n == expected
         assert r.mx == (expected - 1) * M.FRAME_STRIDE
+
+
+def test_jaccard_doc_freq_cap(spark):
+    from pyspark.sql import functions as F
+    from rental_data_pipeline_spark.operators.dedup import jaccard_pairs
+
+    # two exact near-dups + a hot shingle shared by everyone
+    common = "the quick brown"
+    rows = [
+        (1, f"{common} fox jumps over lazy dog one two"),
+        (2, f"{common} fox jumps over lazy dog one three"),
+        (3, f"{common} cats sit calmly beneath tall green trees"),
+        (4, f"{common} dogs run wildly across wide open fields"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    uncapped = {(r.doc_a, r.doc_b) for r in jaccard_pairs(df, threshold=0.5).collect()}
+    # cap well above any doc-frequency: identical result
+    high_cap = {
+        (r.doc_a, r.doc_b)
+        for r in jaccard_pairs(df, threshold=0.5, max_doc_freq=100).collect()
+    }
+    assert high_cap == uncapped == {(1, 2)}
+    # cap of 1 removes every shared shingle → no co-occurrence rows
+    tight = jaccard_pairs(df, threshold=0.0, max_doc_freq=1).collect()
+    assert tight == []
