@@ -148,3 +148,26 @@ def test_jaccard_doc_freq_cap(spark):
     # cap of 1 removes every shared shingle → no co-occurrence rows
     tight = jaccard_pairs(df, threshold=0.0, max_doc_freq=1).collect()
     assert tight == []
+
+
+def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
+    """At J >= 0.8 with 16 bands x 4 rows, band-collision probability is
+    1-(1-J^4)^16 >= 0.9996 — on the test corpus LSH must recover the
+    exact-Jaccard pair set (and verification keeps precision at 1)."""
+    from rental_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+    from rental_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    exact = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(docs, threshold=0.8).collect()
+    }
+    assert lsh == exact
+    assert len(exact) > 0  # corpus contains planted near-dups
