@@ -265,3 +265,45 @@ def flatten_rename_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id int, `Комиссии` string, `Комиссия` string, `Залог` string, extra string",
     )
     return flatten_listings(df)
+
+
+ADDR_LITERALS: list[tuple[int, str | None, str | None, str | None]] = [
+    (1, "Москва", "улица Тверская", "8"),
+    (2, "Москва", "Ленинградское шоссе", "101 к2"),
+    (3, None, "проспект Мира", "5"),       # missing part → empty
+    (4, "Москва", "Гоголевский бульвар", None),
+    (5, "Москва", "Крымская набережная", "15"),
+]
+
+
+@register(
+    "scalar_address_build",
+    oracle=f"""
+SELECT id,
+       CASE WHEN city IS NOT NULL AND street IS NOT NULL AND building IS NOT NULL
+            THEN city || ', ' ||
+                 array_to_string(list_transform(string_split(street, ' '),
+                   w -> CASE w WHEN 'улица' THEN 'ул.' WHEN 'шоссе' THEN 'ш.'
+                               WHEN 'проспект' THEN 'просп.' WHEN 'переулок' THEN 'пер.'
+                               WHEN 'бульвар' THEN 'бул.' WHEN 'набережная' THEN 'наб.'
+                               ELSE w END), ' ') || ', ' || building
+            ELSE '' END AS address
+FROM {_values_sql(ADDR_LITERALS, ["id", "city", "street", "building"])}
+""",
+)
+def scalar_address_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6+X7: street-type abbreviation then three-part address assembly
+    with the reference's empty-if-any-missing rule
+    (ref html_parser.py:9-35)."""
+    from rental_data_pipeline_spark.functions.text import (
+        build_address,
+        normalize_street_names,
+    )
+
+    df = spark.createDataFrame(ADDR_LITERALS, "id int, city string, street string, building string")
+    return df.select(
+        "id",
+        build_address(
+            F.col("city"), normalize_street_names(F.col("street")), F.col("building")
+        ).alias("address"),
+    )
