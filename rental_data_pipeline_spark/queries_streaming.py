@@ -118,3 +118,47 @@ def streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = windowed_price_stats(snaps, "1 hour", approx_distinct=False)
     return out.drop("window_end")
+
+
+@register(
+    "session_window_stats",
+    oracle="""
+WITH gapped AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL '30 minutes'
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS session_no
+  FROM gapped)
+SELECT user_id AS offer_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL '30 minutes' AS session_end,
+       count(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_no
+""",
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min inactivity gap) per key — the
+    gap-merging stateful window Structured Streaming runs with
+    ``session_window`` + watermark; evaluated batch-side here so the
+    DuckDB oracle can replay the gap detection with lag + running sum."""
+    ev = load_table(spark, "events", sf_dir)
+    return (
+        ev.groupBy(
+            F.col("user_id").alias("offer_id"),
+            F.session_window(F.col("ts"), "30 minutes").alias("w"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "offer_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
