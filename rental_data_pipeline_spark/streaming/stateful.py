@@ -1,0 +1,81 @@
+"""Custom stateful streaming operator via ``applyInPandasWithState``
+(SURVEY §2.8 note: "no mapGroupsWithState analog beyond J1" — this IS
+that analog, the arbitrary-state path for semantics the built-in
+windows can't express).
+
+``price_change_stream`` keeps one number per key (last seen numeric
+price) in GroupState and emits a row per observed change — the
+streaming twin of the merge's W1 detection, but incremental: state is
+O(|keys| × 1 value), each micro-batch touches only its own keys, and
+nothing is re-folded. At 100 TB of history the foreachBatch merge
+rewrites state per batch; this operator is the bounded-memory
+alternative when only the *change feed* is needed downstream.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+CHANGE_SCHEMA = T.StructType(
+    [
+        T.StructField("offer_id", T.LongType()),
+        T.StructField("change_ts", T.TimestampType()),
+        T.StructField("old_price", T.DoubleType()),
+        T.StructField("new_price", T.DoubleType()),
+        T.StructField("price_diff", T.LongType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType([T.StructField("last_price", T.DoubleType())])
+
+
+def _detect(
+    key: tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    last = state.get[0] if state.exists else None
+    out: list[tuple] = []
+    for pdf in pdfs:
+        # event-time order within the batch (micro-batch rows arrive
+        # unordered); cross-batch order is the source's file order
+        pdf = pdf.sort_values(["updated_date", "event_id"])
+        for _, row in pdf.iterrows():
+            price = row["price_value"]
+            if pd.isna(price):
+                continue
+            price = float(price)
+            if last is not None and price != last:
+                out.append(
+                    (
+                        int(key[0]),
+                        row["updated_date"],
+                        last,
+                        price,
+                        int(price) - int(last),
+                    )
+                )
+            last = price
+    if last is not None:
+        state.update((last,))
+    if out:
+        yield pd.DataFrame(out, columns=[f.name for f in CHANGE_SCHEMA.fields])
+
+
+def price_change_stream(snapshots: DataFrame) -> DataFrame:
+    """W1 as an incremental stateful operator: one GroupState value per
+    key, change rows appended as they are observed."""
+    return snapshots.groupBy("offer_id").applyInPandasWithState(
+        _detect,
+        outputStructType=CHANGE_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -126,3 +126,47 @@ def test_windowed_price_stats_streaming_matches_batch(spark, tmpdirs):
     for k in got:
         assert got[k].n_snapshots == want[k].n_snapshots
         assert got[k].avg_price == want[k].avg_price
+
+
+def test_stateful_price_change_stream_matches_batch_lag(spark, tmpdirs):
+    from rental_data_pipeline_spark.streaming.stateful import price_change_stream
+
+    landing, state, ckpt = tmpdirs
+    snaps = _snapshots(spark)
+    for day in (1, 2, 3):
+        snaps.where(F.dayofmonth("updated_date") == day).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    stream = read_snapshot_stream(spark, landing, SNAPSHOT_SCHEMA, max_files_per_trigger=1)
+    out_dir, out_ckpt = state + "_chg", ckpt + "_chg"
+    q = (
+        price_change_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", out_ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    got = sorted(
+        (r.offer_id, r.old_price, r.new_price, r.price_diff)
+        for r in spark.read.parquet(out_dir).collect()
+    )
+    # batch twin: lag over non-null prices per key
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("offer_id").orderBy("updated_date", "event_id")
+    lagged = (
+        snaps.where(F.col("price_value").isNotNull())
+        .withColumn("prev", F.lag("price_value").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("prev") != F.col("price_value")))
+    )
+    want = sorted(
+        (r.offer_id, r.prev, r.price_value, int(r.price_value) - int(r.prev))
+        for r in lagged.collect()
+    )
+    assert got == want
+    assert len(got) == 1  # key 1: 100 -> 120 (same-price re-obs is a no-op)
