@@ -524,3 +524,24 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 4).alias("revenue"),
         )
     )
+
+
+@register(
+    "pricing_rollup",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       count(*) AS n_rows,
+       round(sum(l_extendedprice), 4) AS revenue
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-granularity rollup (beyond-reference OLAP path): per
+    (flag, status), per flag, and grand total in ONE pass — Spark
+    expands the grouping sets map-side, so it stays a single shuffle."""
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
+    )
