@@ -545,3 +545,35 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_rows"),
         F.round(F.sum("l_extendedprice"), 4).alias("revenue"),
     )
+
+
+@register(
+    "text_length_percentiles",
+    oracle="""
+SELECT lang,
+       count(*) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95
+FROM documents
+GROUP BY lang
+""",
+)
+def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus length distribution per language: exact interpolated
+    percentiles (one pass; at 100 TB swap `percentile` for
+    `percentile_approx` — same plan shape, bounded memory)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pct = F.percentile("n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)))
+    return (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"), pct.alias("p"))
+        .select(
+            "lang", "n_docs",
+            F.round(F.element_at("p", 1), 6).alias("p25"),
+            F.round(F.element_at("p", 2), 6).alias("p50"),
+            F.round(F.element_at("p", 3), 6).alias("p75"),
+            F.round(F.element_at("p", 4), 6).alias("p95"),
+        )
+    )
