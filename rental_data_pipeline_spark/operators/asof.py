@@ -1,0 +1,67 @@
+"""As-of join (backward): for each left row, the most recent right row
+at-or-before its event time, per key.
+
+A custom operator Spark lacks natively, composed from existing
+DataFrame ops (no join at all): union both sides tagged, window
+``last(right-payload, ignorenulls=True)`` over (key, time), keep left
+rows. One shuffle on the key — same scale shape as the CDC merge, and
+immune to the row-explosion a naive range-join would cost. (A
+sort-merge range join materializes every candidate pair before
+filtering; the union-window form touches each row once.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+_SIDE = "__is_left"
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    right_payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Left rows + columns ``right_payload`` from the latest right row
+    with ``right.time <= left.time`` on the same key (null if none).
+
+    ``tiebreak`` orders simultaneous rows deterministically; right rows
+    sort before left rows at equal (time, tiebreak) so an exactly-
+    simultaneous right row IS visible to the left row (<=, not <).
+    """
+    lcols = left.columns
+    tagged_l = left.select(
+        *lcols,
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        F.lit(1).alias(_SIDE),
+    )
+    tagged_r = right.select(
+        *[
+            F.col(c) if c in (key, time_col) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in lcols
+        ],
+        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        F.lit(0).alias(_SIDE),
+    )
+    order = [F.col(time_col).asc(), F.col(_SIDE).asc()]
+    if tiebreak:
+        order.insert(1, F.col(tiebreak).asc_nulls_first())
+    w = (
+        Window.partitionBy(key)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = tagged_r.unionByName(tagged_l).select(
+        "*",
+        *[
+            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
+            for c in right_payload
+        ],
+    )
+    return filled.where(F.col(_SIDE) == 1).select(
+        *lcols, *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_payload]
+    )

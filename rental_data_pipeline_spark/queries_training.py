@@ -577,3 +577,44 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.element_at("p", 4), 6).alias("p95"),
         )
     )
+
+
+@register(
+    "asof_click_before_purchase",
+    oracle="""
+WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, arg_max(value, event_id) AS click_value
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
+SELECT p.event_id, p.user_id, p.ts,
+       round(p.value, 6) AS purchase_value,
+       round(c.click_value, 6) AS asof_click_value,
+       c.ts AS asof_click_ts
+FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+""",
+)
+def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (backward) join: each purchase paired with the user's most
+    recent click at-or-before it — composed as union + last-ignorenulls
+    window (one shuffle, no range-join row explosion); DuckDB's native
+    ASOF JOIN is the oracle."""
+    from rental_data_pipeline_spark.operators.asof import asof_join_backward
+
+    ev = load_table(spark, "events", sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("click_value"))
+    )
+    out = asof_join_backward(
+        purchases, clicks, key="user_id", time_col="ts",
+        right_payload=["click_value", "ts"], tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.round("value", 6).alias("purchase_value"),
+        F.round("asof_click_value", 6).alias("asof_click_value"),
+        F.col("asof_ts").alias("asof_click_ts"),
+    )
