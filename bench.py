@@ -46,6 +46,10 @@ HEADLINE = [
     "extract_search_cards",
     # event-time tumbling window agg (streaming twin)
     "streaming_window_stats",
+    "session_window_stats",
+    # custom/OLAP operators
+    "asof_click_before_purchase",
+    "pricing_rollup",
     # the full five-step job (extraction + 3 CDC merges + enrichment)
     "pipeline_end_to_end",
 ]
