@@ -34,9 +34,19 @@ def asof_join_backward(
     simultaneous right row IS visible to the left row (<=, not <).
     """
     lcols = left.columns
+    # One struct per right row — never per column. A per-column
+    # last(ignorenulls) would let a NULL payload field inherit from an
+    # OLDER right row while sibling fields come from the newer one; the
+    # struct is non-null iff the row is a right row, so one
+    # last(ignorenulls) picks every payload field from the same matched
+    # row (NULL fields stay NULL, as-of semantics preserved).
+    payload_struct = F.struct(*[F.col(c).alias(c) for c in right_payload])
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_payload) + ">"
+    )
     tagged_l = left.select(
         *lcols,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_payload],
+        null_struct.alias("__r_payload"),
         F.lit(1).alias(_SIDE),
     )
     tagged_r = right.select(
@@ -44,7 +54,7 @@ def asof_join_backward(
             F.col(c) if c in (key, time_col) else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in lcols
         ],
-        *[F.col(c).alias(f"__r_{c}") for c in right_payload],
+        payload_struct.alias("__r_payload"),
         F.lit(0).alias(_SIDE),
     )
     order = [F.col(time_col).asc(), F.col(_SIDE).asc()]
@@ -57,11 +67,9 @@ def asof_join_backward(
     )
     filled = tagged_r.unionByName(tagged_l).select(
         "*",
-        *[
-            F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__asof_{c}")
-            for c in right_payload
-        ],
+        F.last("__r_payload", ignorenulls=True).over(w).alias("__asof_payload"),
     )
     return filled.where(F.col(_SIDE) == 1).select(
-        *lcols, *[F.col(f"__asof_{c}").alias(f"asof_{c}") for c in right_payload]
+        *lcols,
+        *[F.col(f"__asof_payload.{c}").alias(f"asof_{c}") for c in right_payload],
     )

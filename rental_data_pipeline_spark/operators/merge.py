@@ -143,7 +143,14 @@ def merge_listings(
         source = source.where(F.col(key).isNotNull())
 
     # ---- build the per-key event stream: seed(seq 0) ∪ batch(1..n) ---
-    w_order = Window.partitionBy(key).orderBy(*order_cols)
+    # Final deterministic tiebreak: when two batch rows share key + all
+    # order_cols (e.g. colliding updated_date), break by a content hash
+    # so last-wins is stable across runs and partitionings, not
+    # arbitrary shuffle order. Map columns are excluded (xxhash64
+    # doesn't support them); identical rows tie harmlessly.
+    hashable = [n for n, t in columns if "map<" not in t]
+    tiebreak_hash = F.xxhash64(*[F.col(n) for n in hashable]) if hashable else F.lit(0)
+    w_order = Window.partitionBy(key).orderBy(*order_cols, tiebreak_hash.asc())
     src_events = _align(source, columns + [(upd_col, upd_type)]).select(
         "*", F.row_number().over(w_order).alias(_SEQ), F.lit(True).alias(_IS_SRC)
     )

@@ -217,21 +217,26 @@ URL_LITERALS: list[tuple[int, list[str], str]] = [
     oracle=f"""
 WITH t AS (SELECT * FROM {_values_sql(URL_LITERALS, ["id", "urls", "title"])})
 SELECT id,
-       list_transform(list_filter(urls, u -> contains(u, 'cdn-cian.ru')),
-                      u -> regexp_replace(u, '-4\\.jpg$', '-1.jpg')) AS images,
-       string_split(regexp_replace(title, ',([^0-9]|$)', chr(1) || '\\1', 'g'),
-                    chr(1)) AS title_parts
+       -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+       -- array_join([]) is ''
+       coalesce(array_to_string(
+         list_transform(list_filter(urls, u -> contains(u, 'cdn-cian.ru')),
+                        u -> regexp_replace(u, '-4\\.jpg$', '-1.jpg')), '|'), '') AS images,
+       coalesce(array_to_string(
+         string_split(regexp_replace(title, ',([^0-9]|$)', chr(1) || '\\1', 'g'),
+                      chr(1)), '|'), '') AS title_parts
 FROM t
 """,
 )
 def scalar_image_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X15 (filter + transform over an array column) and X21 (split on
-    commas not followed by a digit)."""
+    commas not followed by a digit). Arrays are '|'-joined to scalars so
+    the row-hash comparator can canonicalize them."""
     df = spark.createDataFrame(URL_LITERALS, "id int, urls array<string>, title string")
     return df.select(
         "id",
-        rewrite_image_urls(F.col("urls")).alias("images"),
-        smart_title_split(F.col("title")).alias("title_parts"),
+        F.array_join(rewrite_image_urls(F.col("urls")), "|").alias("images"),
+        F.array_join(smart_title_split(F.col("title")), "|").alias("title_parts"),
     )
 
 
@@ -306,4 +311,50 @@ def scalar_address_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_address(
             F.col("city"), normalize_street_names(F.col("street")), F.col("building")
         ).alias("address"),
+    )
+
+
+NAN_LITERALS: list[tuple[int, float | None]] = [
+    (1, float("nan")),   # X17: scrubbed to null through the JSON sink
+    (2, 85000.0),        # X1: integral double renders "85000"
+    (3, 85000.5),        # fractional renders "85000.5"
+    (4, None),
+    (5, -3.0),
+    (6, 0.25),
+]
+
+
+@register(
+    "sink_nan_scrub_format",
+    oracle="""
+WITH t(id, v) AS (VALUES
+  (1, 'NaN'::DOUBLE), (2, 85000.0), (3, 85000.5),
+  (4, NULL::DOUBLE), (5, -3.0), (6, 0.25)),
+s AS (SELECT id, CASE WHEN isnan(v) THEN NULL ELSE v END AS scrubbed FROM t)
+SELECT id, scrubbed,
+       CASE WHEN scrubbed IS NULL THEN NULL
+            WHEN scrubbed = floor(scrubbed)
+            THEN CAST(CAST(scrubbed AS BIGINT) AS VARCHAR)
+            ELSE CAST(scrubbed AS VARCHAR) END AS rendered
+FROM s
+""",
+)
+def sink_nan_scrub_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X17 + K1 + X1 sink formatting (ref parse_data.py:191-204,
+    normalize.py:7-23): NaN-scrubbed doubles round-trip through the
+    JSON state sink (write + schema'd re-read), then the int-if-integral
+    rule renders the sink-side string."""
+    import tempfile
+
+    from rental_data_pipeline_spark.functions.numeric import format_int_if_integral
+    from rental_data_pipeline_spark.operators.sinks import write_state_json
+
+    df = spark.createDataFrame(NAN_LITERALS, "id int, v double")
+    path = tempfile.mkdtemp(prefix="spark_graft_k1_") + "/state_json"
+    write_state_json(df, path)  # K1: NaN -> null scrub happens here
+    back = spark.read.schema("id int, v double").json(path)
+    return back.select(
+        "id",
+        F.col("v").alias("scrubbed"),
+        format_int_if_integral(F.col("v")).alias("rendered"),
     )

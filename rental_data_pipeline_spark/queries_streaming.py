@@ -125,8 +125,10 @@ def streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 WITH gapped AS (
   SELECT user_id, ts,
+         -- >= not >: Spark's session_window end is EXCLUSIVE, so a gap
+         -- of exactly 30 minutes starts a new session
          CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                   > INTERVAL '30 minutes'
+                   >= INTERVAL '30 minutes'
               OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
               THEN 1 ELSE 0 END AS new_session
   FROM events),

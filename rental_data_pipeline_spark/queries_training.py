@@ -402,18 +402,20 @@ def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_decode",
     oracle="""
 SELECT doc_id,
-       octet_length(encode(text)) AS n_bytes,
-       list_sum(list_transform(string_split_regex(text, ''), ch -> unicode(ch)))
-         % 1000000007 AS checksum,
-       octet_length(encode(text)) % 640 AS fake_width,
-       octet_length(encode(text)) // 640 + 1 AS fake_height
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(list_sum(list_transform(string_split_regex(text, ''), ch -> unicode(ch)))
+            % 1000000007 AS BIGINT) AS checksum,
+       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
+       CAST(octet_length(encode(text)) // 640 + 1 AS BIGINT) AS fake_height
 FROM documents
 """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary payload → stub decode via Arrow-batched mapInPandas.
     (The oracle recomputes the stub's byte arithmetic in SQL — valid
-    because the synthetic text is ASCII, so bytes == codepoints.)"""
+    because the synthetic text is ASCII, so bytes == codepoints; the
+    CASTs keep DuckDB's HUGEINT list_sum from hashing differently
+    than Spark's int64.)"""
     packed = M.pack_binary(load_table(spark, "documents", sf_dir))
     return M.decode_features(packed)
 

@@ -39,6 +39,9 @@ def load_table(spark: SparkSession, name: str, sf_dir: str = DEFAULT_SF_DIR) -> 
     is converted here to a micros timestamp via integer division
     (``div`` — float division would lose precision past 2^53 ns).
     """
+    # Runtime-settable: a caller-supplied vanilla session must be able to
+    # read TIMESTAMP(NANOS) parquet without builder-time config.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))

@@ -61,7 +61,22 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
 
-    spark = get_spark("oracle-check")
+    if os.environ.get("SPARK_GRAFT_VANILLA"):
+        # Mirror the driver's environment: a bare session with none of
+        # session.py's configs, so builder-time-config dependencies
+        # (the round-1 nanos bug) surface here instead of in the gate.
+        from pyspark.sql import SparkSession
+
+        spark = (
+            SparkSession.builder.master(
+                f"local[{os.environ.get('SPARK_GRAFT_CPUS', '8')}]"
+            )
+            .appName("oracle-check-vanilla")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate()
+        )
+    else:
+        spark = get_spark("oracle-check")
     con = duckdb.connect()
     for t in TESTDATA_TABLES:
         con.execute(

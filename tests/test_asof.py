@@ -1,0 +1,48 @@
+from __future__ import annotations
+
+import datetime as dt
+
+from rental_data_pipeline_spark.operators.asof import asof_join_backward
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 12, minute)
+
+
+def test_asof_backward_basic_and_simultaneous(spark):
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(5)), (2, _ts(3))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 100.0), (1, _ts(9), 200.0), (2, _ts(4), 300.0)],
+        "k int, ts timestamp, v double",
+    )
+    out = {
+        (r.k, r.ts): (r.asof_v, r.asof_ts)
+        for r in asof_join_backward(
+            left, right, key="k", time_col="ts", right_payload=["v", "ts"]
+        ).collect()
+    }
+    assert out[(1, _ts(10))] == (200.0, _ts(9))
+    # exactly-simultaneous right row IS visible (<=, not <)
+    assert out[(1, _ts(5))] == (100.0, _ts(5))
+    # no right row at-or-before -> nulls
+    assert out[(2, _ts(3))] == (None, None)
+
+
+def test_asof_null_payload_not_inherited_from_older_row(spark):
+    """A matched right row with a NULL payload field must yield NULL for
+    that field — not silently inherit it from an older right row while
+    sibling fields come from the newer one (all payload columns must
+    come from the SAME matched row)."""
+    left = spark.createDataFrame([(1, _ts(10))], "k int, ts timestamp")
+    right = spark.createDataFrame(
+        [(1, _ts(2), 111.0, "old"), (1, _ts(8), None, "new")],
+        "k int, ts timestamp, v double, tag string",
+    )
+    row = asof_join_backward(
+        left, right, key="k", time_col="ts", right_payload=["v", "tag", "ts"]
+    ).collect()[0]
+    assert row.asof_tag == "new"
+    assert row.asof_ts == _ts(8)
+    assert row.asof_v is None  # NOT 111.0 from the older row

@@ -345,3 +345,33 @@ def test_differential_vs_reference(spark, case_seed):
                 assert rv == sv or (rv is None and sv is None), (
                     k, f, rv, sv, ref_out[k], spark_out[k],
                 )
+
+
+def test_colliding_updated_date_deterministic_last_wins(spark):
+    """J12 hardening: two batch rows sharing key + updated_date must
+    resolve the same way on every run/partitioning (content-hash
+    tiebreak), not by shuffle arrival order."""
+    state = [state_row("1", price_value=100.0, is_unpublished=False)]
+    when = ts("2026-01-02T10:00:00")
+    a = batch_row("1", 1, price_value=111.0, description="A", updated_date=when)
+    b = batch_row("1", 2, price_value=222.0, description="B", updated_date=when)
+
+    def run(batch_rows, parts):
+        target = spark.createDataFrame(
+            [tuple(r[f.name] for f in STATE_SCHEMA.fields) for r in state],
+            STATE_SCHEMA,
+        )
+        source = spark.createDataFrame(
+            [tuple(r[f.name] for f in BATCH_SCHEMA.fields) for r in batch_rows],
+            BATCH_SCHEMA,
+        ).repartition(parts)
+        # default order_cols=[updated_date] — the collision under test
+        out = merge_listings(target, source.drop("seq"))
+        return {r["offer_id"]: r.asDict() for r in out.collect()}
+
+    results = [run([a, b], 1), run([b, a], 1), run([a, b], 7), run([b, a], 7)]
+    winner = results[0]["1"]["price_value"]
+    assert winner in (111.0, 222.0)
+    for r in results[1:]:
+        assert r["1"]["price_value"] == winner
+        assert r["1"]["description"] == results[0]["1"]["description"]
