@@ -34,19 +34,29 @@ HEADLINE = [
     "scope_union",
     "tombstone_union",
     "filter_recent_or_active",
+    "cdc_unpublish_transitions",
+    "cdc_first_last_seen",
+    "status_counts",
+    "json_props_pluck",
     # training-data ops (documents/embeddings)
     "text_token_stats",
+    "text_language_id",
+    "text_length_percentiles",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
     "ann_bruteforce_topk",
+    "ann_ivf_topk",
     "similarity_near_dup",
+    "skew_salted_join",
     "multimodal_decode",
     # extraction layer (render → parse → project round-trip)
     "extract_listing_fields",
     "extract_search_cards",
-    # event-time tumbling window agg (streaming twin)
+    # event-time tumbling window agg (streaming twin) + micro-batch CDC
     "streaming_window_stats",
     "session_window_stats",
+    "streaming_merge_state",
     # custom/OLAP operators
     "asof_click_before_purchase",
     "pricing_rollup",

@@ -1,0 +1,81 @@
+"""Physical-plan regression gate (SURVEY §6 scale design).
+
+Executes the top queries at sf0.001 and asserts the *shape* of the
+final adaptive plan — join strategy, shuffle count, parquet filter
+pushdown, Python-stage count. A regression that silently turns a
+broadcast join into a sort-merge join, or adds a shuffle to the CDC
+merge, fails here mechanically instead of surfacing as a 100×-scale
+slowdown.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+import __spark_entry__ as entrymod
+
+_QS = entrymod.queries()
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = _QS[name](spark, sf_dir)
+    df.write.format("noop").mode("overwrite").save()
+    spark.catalog.clearCache()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _exchanges(plan: str) -> int:
+    return len(re.findall(r"\bExchange\b", plan))
+
+
+def _pushed_scans(plan: str) -> int:
+    return len(re.findall(r"PushedFilters: \[[^\]]", plan))
+
+
+def test_cdc_merge_is_single_shuffle_no_join(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "cdc_merge_state")
+    assert _exchanges(plan) == 1, "CDC merge must stay a single shuffle"
+    assert "Join" not in plan, "CDC merge is join-free by design"
+
+
+def test_pricing_summary_pushes_filter_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pricing_summary")
+    assert _pushed_scans(plan) >= 1, "scan filter must reach parquet"
+    assert _exchanges(plan) <= 1
+
+
+def test_enrichment_joins_are_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "enrich_supplier_geo")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan, "dim joins must broadcast, not shuffle"
+    assert _exchanges(plan) == 0, "broadcast chain should not shuffle the fact side"
+
+
+def test_topk_window_single_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "top_orders_per_customer")
+    assert _exchanges(plan) == 1
+    assert "Join" not in plan
+
+
+@pytest.mark.parametrize("name", ["ann_bruteforce_topk", "ann_ivf_topk", "dedup_minhash_lsh"])
+def test_similarity_ops_never_sortmerge_or_cartesian(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert "SortMergeJoin" not in plan, f"{name}: small side must broadcast"
+    assert "CartesianProduct" not in plan, f"{name}: no unbounded cross join"
+
+
+def test_extract_is_one_arrow_stage_no_shuffle(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "extract_listing_fields")
+    assert len(re.findall(r"MapInPandas", plan)) == 1, "exactly one Arrow stage"
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
+        "no per-expression Python UDFs in the extract path"
+    )
+    assert _exchanges(plan) == 0
+
+
+def test_asof_join_free_bounded_shuffles(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "asof_click_before_purchase")
+    assert "Join" not in plan, "as-of composes union+window, not a range join"
+    assert _exchanges(plan) <= 2
