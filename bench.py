@@ -49,6 +49,8 @@ HEADLINE = [
     "ann_ivf_topk",
     "similarity_near_dup",
     "skew_salted_join",
+    "sample_deterministic",
+    "corpus_curate",
     "multimodal_decode",
     # extraction layer (render → parse → project round-trip)
     "extract_listing_fields",

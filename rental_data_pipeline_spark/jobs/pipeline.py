@@ -30,7 +30,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import Column, DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from rental_data_pipeline_spark.functions.numeric import (
@@ -92,6 +92,45 @@ def construct_search_url(cfg: SearchConfig, base: str = "https://example.test/ca
     parts += [f"metro%5B{i}%5D={m}" for i, m in enumerate(cfg.metros)]
     parts += [f"room{r}=1" for r in cfg.rooms]
     return base + "?" + "&".join(parts)
+
+
+def compile_search_urls(
+    df: DataFrame, base: str = "https://example.test/cat.php"
+) -> DataFrame:
+    """S6, distributed: compile a DataFrame of search configs
+    (``maxprice int, districts array<int>, metros array<int>,
+    rooms array<int>, page int``) to source URLs as a pure column
+    expression — the scale path when one crawl plans thousands of
+    search shards (ref construct_url.py:16-40 compiles one config
+    driver-side; this is its vectorized twin)."""
+    empty = F.array().cast("array<string>")
+
+    def opt(cond: Column, part: Column) -> Column:
+        return F.when(cond, F.array(part)).otherwise(empty)
+
+    def indexed(col: str, prefix: str) -> Column:
+        return F.transform(
+            F.col(col),
+            lambda v, i: F.concat(
+                F.lit(f"{prefix}%5B"), i.cast("string"), F.lit("%5D="), v.cast("string")
+            ),
+        )
+
+    parts = F.concat(
+        F.array(F.lit("deal_type=rent"), F.lit("engine_version=2"), F.lit("offer_type=flat")),
+        opt(F.col("page").isNotNull(), F.concat(F.lit("p="), F.col("page").cast("string"))),
+        opt(F.col("maxprice").isNotNull(), F.concat(F.lit("maxprice="), F.col("maxprice").cast("string"))),
+        F.coalesce(indexed("districts", "district"), empty),
+        F.coalesce(indexed("metros", "metro"), empty),
+        F.coalesce(
+            F.transform(
+                F.col("rooms"),
+                lambda r: F.concat(F.lit("room"), r.cast("string"), F.lit("=1")),
+            ),
+            empty,
+        ),
+    )
+    return df.withColumn("url", F.concat(F.lit(base + "?"), F.array_join(parts, "&")))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,55 @@
+"""Deterministic (hash-mod) sampling — training-data curation primitive.
+
+``df.sample()`` is seeded per-partition, so its output changes with
+partitioning and Spark version — useless for reproducible corpus
+splits. Hash-mod sampling keys the decision on the ROW (md5 of a
+stable key), so the same row lands in the same split on any engine,
+any cluster size, any run — and the sample composes with incremental
+ingestion (new rows don't reshuffle old decisions). This is the
+standard trick for train/holdout splits at 100 TB: a map-side filter,
+no shuffle, fully pushdown-friendly upstream.
+
+md5 (not xxhash64/crc32) because every engine renders it identically —
+the DuckDB oracle recomputes the exact bucket arithmetic.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 10_000  # 0.01% sampling granularity
+
+
+def sample_bucket(key: Column | str, salt: str = "") -> Column:
+    """Stable bucket in [0, 10000): first 8 hex chars of
+    md5(salt || key) as an integer, mod 10000. Changing ``salt`` draws
+    an independent sample (e.g. train vs eval splits)."""
+    c = F.col(key) if isinstance(key, str) else key
+    hexpart = F.substring(F.md5(F.concat(F.lit(salt), c.cast("string"))), 1, 8)
+    return (F.conv(hexpart, 16, 10).cast("bigint") % _BUCKETS).alias("sample_bucket")
+
+
+def deterministic_sample(
+    df: DataFrame, key_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, decided per-row by hash bucket.
+    Map-side filter: no shuffle, no RNG state, reproducible anywhere."""
+    return df.where(sample_bucket(key_col, salt) < int(fraction * _BUCKETS))
+
+
+def stratified_deterministic_sample(
+    df: DataFrame, key_col: str, strata_col: str, fractions: dict[str, float],
+    salt: str = "",
+) -> DataFrame:
+    """Per-stratum fractions (e.g. downsample 'en' to 10%, keep 'fr'
+    fully). Strata absent from ``fractions`` are dropped. Still a
+    map-side filter — the fraction lookup is a literal CASE chain, not
+    a join."""
+    threshold = None
+    for stratum, frac in fractions.items():
+        cond = F.col(strata_col) == stratum
+        lim = F.lit(int(frac * _BUCKETS))
+        threshold = F.when(cond, lim) if threshold is None else threshold.when(cond, lim)
+    threshold = F.lit(0) if threshold is None else threshold.otherwise(F.lit(0))
+    return df.where(sample_bucket(key_col, salt) < threshold)

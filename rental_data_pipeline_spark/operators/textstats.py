@@ -162,3 +162,76 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
         set_fp.alias("set_fingerprint"),
         rolling.alias("rolling_hash"),
     )
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    languages: tuple[str, ...] = ("en",),
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """End-to-end corpus curation: language gate + length bounds +
+    quality threshold + exact dedup (keep the lowest id per content
+    hash) — the canonical pre-training filter chain, composed so the
+    whole thing is ONE scan projection (tokens materialized once, all
+    scores derived from it) followed by ONE shuffle (the dedup
+    aggregation). Filters run before the shuffle, so only surviving
+    rows are exchanged — at 100 TB the post-filter volume is what
+    crosses the wire.
+
+    Known trade-off: Catalyst pushes the filter below the projection by
+    substituting the score aliases, so the scoring expressions evaluate
+    ~2× in the map stage (once in the filter, once in the project).
+    That doubles map-side CPU on a fully-pipelined, shuffle-free stage;
+    the alternative (a barrier to stop pushdown) would either shuffle
+    unfiltered rows or materialize the corpus — both worse at scale.
+    """
+    df = _with_tokens(df, text_col, id_col)
+    toks = F.col("__toks")
+    n = F.size(toks)
+
+    scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best, best_score = None, None
+    for lang in LANG_MARKERS:
+        if best is None:
+            best, best_score = F.lit(lang), scores[lang]
+        else:
+            cond = scores[lang] > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, scores[lang]).otherwise(best_score)
+    predicted = F.when(best_score > 0, best).otherwise(F.lit("und"))
+
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    quality = F.round(
+        F.lit(0.4) * F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * ttr
+        + F.lit(0.2) * F.least(stop_hits.cast("double") / n * 5, F.lit(1.0)),
+        6,
+    )
+
+    scored = df.select(
+        F.col(id_col),
+        predicted.alias("predicted_lang"),
+        n.alias("n_tokens"),
+        quality.alias("quality_score"),
+        F.md5(F.col(text_col)).alias("content_hash"),
+    ).where(
+        F.col("predicted_lang").isin(*languages)
+        & (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("quality_score") >= min_quality)
+    )
+    # exact dedup, deterministic keep: lowest id wins per content hash
+    keep = F.struct(F.col(id_col), "predicted_lang", "n_tokens", "quality_score")
+    return (
+        scored.groupBy("content_hash")
+        .agg(F.min(keep).alias("__k"))
+        .select("content_hash", "__k.*")
+    )

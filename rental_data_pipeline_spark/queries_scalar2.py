@@ -358,3 +358,53 @@ def sink_nan_scrub_format(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("v").alias("scrubbed"),
         format_int_if_integral(F.col("v")).alias("rendered"),
     )
+
+
+URL_CFG_LITERALS = [
+    (1, 150000, [12, 13], [1, 2, 3], [1, 2], 2),
+    (2, None, [], None, [3], None),
+    (3, 90000, [5], [], [], 1),
+    (4, None, None, None, None, None),
+]
+
+
+@register(
+    "search_url_compile",
+    oracle="""
+WITH t(id, maxprice, districts, metros, rooms, page) AS (VALUES
+  (1, 150000, [12,13], [1,2,3], [1,2], 2),
+  (2, NULL, []::INT[], NULL::INT[], [3], NULL),
+  (3, 90000, [5], []::INT[], []::INT[], 1),
+  (4, NULL, NULL::INT[], NULL::INT[], NULL::INT[], NULL))
+SELECT id,
+       'https://example.test/cat.php?' || array_to_string(flatten([
+         ['deal_type=rent', 'engine_version=2', 'offer_type=flat'],
+         CASE WHEN page IS NOT NULL
+              THEN ['p=' || CAST(page AS VARCHAR)] ELSE [] END,
+         CASE WHEN maxprice IS NOT NULL
+              THEN ['maxprice=' || CAST(maxprice AS VARCHAR)] ELSE [] END,
+         coalesce(list_transform(districts, (d, i) ->
+           'district%5B' || CAST(i - 1 AS VARCHAR) || '%5D=' || CAST(d AS VARCHAR)),
+           []),
+         coalesce(list_transform(metros, (m, i) ->
+           'metro%5B' || CAST(i - 1 AS VARCHAR) || '%5D=' || CAST(m AS VARCHAR)),
+           []),
+         coalesce(list_transform(rooms, r ->
+           'room' || CAST(r AS VARCHAR) || '=1'), [])
+       ]), '&') AS url
+FROM t
+""",
+)
+def search_url_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 distributed: config rows → source URLs as a column expression
+    (repeated-param IN-list encoding, ref construct_url.py:16-40);
+    DuckDB rebuilds the identical string (its lambda index is 1-based,
+    hence i - 1)."""
+    from rental_data_pipeline_spark.jobs.pipeline import compile_search_urls
+
+    df = spark.createDataFrame(
+        URL_CFG_LITERALS,
+        "id int, maxprice int, districts array<int>, metros array<int>, "
+        "rooms array<int>, page int",
+    )
+    return compile_search_urls(df).select("id", "url")

@@ -620,3 +620,83 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("asof_click_value", 6).alias("asof_click_value"),
         F.col("asof_ts").alias("asof_click_ts"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic sampling + end-to-end curation
+# ---------------------------------------------------------------------------
+
+@register(
+    "sample_deterministic",
+    oracle="""
+SELECT doc_id, sample_bucket
+FROM (
+  SELECT doc_id,
+         CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS UBIGINT)
+              % 10000 AS BIGINT) AS sample_bucket
+  FROM documents)
+WHERE sample_bucket < 2000
+""",
+)
+def sample_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-mod 20% sample: per-row md5 bucket decides membership, so
+    the same rows are drawn on every engine/run/partitioning — the
+    reproducible train/holdout-split primitive (map-side filter, no
+    shuffle). The oracle recomputes the exact bucket arithmetic."""
+    from rental_data_pipeline_spark.operators.sampling import (
+        deterministic_sample,
+        sample_bucket,
+    )
+
+    docs = load_table(spark, "documents", sf_dir)
+    return deterministic_sample(docs, "doc_id", 0.2).select(
+        "doc_id", sample_bucket("doc_id")
+    )
+
+
+_CURATE_LANG = {
+    lang: f"len(list_filter(toks, t -> list_contains([{', '.join(repr(m) for m in ms)}], t)))"
+    for lang, ms in TS.LANG_MARKERS.items()
+}
+
+
+@register(
+    "corpus_curate",
+    oracle=f"""
+WITH scored AS (
+  SELECT doc_id,
+         CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
+              WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+              WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+              WHEN s_fr >= s_es THEN 'fr'
+              ELSE 'es' END AS predicted_lang,
+         n_tokens, quality_score, content_hash
+  FROM (
+    SELECT doc_id,
+           {_CURATE_LANG['en']} AS s_en, {_CURATE_LANG['de']} AS s_de,
+           {_CURATE_LANG['fr']} AS s_fr, {_CURATE_LANG['es']} AS s_es,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           round(0.4 * least(len(toks) / 100.0, 1.0)
+                 + 0.4 * (CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks))
+                 + 0.2 * least(CAST(len(list_filter(toks, t ->
+                       list_contains([{_STOP_SQL}], t))) AS DOUBLE) / len(toks) * 5,
+                     1.0), 6) AS quality_score,
+           md5(text) AS content_hash
+    FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)))
+SELECT content_hash,
+       arg_min(doc_id, doc_id) AS doc_id,
+       arg_min(predicted_lang, doc_id) AS predicted_lang,
+       arg_min(n_tokens, doc_id) AS n_tokens,
+       arg_min(quality_score, doc_id) AS quality_score
+FROM scored
+WHERE predicted_lang = 'en' AND n_tokens BETWEEN 10 AND 5000
+  AND quality_score >= 0.5
+GROUP BY content_hash
+""",
+)
+def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship curation chain: language gate + token-length bounds +
+    quality threshold + exact dedup (lowest doc_id per content hash) in
+    one scan projection and ONE shuffle — filters run map-side before
+    the exchange, so only survivors cross the wire."""
+    return TS.curate_corpus(load_table(spark, "documents", sf_dir))
