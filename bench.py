@@ -47,6 +47,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "ann_bruteforce_topk",
     "ann_ivf_topk",
+    "kmeans_cells",
     "similarity_near_dup",
     "skew_salted_join",
     "sample_deterministic",

@@ -211,3 +211,67 @@ def embedding_near_dup_pairs(
         )
         .where(F.col("sim") >= threshold)
     )
+
+
+def _assign_to_centroids(corpus: DataFrame, centroids: list[list[float]]) -> DataFrame:
+    """Map-side hard assignment against literal centroids: per row,
+    argmax of rounded cosine sim (ties → lowest cell id). No shuffle,
+    no join — the centroid set is a compiled expression."""
+    packed = F.array(
+        *[
+            F.struct(
+                F.round(cosine(F.col("v"), F.array(*[F.lit(x) for x in c])), 6).alias("s"),
+                F.lit(-cid).alias("negcid"),
+            )
+            for cid, c in enumerate(centroids)
+        ]
+    )
+    best = F.array_max(packed)
+    return corpus.select(
+        "vec_id", "v",
+        (-best["negcid"]).alias("cid"),
+        best["s"].alias("sim"),
+    )
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means (cosine metric) as an iterative DataFrame
+    algorithm — the offline training step behind :func:`ivf_topk`'s
+    index. Returns the final hard assignment ``(vec_id, cid, sim)``.
+
+    Per iteration: one corpus scan with a map-side argmax against
+    broadcast-literal centroids (zero shuffle), then one partial-agg
+    shuffle of per-(cell, position) sums — k·dim rows per partition
+    cross the wire, not the corpus. Centroids (k·dim doubles) live on
+    the driver between iterations, the standard k-means topology (what
+    MLlib's treeAggregate does). Components are rounded to 6 dp after
+    every update so the fixed-point arithmetic is reproducible across
+    engines and summation orders; deterministic init = the k
+    lowest-id vectors. Empty cells keep their previous centroid.
+    """
+    corpus = _corpus(df, id_col, vec_col).persist()
+    init = corpus.orderBy("vec_id").limit(k).collect()
+    centroids = [[round(x, 6) for x in r.v] for r in init]
+
+    for _ in range(n_iter):
+        assigned = _assign_to_centroids(corpus, centroids)
+        rows = (
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[int, list[float]] = {}
+        for r in rows:
+            acc.setdefault(r.cid, list(centroids[r.cid]))[r.pos] = round(r.s / r.n, 6)
+        centroids = [acc.get(cid, centroids[cid]) for cid in range(k)]
+
+    final = _assign_to_centroids(corpus, centroids).select("vec_id", "cid", "sim")
+    corpus.unpersist()
+    return final

@@ -700,3 +700,47 @@ def corpus_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     one scan projection and ONE shuffle — filters run map-side before
     the exchange, so only survivors cross the wire."""
     return TS.curate_corpus(load_table(spark, "documents", sf_dir))
+
+
+def _kmeans_oracle_sql(k: int = 8, n_iter: int = 3, dim: int = 64) -> str:
+    """Unroll Lloyd's iterations as chained CTEs with the exact rounded
+    arithmetic of similarity.kmeans_fit (fixed-point 6 dp), so an
+    iterative distributed algorithm still gets a full value-hash check."""
+    parts = ["e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"]
+    parts.append(f"""c0 AS (
+  SELECT (row_number() OVER (ORDER BY vec_id)) - 1 AS cid,
+         list_transform(v, x -> round(x, 6)) AS cv
+  FROM (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT {k}))""")
+    for i in range(n_iter):
+        parts.append(f"""a{i} AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM e CROSS JOIN c{i} c) WHERE rn = 1)""")
+        parts.append(f"""m{i} AS (
+  SELECT cid, list(m ORDER BY j) AS cv FROM (
+    SELECT cid, j, round(avg(v[j]), 6) AS m
+    FROM a{i} CROSS JOIN generate_series(1, {dim}) AS t(j)
+    GROUP BY cid, j) GROUP BY cid)""")
+        parts.append(f"""c{i + 1} AS (
+  SELECT c.cid, coalesce(u.cv, c.cv) AS cv
+  FROM c{i} c LEFT JOIN m{i} u ON c.cid = u.cid)""")
+    return (
+        "WITH " + ",\n".join(parts) + f"""
+SELECT vec_id, cid, s AS sim FROM (
+  SELECT e.vec_id, c.cid, {_cos_sql('e.v', 'c.cv')} AS s,
+         row_number() OVER (PARTITION BY e.vec_id
+           ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+  FROM e CROSS JOIN c{n_iter} c) WHERE rn = 1"""
+    )
+
+
+@register("kmeans_cells", oracle=_kmeans_oracle_sql())
+def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (3 iterations, cosine metric) — the
+    IVF centroid-training path as an iterative DataFrame algorithm:
+    map-side argmax assignment against driver-held centroids, one
+    partial-agg shuffle per update. The oracle unrolls the identical
+    fixed-point iterations in SQL."""
+    return S.kmeans_fit(load_table(spark, "embeddings", sf_dir))
