@@ -213,14 +213,29 @@ def embedding_near_dup_pairs(
     )
 
 
+def _py_norm(c: list[float]) -> float:
+    """Python twin of :func:`norm`: identical left-to-right fold order,
+    so the result is bit-for-bit what Spark's aggregate() would give."""
+    acc = 0.0
+    for x in c:
+        acc += x * x
+    return acc**0.5
+
+
 def _assign_to_centroids(corpus: DataFrame, centroids: list[list[float]]) -> DataFrame:
     """Map-side hard assignment against literal centroids: per row,
     argmax of rounded cosine sim (ties → lowest cell id). No shuffle,
-    no join — the centroid set is a compiled expression."""
+    no join — the centroid set is a compiled expression.
+
+    ``corpus`` must carry a precomputed ``vn = norm(v)`` column: one
+    fold per centroid (the dot) instead of three — centroid norms are
+    plain Python floats, row norms come from the persisted column."""
     packed = F.array(
         *[
             F.struct(
-                F.round(cosine(F.col("v"), F.array(*[F.lit(x) for x in c])), 6).alias("s"),
+                F.round(
+                    dot(F.col("v"), F.lit(c)) / (F.col("vn") * F.lit(_py_norm(c))), 6
+                ).alias("s"),
                 F.lit(-cid).alias("negcid"),
             )
             for cid, c in enumerate(centroids)
@@ -255,21 +270,32 @@ def kmeans_fit(
     engines and summation orders; deterministic init = the k
     lowest-id vectors. Empty cells keep their previous centroid.
     """
-    corpus = _corpus(df, id_col, vec_col).persist()
+    corpus = (
+        _corpus(df, id_col, vec_col)
+        .withColumn("vn", norm(F.col("v")))
+        .persist()
+    )
     init = corpus.orderBy("vec_id").limit(k).collect()
     centroids = [[round(x, 6) for x in r.v] for r in init]
 
+    dim = len(centroids[0])
     for _ in range(n_iter):
         assigned = _assign_to_centroids(corpus, centroids)
+        # k·(dim+1)-wide rows after map-side partial agg — the corpus
+        # never crosses the wire widened (a posexplode here would
+        # shuffle corpus×dim rows; this shuffles ≤ k rows/partition).
         rows = (
-            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
-            .groupBy("cid", "pos")
-            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            assigned.groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)],
+            )
             .collect()
         )
-        acc: dict[int, list[float]] = {}
-        for r in rows:
-            acc.setdefault(r.cid, list(centroids[r.cid]))[r.pos] = round(r.s / r.n, 6)
+        acc = {
+            r["cid"]: [round(r[f"s{i}"] / r["n"], 6) for i in range(dim)]
+            for r in rows
+        }
         centroids = [acc.get(cid, centroids[cid]) for cid in range(k)]
 
     final = _assign_to_centroids(corpus, centroids).select("vec_id", "cid", "sim")
