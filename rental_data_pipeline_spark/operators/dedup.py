@@ -330,3 +330,60 @@ def simhash_near_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    a_col: str = "doc_a",
+    b_col: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Cluster near-dup *pairs* into duplicate groups: returns
+    ``(node, component)`` where component = min doc id reachable —
+    the union-find endpoint of every pair-producing dedup operator
+    (the canonical keeper per group is ``node == component``).
+
+    Iterative min-label propagation as pure DataFrame ops: per
+    iteration one join (edge → neighbor label) + one min-agg, i.e. two
+    shuffles over O(E) rows, converging in O(component diameter)
+    iterations — near-dup clusters are shallow (pairs share content,
+    so most clusters are cliques or stars with diameter ≤ ~3), which
+    is why plain propagation is the right scale shape here; the
+    alternating large-star/small-star variant only pays off on deep
+    path-shaped graphs. Convergence is detected by the monotonically
+    decreasing sum of labels (one scalar collect per iteration — no
+    data to the driver).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+        .persist()
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+        .persist()
+    )
+    total = labels.agg(F.sum("component")).collect()[0][0]
+    for _ in range(max_iter):
+        neighbor_min = edges.join(
+            labels, edges["dst"] == labels["node"]
+        ).select(F.col("src").alias("node"), "component")
+        new_labels = (
+            labels.unionByName(neighbor_min)
+            .groupBy("node")
+            .agg(F.min("component").alias("component"))
+            .persist()
+        )
+        new_total = new_labels.agg(F.sum("component")).collect()[0][0]
+        labels.unpersist()
+        labels = new_labels
+        if new_total == total:
+            break
+        total = new_total
+    edges.unpersist()
+    return labels

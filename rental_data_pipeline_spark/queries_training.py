@@ -744,3 +744,42 @@ def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial-agg shuffle per update. The oracle unrolls the identical
     fixed-point iterations in SQL."""
     return S.kmeans_fit(load_table(spark, "embeddings", sf_dir))
+
+
+@register(
+    "dedup_components",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+s AS (SELECT doc, unnest(sh) AS shingle FROM shingled),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc),
+sz AS (SELECT doc, len(sh) AS n_sh FROM shingled),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sz x ON doc_a = x.doc JOIN sz y ON doc_b = y.doc
+  WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter), 6) >= 0.8),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS node, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.node)
+SELECT node, min(lbl) AS component, (node = min(lbl)) AS is_canonical
+FROM reach GROUP BY node
+""",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs → duplicate clusters via iterative min-label
+    propagation (``dedup.connected_components``); component = min doc
+    id, canonical keeper = the component representative. The oracle
+    computes true components with a recursive transitive-closure CTE —
+    an iterative distributed algorithm with a full value-hash check."""
+    pairs = D.jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
+    cc = D.connected_components(pairs)
+    return cc.select(
+        "node",
+        "component",
+        (F.col("node") == F.col("component")).alias("is_canonical"),
+    )

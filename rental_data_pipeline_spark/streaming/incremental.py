@@ -26,6 +26,14 @@ Scale: state rewrite per batch is O(|state|) parquet I/O — the same
 cost profile as the reference's JSON rewrite but columnar, splittable,
 and partitionable by key range. On a cluster the state table becomes a
 partitioned table and the merge one shuffle per micro-batch.
+
+Measured cost profile (sf0.1, local[32]): streaming machinery is
+~100 ms/batch (offset/commit logs); ~1.5 s/batch is the foreachBatch
+fold — merge plan construction + a 3-stage tiny-data execution whose
+cost is per-JOB overhead (scheduling, AQE replan, codegen), not
+per-ROW. It is flat in data size, so at production batch sizes it
+amortizes to noise; shrinking it further would mean contorting the
+shared batch merge operator for bench cosmetics.
 """
 
 from __future__ import annotations

@@ -171,3 +171,25 @@ def test_minhash_lsh_recall_vs_exact_jaccard(spark, sf_dir):
     }
     assert lsh == exact
     assert len(exact) > 0  # corpus contains planted near-dups
+
+
+def test_connected_components_path_graph(spark):
+    # a path 1-2-3-4-5 needs several propagation rounds (diameter 4);
+    # plus a disjoint pair and everything must label to the min node
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (4, 3), (4, 5), (10, 11)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.node, r.component)
+        for r in D.connected_components(pairs).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (4, 1), (5, 1), (10, 10), (11, 10)}
+
+
+def test_connected_components_converges_early(spark):
+    # a clique converges in one round; max_iter generous but unused
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "doc_a long, doc_b long"
+    )
+    out = D.connected_components(pairs, max_iter=2).collect()
+    assert {(r.node, r.component) for r in out} == {(1, 1), (2, 1), (3, 1)}
