@@ -387,3 +387,53 @@ def connected_components(
         total = new_total
     edges.unpersist()
     return labels
+
+
+def contamination_report(
+    train: DataFrame,
+    holdout: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 3,
+    min_overlap: int = 1,
+    broadcast_index: bool = True,
+) -> DataFrame:
+    """Train/eval decontamination: flag training docs whose k-gram
+    shingles collide with a held-out eval set, with overlap counts —
+    the pre-training gate against benchmark leakage.
+
+    Inverted-index semi-join shape: the holdout side collapses to a
+    DISTINCT shingle index; train shingles join against it and
+    aggregate per doc. Cost is O(total shingles) — never
+    |train| x |holdout|. Eval sets are tiny next to a 100 TB corpus,
+    so the index broadcasts by default (``broadcast_index``) and the
+    train side never shuffles for the probe; the per-doc aggregation
+    reuses the doc partitioning from tokenization. Returns
+    ``(doc_id, n_overlap, n_sh, contamination)`` for docs with
+    ``n_overlap >= min_overlap``.
+    """
+    sizes, exploded = _shingle_pairs(train, text_col, id_col, k)
+    hold_index = (
+        _shingle_pairs(holdout, text_col, id_col, k)[1]
+        .select("shingle")
+        .distinct()
+    )
+    if broadcast_index:
+        hold_index = F.broadcast(hold_index)
+    overlap = (
+        exploded.join(hold_index, "shingle")
+        .groupBy("doc")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        overlap.join(sizes, "doc")
+        .where(F.col("n_overlap") >= min_overlap)
+        .select(
+            F.col("doc").alias(id_col),
+            F.col("n_overlap"),
+            F.col("n_sh").cast("bigint").alias("n_sh"),
+            F.round(
+                F.col("n_overlap").cast("double") / F.col("n_sh"), 6
+            ).alias("contamination"),
+        )
+    )

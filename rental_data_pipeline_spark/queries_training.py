@@ -783,3 +783,39 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "component",
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+
+
+_BUCKET_SQL = (
+    "CAST(CAST('0x' || substr(md5(CAST(doc AS VARCHAR)), 1, 8) AS UBIGINT)"
+    " % 10000 AS BIGINT)"
+)
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+WITH {_SHINGLES_CTE},
+b AS (SELECT doc, sh, {_BUCKET_SQL} AS bk FROM shingled),
+hold AS (SELECT DISTINCT unnest(sh) AS shingle FROM b WHERE bk < 2000),
+tr AS (SELECT doc, unnest(sh) AS shingle FROM b WHERE bk >= 2000),
+ov AS (SELECT doc, count(*) AS n_overlap FROM tr JOIN hold USING (shingle) GROUP BY doc),
+sz AS (SELECT doc, len(sh) AS n_sh FROM b WHERE bk >= 2000)
+SELECT ov.doc AS doc_id, n_overlap, CAST(n_sh AS BIGINT) AS n_sh,
+       round(CAST(n_overlap AS DOUBLE) / n_sh, 6) AS contamination
+FROM ov JOIN sz ON ov.doc = sz.doc
+WHERE n_overlap >= 1
+""",
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval decontamination: the deterministic 20% hash-mod
+    sample is the held-out eval set; training docs sharing any 3-gram
+    shingle with it are reported with overlap counts. The eval shingle
+    index broadcasts — the training corpus never shuffles for the
+    probe (`dedup.contamination_report`)."""
+    from rental_data_pipeline_spark.operators.sampling import sample_bucket
+
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = sample_bucket("doc_id")
+    holdout = docs.where(bucket < 2000)
+    train = docs.where(bucket >= 2000)
+    return D.contamination_report(train, holdout)

@@ -193,3 +193,19 @@ def test_connected_components_converges_early(spark):
     )
     out = D.connected_components(pairs, max_iter=2).collect()
     assert {(r.node, r.component) for r in out} == {(1, 1), (2, 1), (3, 1)}
+
+
+def test_contamination_report_flags_overlap(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps high"), (2, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    holdout = spark.createDataFrame(
+        [(100, "a quick brown fox appears")], "doc_id long, text string"
+    )
+    out = D.contamination_report(train, holdout)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert set(rows) == {1}  # only doc 1 shares the 'quick brown fox' shingle
+    assert rows[1].n_overlap == 1 and rows[1].n_sh == 4
+    # the eval index must broadcast: the probe join never shuffles train
+    assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
