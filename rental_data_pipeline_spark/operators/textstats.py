@@ -235,3 +235,86 @@ def curate_corpus(
         .agg(F.min(keep).alias("__k"))
         .select("content_hash", "__k.*")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction & Gopher-style repetition signals
+# ---------------------------------------------------------------------------
+
+# Order matters: email first (its local part may contain digits), then
+# IPv4 (dots would survive the phone class), then phone runs. Patterns
+# stay in the Java∩RE2 common dialect so the DuckDB oracle matches.
+PII_RULES: tuple[tuple[str, str, str], ...] = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b", "<IP>"),
+    ("phone", r"\+?[0-9][0-9 ()-]{7,}[0-9]", "<PHONE>"),
+)
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact emails / IPv4s / phone-number runs with typed tokens and
+    per-rule match counts — the pre-release scrub for a training
+    corpus. Pure native ``regexp_count`` / ``regexp_replace`` chain
+    (whole-stage codegen, no UDF); rules apply in ``PII_RULES`` order,
+    each counting on the text as already scrubbed by earlier rules.
+    Returns ``(id, n_email, n_ip, n_phone, text_clean)``.
+    """
+    clean = F.col(text_col)
+    counts = []
+    for name, pat, repl in PII_RULES:
+        counts.append(F.regexp_count(clean, F.lit(pat)).cast("bigint").alias(f"n_{name}"))
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(F.col(id_col), *counts, clean.alias("text_clean"))
+
+
+def _ngrams_all(toks: Column, n: int) -> Column:
+    """ALL k-token n-grams (duplicates kept — unlike dedup's distinct
+    shingles; repetition signals need the multiset)."""
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(1), cnt - (n - 1))
+    return F.when(
+        cnt >= n,
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n))),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style intra-document repetition signals: duplicate
+    token / 2-gram / 3-gram fractions and the top-token frequency
+    share. All native array expressions — one scan, zero shuffles,
+    cost linear in tokens per doc (the top-token scan is
+    |distinct|x|tokens| per doc — bounded by doc length, trivially
+    parallel). Quality gates at 100 TB filter on these map-side, so
+    they push down ahead of any exchange.
+    """
+    t = df.select(F.col(id_col), tokens(text_col).alias("toks"))
+    toks = F.col("toks")
+    n = F.size(toks)
+
+    def dup_ratio(arr: Column) -> Column:
+        total = F.size(arr)
+        return F.when(
+            total > 0,
+            F.round(1.0 - F.size(F.array_distinct(arr)).cast("double") / total, 6),
+        ).otherwise(F.lit(0.0))
+
+    top_freq = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda tk: F.size(F.filter(toks, lambda x: x == tk)),
+        )
+    )
+    return t.select(
+        F.col(id_col),
+        n.cast("bigint").alias("n_tokens"),
+        dup_ratio(toks).alias("dup_token_ratio"),
+        dup_ratio(_ngrams_all(toks, 2)).alias("dup_2gram_ratio"),
+        dup_ratio(_ngrams_all(toks, 3)).alias("dup_3gram_ratio"),
+        F.when(n > 0, F.round(top_freq.cast("double") / n, 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_token_share"),
+    )

@@ -819,3 +819,90 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     holdout = docs.where(bucket < 2000)
     train = docs.where(bucket >= 2000)
     return D.contamination_report(train, holdout)
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_IP = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+_PII_PHONE = "\\+?[0-9][0-9 ()-]{7,}[0-9]"
+
+_PII_SYNTH = (
+    "text || ' Contact user' || CAST(doc_id AS VARCHAR) || '@mail.example"
+    " or +7 916 55' || CAST(doc_id AS VARCHAR) || ' ip 10.0.0.'"
+    " || CAST(doc_id % 256 AS VARCHAR)"
+)
+
+
+@register(
+    "pii_scrub",
+    oracle="WITH synth AS (SELECT doc_id, " + _PII_SYNTH + """ AS t FROM documents),
+s1 AS (SELECT doc_id, len(regexp_extract_all(t, '""" + _PII_EMAIL + """')) AS n_email,
+       regexp_replace(t, '""" + _PII_EMAIL + """', '<EMAIL>', 'g') AS t FROM synth),
+s2 AS (SELECT doc_id, n_email, len(regexp_extract_all(t, '""" + _PII_IP + """')) AS n_ip,
+       regexp_replace(t, '""" + _PII_IP + """', '<IP>', 'g') AS t FROM s1),
+s3 AS (SELECT doc_id, n_email, n_ip, len(regexp_extract_all(t, '""" + _PII_PHONE + """')) AS n_phone,
+       regexp_replace(t, '""" + _PII_PHONE + """', '<PHONE>', 'g') AS t FROM s2)
+SELECT doc_id, n_email, n_ip, n_phone, md5(t) AS clean_md5 FROM s3
+""",
+)
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails → IPv4 → phone runs, typed tokens +
+    counts) over deterministic synthetic contact strings appended to
+    each doc — both engines build the identical input, then run their
+    own regex chain; md5 of the cleaned text checks the full redaction
+    output compactly. Native regexp chain, no UDF
+    (`textstats.scrub_pii`)."""
+    docs = load_table(spark, "documents", sf_dir)
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" Contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example or +7 916 55"),
+            F.col("doc_id").cast("string"),
+            F.lit(" ip 10.0.0."),
+            (F.col("doc_id") % 256).cast("string"),
+        ).alias("text"),
+    )
+    return TS.scrub_pii(synth).select(
+        "doc_id", "n_email", "n_ip", "n_phone",
+        F.md5(F.col("text_clean")).alias("clean_md5"),
+    )
+
+
+def _dup_ratio_sql(arr: str) -> str:
+    return (
+        f"CASE WHEN len({arr}) > 0 THEN round(1.0 - "
+        f"CAST(len(list_distinct({arr})) AS DOUBLE) / len({arr}), 6) "
+        "ELSE 0.0 END"
+    )
+
+
+@register(
+    "text_repetition",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+g AS (SELECT doc_id, toks,
+  CASE WHEN len(toks) >= 2 THEN list_transform(range(1, len(toks)),
+    i -> array_to_string(list_slice(toks, i, i + 1), ' ')) ELSE [] END AS g2,
+  CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
+    i -> array_to_string(list_slice(toks, i, i + 2), ' ')) ELSE [] END AS g3
+  FROM t)
+SELECT doc_id,
+  CAST(len(toks) AS BIGINT) AS n_tokens,
+  {_dup_ratio_sql('toks')} AS dup_token_ratio,
+  {_dup_ratio_sql('g2')} AS dup_2gram_ratio,
+  {_dup_ratio_sql('g3')} AS dup_3gram_ratio,
+  CASE WHEN len(toks) > 0 THEN round(
+    CAST(list_max(list_transform(list_distinct(toks),
+      tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE) / len(toks), 6)
+  ELSE 0.0 END AS top_token_share
+FROM g
+""",
+)
+def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc: duplicate token /
+    2-gram / 3-gram fractions + top-token share — the
+    repetitive-document quality gate, all native array expressions
+    (`textstats.repetition_stats`)."""
+    return TS.repetition_stats(load_table(spark, "documents", sf_dir))

@@ -209,3 +209,30 @@ def test_contamination_report_flags_overlap(spark):
     assert rows[1].n_overlap == 1 and rows[1].n_sh == 4
     # the eval index must broadcast: the probe join never shuffles train
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_scrub_pii_counts_and_order(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a@b.co and c.d@e.org, server 192.168.0.1, call +7 (916) 555-0199 now"),
+         (2, "no pii here at all")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in TS.scrub_pii(df).collect()}
+    assert (rows[1].n_email, rows[1].n_ip, rows[1].n_phone) == (2, 1, 1)
+    assert "<EMAIL>" in rows[1].text_clean and "<IP>" in rows[1].text_clean
+    assert "<PHONE>" in rows[1].text_clean and "555" not in rows[1].text_clean
+    assert (rows[2].n_email, rows[2].n_ip, rows[2].n_phone) == (0, 0, 0)
+    assert rows[2].text_clean == "no pii here at all"
+
+
+def test_repetition_stats_bounds(spark):
+    df = spark.createDataFrame(
+        [(1, "a a a a"), (2, "w x y z"), (3, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r.doc_id: r for r in TS.repetition_stats(df).collect()}
+    assert rows[1].dup_token_ratio == 0.75 and rows[1].top_token_share == 1.0
+    assert rows[1].dup_2gram_ratio == round(1 - 1 / 3, 6)
+    assert rows[2].dup_token_ratio == 0.0 and rows[2].top_token_share == 0.25
+    # single-token doc: no 2/3-grams -> ratios defined as 0
+    assert rows[3].dup_2gram_ratio == 0.0 and rows[3].dup_3gram_ratio == 0.0
