@@ -52,6 +52,10 @@ HEADLINE = [
     "skew_salted_join",
     "sample_deterministic",
     "corpus_curate",
+    "dedup_components",
+    "decontaminate_ngram",
+    "pii_scrub",
+    "text_repetition",
     "multimodal_decode",
     # extraction layer (render → parse → project round-trip)
     "extract_listing_fields",
