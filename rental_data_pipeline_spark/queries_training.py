@@ -906,3 +906,46 @@ def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     repetitive-document quality gate, all native array expressions
     (`textstats.repetition_stats`)."""
     return TS.repetition_stats(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_canonical_corpus",
+    oracle=f"""
+WITH RECURSIVE {_SHINGLES_CTE},
+s AS (SELECT doc, unnest(sh) AS shingle FROM shingled),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc),
+sz AS (SELECT doc, len(sh) AS n_sh FROM shingled),
+pairs AS (
+  SELECT doc_a, doc_b
+  FROM inter JOIN sz x ON doc_a = x.doc JOIN sz y ON doc_b = y.doc
+  WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter), 6) >= 0.8),
+edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+          UNION SELECT doc_b AS src, doc_a AS dst FROM pairs),
+reach AS (
+  SELECT src AS node, src AS lbl FROM edges
+  UNION
+  SELECT e.dst AS node, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.node),
+drop_ids AS (SELECT node FROM reach GROUP BY node HAVING node <> min(lbl))
+SELECT d.doc_id, md5(d.text) AS text_md5
+FROM documents d LEFT JOIN drop_ids x ON d.doc_id = x.node
+WHERE x.node IS NULL
+""",
+)
+def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup removal: Jaccard pairs → connected
+    components → drop every non-canonical member (keep component
+    representatives and untouched docs). The drop set is tiny next to
+    the corpus → broadcast anti-join, so the corpus never shuffles.
+    Returns the surviving corpus as (doc_id, text_md5)."""
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = D.jaccard_pairs(docs, threshold=0.8)
+    cc = D.connected_components(pairs)
+    drop = cc.where(F.col("node") != F.col("component")).select(
+        F.col("node").alias("doc_id")
+    )
+    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        "doc_id", F.md5(F.col("text")).alias("text_md5")
+    )

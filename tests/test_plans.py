@@ -79,3 +79,25 @@ def test_asof_join_free_bounded_shuffles(spark, sf_dir):
     plan = _plan(spark, sf_dir, "asof_click_before_purchase")
     assert "Join" not in plan, "as-of composes union+window, not a range join"
     assert _exchanges(plan) <= 2
+
+
+def test_decontaminate_probe_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan, "eval shingle index must broadcast"
+    assert "SortMergeJoin" not in plan, "train side must never shuffle for the probe"
+
+
+@pytest.mark.parametrize("name", ["pii_scrub", "text_repetition"])
+def test_scalar_text_ops_are_pure_map(spark, sf_dir, name):
+    plan = _plan(spark, sf_dir, name)
+    assert _exchanges(plan) == 0, f"{name} is a map-side scan, no shuffle"
+    assert "EvalPython" not in plan and "MapInPandas" not in plan, "no Python stage"
+
+
+def test_canonical_corpus_drop_is_broadcast_anti(spark, sf_dir):
+    # the shingle self-join deep in the pair lineage is legitimately
+    # sort-merge; the assertion targets the final drop join only
+    plan = _plan(spark, sf_dir, "dedup_canonical_corpus")
+    assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), (
+        "the drop anti-join must broadcast — the corpus never shuffles for it"
+    )
