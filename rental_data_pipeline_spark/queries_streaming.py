@@ -164,3 +164,72 @@ def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "stateful_price_changes",
+    oracle="""
+WITH p AS (
+  SELECT user_id AS offer_id, ts AS updated_date, value AS price_value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS seq
+  FROM events WHERE value IS NOT NULL),
+l AS (
+  SELECT offer_id, updated_date, price_value AS new_price,
+         lag(price_value) OVER (PARTITION BY offer_id ORDER BY seq) AS old_price
+  FROM p)
+SELECT offer_id, updated_date AS change_ts, old_price, new_price,
+       CAST(trunc(new_price) AS BIGINT) - CAST(trunc(old_price) AS BIGINT) AS price_diff
+FROM l WHERE old_price IS NOT NULL AND new_price <> old_price
+""",
+)
+def stateful_price_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U-stateful/T3: the ``applyInPandasWithState`` change-feed
+    operator run through the REAL streaming engine — events replayed
+    as ascending-time micro-batch files, one GroupState value per key
+    carried across batches, change rows appended to a memory sink.
+    The oracle replays the same detection with lag() over non-null
+    prices — a full value-hash check on an arbitrary-state streaming
+    operator."""
+    from rental_data_pipeline_spark.streaming.stateful import price_change_stream
+
+    snaps = _event_snapshots(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="rdp_stateful_q_")
+    landing = f"{base}/landing"
+
+    dates = sorted(
+        r[0] for r in snaps.select(F.to_date("updated_date")).distinct().collect()
+    )
+    n = len(dates)
+    cuts = {d: (i * _STREAM_CHUNKS) // n for i, d in enumerate(dates)}
+    chunk_expr = F.coalesce(
+        *[F.when(F.to_date("updated_date") == F.lit(d), F.lit(c)) for d, c in cuts.items()],
+        F.lit(0),
+    )
+    chunked = snaps.withColumn("__chunk", chunk_expr)
+    for i in sorted(set(cuts.values())):
+        chunked.where(F.col("__chunk") == i).drop("__chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    # state-store partition count is frozen per stream from this conf:
+    # size it to key cardinality (150 keys here), not the session's
+    # batch-shuffle width — 200 near-empty state partitions x batches
+    # is pure per-partition overhead (measured 21 s -> ~7 s at sf0.01)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_snapshot_stream(spark, landing, max_files_per_trigger=1)
+        q = (
+            price_change_stream(stream)
+            .writeStream.format("memory")
+            .queryName("stateful_changes")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.table("stateful_changes").localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
