@@ -301,3 +301,40 @@ def kmeans_fit(
     final = _assign_to_centroids(corpus, centroids).select("vec_id", "cid", "sim")
     corpus.unpersist()
     return final
+
+
+def quantize_embeddings(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Symmetric per-vector int8 quantization: ``scale = max|x|/127``,
+    ``q_i = floor(x_i/scale + 0.5)`` — 4x the embeddings per byte of
+    cluster RAM, which at 100 TB decides whether the ANN corpus is
+    memory-resident. Map-side only (no shuffle, no UDF); ``floor(+0.5)``
+    instead of round() so both engines share one deterministic
+    half-up rule (no banker's-rounding divergence). Zero vectors are
+    dropped (scale undefined). Returns
+    ``(vec_id, scale, q int[], mae)`` with mae = mean |x - q*scale|,
+    the round-trip reconstruction error.
+    """
+    corpus = _corpus(df, id_col, vec_col)
+    v = F.col("v")
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    out = corpus.select("vec_id", v.alias("v"), scale.alias("scale")).where(
+        F.col("scale") > 0
+    )
+    q = F.transform(
+        F.col("v"), lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int")
+    )
+    deq_err = F.zip_with(
+        F.col("v"), F.col("q"), lambda a, b: F.abs(a - b.cast("double") * F.col("scale"))
+    )
+    mae = (
+        F.aggregate(deq_err, F.lit(0.0), lambda acc, x: acc + x) / F.size(F.col("v"))
+    )
+    return (
+        out.withColumn("q", q)
+        .select("vec_id", "scale", "q", mae.alias("mae"), "v")
+        .drop("v")
+    )

@@ -949,3 +949,37 @@ def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
         "doc_id", F.md5(F.col("text")).alias("text_md5")
     )
+
+
+@register(
+    "embedding_quantize",
+    oracle="""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+s AS (SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+      FROM e),
+q AS (SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) AS qv
+      FROM s WHERE scale > 0)
+SELECT vec_id, round(scale, 6) AS scale,
+       array_to_string(qv, ',') AS q_str,
+       round(list_sum(list_transform(range(1, len(v) + 1),
+                                     i -> abs(v[i] - qv[i] * scale))) / len(v), 6) AS mae
+FROM q
+""",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization + round-trip error —
+    the 4x-storage-compression path for a 100 TB embedding corpus,
+    map-side native expressions only (`similarity.quantize_embeddings`).
+    q serialized to a comma string so rows stay hashable for the
+    driver's canonicalizer."""
+    out = S.quantize_embeddings(load_table(spark, "embeddings", sf_dir))
+    return out.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        F.array_join(F.transform(F.col("q"), lambda x: x.cast("string")), ",").alias(
+            "q_str"
+        ),
+        F.round(F.col("mae"), 6).alias("mae"),
+    )

@@ -236,3 +236,16 @@ def test_repetition_stats_bounds(spark):
     assert rows[2].dup_token_ratio == 0.0 and rows[2].top_token_share == 0.25
     # single-token doc: no 2/3-grams -> ratios defined as 0
     assert rows[3].dup_2gram_ratio == 0.0 and rows[3].dup_3gram_ratio == 0.0
+
+
+def test_quantize_embeddings_roundtrip_bound(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 127.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    rows = {r.vec_id: r for r in S.quantize_embeddings(df).collect()}
+    assert set(rows) == {1}  # zero vector dropped (scale undefined)
+    r = rows[1]
+    assert r.q[3] == 127  # max element maps exactly to 127
+    assert r.mae <= r.scale / 2 + 1e-12  # half-step reconstruction bound
+    assert all(-127 <= x <= 127 for x in r.q)
