@@ -14,7 +14,7 @@ shuffle (per-document map) or one hash aggregation.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rental_data_pipeline_spark.functions.hashing import portable_hash64
@@ -317,4 +317,40 @@ def repetition_stats(
         F.when(n > 0, F.round(top_freq.cast("double") / n, 6))
         .otherwise(F.lit(0.0))
         .alias("top_token_share"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """Top-k terms per document by smoothed TF-IDF
+    (``tf * (ln((N+1)/(df+1)) + 1)``) — corpus-level term weighting
+    for keyword extraction / domain profiling.
+
+    Scale shape: explode → one (doc, term) count shuffle → a term-level
+    document-frequency aggregation whose result (the vocabulary — tiny
+    vs the corpus) BROADCASTS back onto the tf side, so the corpus
+    shuffles twice total (tf agg + per-doc top-k window); the corpus
+    row count is a driver scalar (one column-pruned count job), never
+    a cross join. Ties rank deterministically (tfidf desc, term asc).
+    """
+    n_docs = df.count()
+    t = _with_tokens(df, text_col, id_col)
+    pairs = t.select(F.col(id_col), F.explode("__toks").alias("term"))
+    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = tf.join(F.broadcast(docfreq), "term").select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_k
     )

@@ -983,3 +983,30 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.round(F.col("mae"), 6).alias("mae"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+WITH n AS (SELECT count(*) AS n_docs FROM documents),
+pairs AS (
+  SELECT doc_id, unnest(toks) AS term
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM pairs GROUP BY doc_id, term),
+docfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+scored AS (
+  SELECT doc_id, term, tf, df,
+         round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS tfidf
+  FROM tf JOIN docfreq USING (term) CROSS JOIN n)
+SELECT doc_id, term, tf, df, tfidf, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, term) AS rank
+  FROM scored) WHERE rank <= 5
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 terms per doc by smoothed TF-IDF: one tf shuffle, a
+    broadcast vocabulary join, one top-k window
+    (`textstats.tfidf_top_terms`)."""
+    out = TS.tfidf_top_terms(load_table(spark, "documents", sf_dir), top_k=5)
+    return out.select("doc_id", "term", "tf", "df", "tfidf", "rank")

@@ -101,3 +101,9 @@ def test_canonical_corpus_drop_is_broadcast_anti(spark, sf_dir):
     assert re.search(r"BroadcastHashJoin .*LeftAnti", plan), (
         "the drop anti-join must broadcast — the corpus never shuffles for it"
     )
+
+
+def test_tfidf_vocab_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "tfidf_top_terms")
+    assert "BroadcastHashJoin" in plan, "vocabulary must broadcast onto tf side"
+    assert "SortMergeJoin" not in plan

@@ -249,3 +249,13 @@ def test_quantize_embeddings_roundtrip_bound(spark):
     assert r.q[3] == 127  # max element maps exactly to 127
     assert r.mae <= r.scale / 2 + 1e-12  # half-step reconstruction bound
     assert all(-127 <= x <= 127 for x in r.q)
+
+
+def test_tfidf_rare_term_outranks_common(spark):
+    df = spark.createDataFrame(
+        [(1, "common rare"), (2, "common filler"), (3, "common filler")],
+        "doc_id long, text string",
+    )
+    top = TS.tfidf_top_terms(df, top_k=1).collect()
+    doc1 = [r for r in top if r.doc_id == 1][0]
+    assert doc1.term == "rare"  # equal tf: df=1 beats the everywhere-term
