@@ -354,3 +354,106 @@ def tfidf_top_terms(
     return scored.withColumn("rank", F.row_number().over(w)).where(
         F.col("rank") <= top_k
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_tokens: int = 50,
+    overlap: int = 10,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    the context-window chunking step of a pretraining/RAG pipeline.
+    Pure map-side explode (no shuffle): chunk starts are a computed
+    ``sequence``, the text a ``slice`` over the materialized token
+    array. The final window is the tail remainder (always emitted, so
+    every token lands in ≥1 chunk). Returns
+    ``(id, chunk_id, n_chunk_tokens, chunk_text)``.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    t = _with_tokens(df, text_col, id_col)
+    n = F.size("__toks")
+    n_chunks = F.when(n <= chunk_tokens, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_tokens)).cast("double") / stride).cast("int") + 1
+    )
+    out = t.select(
+        F.col(id_col),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+        F.col("__toks"),
+    )
+    start = F.col("chunk_id") * stride + 1
+    piece = F.slice(F.col("__toks"), start, chunk_tokens)
+    return out.select(
+        F.col(id_col),
+        F.col("chunk_id"),
+        F.size(piece).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"),
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    token_budget: int = 512,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training bins by global
+    cumulative token count in id order (a doc's bin =
+    ``floor(tokens_before_it / budget)``) — the sequence-packing step
+    that turns a ragged corpus into near-uniform training shards.
+
+    The global running sum is computed WITHOUT a single-partition
+    window (the naive ``Window.orderBy(id)`` serializes the corpus
+    through one task): range-partition by id, local cumsum per
+    partition, then per-partition totals — P scalars — collect to the
+    driver and become literal offsets. Two scans, no global sort
+    bottleneck; the classic two-phase parallel prefix sum. The result
+    is invariant to partition boundaries, so the range partitioner's
+    sampling cannot change it. Returns per-bin
+    ``(bin_id, n_docs, total_tokens, first_doc, last_doc)``.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    t = (
+        df.repartitionByRange(n_parts, F.col(id_col))
+        .select(
+            F.col(id_col),
+            F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    part_totals = (
+        t.groupBy("__pid")
+        .agg(F.sum("n_tokens").alias("s"), F.min(id_col).alias("min_id"))
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(part_totals, key=lambda r: r["min_id"]):
+        offsets[r["__pid"]] = acc
+        acc += r["s"]
+    off = (
+        F.coalesce(
+            *[F.when(F.col("__pid") == p, F.lit(v)) for p, v in offsets.items()],
+            F.lit(0),
+        )
+        if offsets
+        else F.lit(0)
+    )
+    w = Window.partitionBy("__pid").orderBy(id_col)
+    start = F.sum("n_tokens").over(w) + off - F.col("n_tokens")
+    binned = t.select(
+        F.col(id_col),
+        "n_tokens",
+        F.floor(start / F.lit(token_budget)).cast("bigint").alias("bin_id"),
+    )
+    out = binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.min(id_col).alias("first_doc"),
+        F.max(id_col).alias("last_doc"),
+    )
+    return out

@@ -1010,3 +1010,49 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     (`textstats.tfidf_top_terms`)."""
     out = TS.tfidf_top_terms(load_table(spark, "documents", sf_dir), top_k=5)
     return out.select("doc_id", "term", "tf", "df", "tfidf", "rank")
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+c AS (SELECT doc_id, toks,
+        CASE WHEN len(toks) <= 50 THEN 1
+             ELSE CAST(ceil((len(toks) - 50) / 40.0) AS INTEGER) + 1 END AS n_chunks
+      FROM t),
+x AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS chunk_id FROM c)
+SELECT doc_id, CAST(chunk_id AS INTEGER) AS chunk_id,
+       CAST(len(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50)) AS BIGINT)
+         AS n_chunk_tokens,
+       array_to_string(list_slice(toks, chunk_id * 40 + 1, chunk_id * 40 + 50), ' ')
+         AS chunk_text
+FROM x
+""",
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking (50-token windows, 10-token overlap) —
+    map-side explode over computed chunk starts, no shuffle
+    (`textstats.chunk_documents`)."""
+    return TS.chunk_documents(
+        load_table(spark, "documents", sf_dir), chunk_tokens=50, overlap=10
+    )
+
+
+@register(
+    "pack_sequences",
+    oracle=f"""
+WITH t AS (SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t)
+SELECT CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id,
+       count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       min(doc_id) AS first_doc, max(doc_id) AS last_doc
+FROM c GROUP BY 1
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing into 512-token bins via a two-phase
+    distributed prefix sum — no single-partition global window
+    (`textstats.pack_sequences`)."""
+    return TS.pack_sequences(load_table(spark, "documents", sf_dir), token_budget=512)

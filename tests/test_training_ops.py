@@ -259,3 +259,41 @@ def test_tfidf_rare_term_outranks_common(spark):
     top = TS.tfidf_top_terms(df, top_k=1).collect()
     doc1 = [r for r in top if r.doc_id == 1][0]
     assert doc1.term == "rare"  # equal tf: df=1 beats the everywhere-term
+
+
+def test_chunk_documents_windows_cover_all_tokens(spark):
+    # 120 tokens, chunk=50, overlap=10 -> stride 40 -> ceil((120-50)/40)+1 = 3 chunks
+    text = " ".join(f"t{i}" for i in range(120))
+    df = spark.createDataFrame([(1, text), (2, "a b c")], "doc_id long, text string")
+    rows = TS.chunk_documents(df, chunk_tokens=50, overlap=10).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc[1]) == 3 and len(by_doc[2]) == 1
+    c = sorted(by_doc[1], key=lambda r: r.chunk_id)
+    assert c[0].chunk_text.split()[0] == "t0"
+    assert c[1].chunk_text.split()[0] == "t40"  # stride = 40
+    assert c[2].chunk_text.split()[-1] == "t119"  # tail covered
+    # consecutive chunks share exactly `overlap` tokens
+    assert c[0].chunk_text.split()[-10:] == c[1].chunk_text.split()[:10]
+    assert by_doc[2][0].n_chunk_tokens == 3
+
+
+def test_pack_sequences_bins_conserve_tokens(spark):
+    df = spark.createDataFrame(
+        [(i, " ".join(["w"] * (37 * (i % 5 + 1)))) for i in range(40)],
+        "doc_id long, text string",
+    )
+    out = TS.pack_sequences(df, token_budget=100).collect()
+    total = sum(r.total_tokens for r in out)
+    assert total == sum(37 * (i % 5 + 1) for i in range(40))
+    assert sum(r.n_docs for r in out) == 40
+    # bin ids are the dense prefix-sum bins: doc i's bin = floor(cum_before/100)
+    cum, expect = 0, {}
+    for i in range(40):
+        n = 37 * (i % 5 + 1)
+        expect.setdefault(cum // 100, 0)
+        expect[cum // 100] += n
+        cum += n
+    got = {r.bin_id: r.total_tokens for r in out}
+    assert got == expect
