@@ -57,6 +57,8 @@ HEADLINE = [
     "pii_scrub",
     "text_repetition",
     "multimodal_decode",
+    "chunk_documents",
+    "pack_sequences",
     # extraction layer (render → parse → project round-trip)
     "extract_listing_fields",
     "extract_search_cards",
@@ -67,6 +69,9 @@ HEADLINE = [
     # custom/OLAP operators
     "asof_click_before_purchase",
     "pricing_rollup",
+    "range_join_incident_window",
+    "gapfill_user_daily",
+    "char_entropy_quality",
     # the full five-step job (extraction + 3 CDC merges + enrichment)
     "pipeline_end_to_end",
 ]

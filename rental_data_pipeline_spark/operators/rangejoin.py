@@ -1,0 +1,159 @@
+"""Range join and time-spine gap-fill — interval operators Spark lacks
+natively, composed from equi-joins so Catalyst can plan them.
+
+``point_in_interval_join``: joining a point column to an interval table
+with NO shared equi-key is, naively, a BroadcastNestedLoopJoin (or a
+cartesian product) — quadratic and un-shardable. The classic scalable
+form bins the axis: each interval is exploded to the bins it covers,
+each point maps to exactly one bin, and the join becomes an equi-join
+on the bin id followed by the exact ``lo <= p < hi`` filter. Shuffle
+is on the bin key (axis-uniform by construction), candidate volume is
+|points| + Σ interval_bins — linear, never |points| × |intervals|.
+DuckDB solves the same problem with IEJoin (the oracle twin uses its
+inequality join directly); the binned-equi-join decomposition is the
+standard distributed answer (it is what Spark's own range-join hints
+on Databricks do under the hood).
+
+``gapfill_locf``: densify an irregular per-key time series onto a
+regular spine (one row per key per step) and carry the last observed
+value forward. The spine is generated map-side per key via
+``sequence`` + ``explode`` (no driver loop, no cross join against a
+global calendar), then one union + one window pass — the same
+single-shuffle shape as the as-of join (``asof.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: Column,
+    how: str = "inner",
+) -> DataFrame:
+    """All (point, interval) pairs with ``lo <= point < hi``.
+
+    ``bin_width`` is an interval/numeric literal matching the axis type
+    (e.g. ``F.expr("INTERVAL 1 DAY")`` for timestamps). Choose it near
+    the typical interval length: each interval then explodes into
+    O(1) bins and each bin's candidate set stays small. Output columns:
+    all point columns + all interval columns (names must not collide).
+
+    how='left_outer' keeps unmatched points with null interval columns
+    (implemented as join-then-restore so the exploded copies of a point
+    never duplicate the outer row).
+    """
+    pt = F.col(point_col)
+    lo, hi = F.col(lo_col), F.col(hi_col)
+    # bin index = how many whole bin_widths since epoch; works for both
+    # numeric and timestamp axes (timestamps divide via unix micros).
+    if dict(points.dtypes)[point_col].startswith("timestamp"):
+        to_bin = lambda c: F.floor(  # noqa: E731
+            F.unix_micros(c) / F.unix_micros(F.to_timestamp(F.lit("1970-01-01")) + bin_width)
+        )
+    else:
+        to_bin = lambda c: F.floor(c / bin_width)  # noqa: E731
+
+    p = points.withColumn("__bin", to_bin(pt))
+    # explode each interval over its covered bins; hi is exclusive, so
+    # an interval ending exactly on a bin edge does not claim that bin
+    # (sequence is inclusive — trim with the filter below).
+    iv = intervals.withColumn(
+        "__bin",
+        F.explode(F.sequence(to_bin(lo), to_bin(hi))),
+    )
+    joined = p.join(iv, on="__bin", how="inner").where((lo <= pt) & (pt < hi))
+    if how == "inner":
+        return joined.drop("__bin")
+    if how == "left_outer":
+        # restore points that matched no interval (anti on the matched keys)
+        matched = joined.drop("__bin")
+        unmatched = p.drop("__bin").join(
+            matched.select(*points.columns).distinct(),
+            on=points.columns,
+            how="left_anti",
+        )
+        for c in intervals.columns:
+            unmatched = unmatched.withColumn(
+                c, F.lit(None).cast(dict(intervals.dtypes)[c])
+            )
+        return matched.unionByName(unmatched)
+    raise ValueError(f"unsupported how={how!r}")
+
+
+def gapfill_locf(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_cols: list[str],
+    step: Column,
+    bucket: str = "day",
+) -> DataFrame:
+    """Regularize ``df`` onto a per-key spine of ``bucket``-truncated
+    ticks from the key's first to last observation, filling each value
+    column from the latest observation at-or-before the tick (LOCF).
+
+    Ticks with an exact observation take that row's values; gap ticks
+    inherit. Multiple observations inside one bucket: the last one (by
+    ``ts_col``) wins — same the-batch-is-ordered-last-wins rule as the
+    CDC merge (``merge.py``). Returns (key, tick, *value_cols).
+
+    Plan: groupBy(key) min/max → sequence/explode spine (map-side after
+    one small agg shuffle), union with tagged observations, one window
+    pass — no join against a driver-built calendar, no per-key loop.
+    """
+    obs = df.select(
+        F.col(key_col),
+        F.date_trunc(bucket, F.col(ts_col)).alias("__tick"),
+        F.col(ts_col).alias("__ts"),
+        F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__v"),
+    )
+    spine = (
+        df.groupBy(key_col)
+        .agg(
+            F.date_trunc(bucket, F.min(ts_col)).alias("__lo"),
+            F.date_trunc(bucket, F.max(ts_col)).alias("__hi"),
+        )
+        .select(
+            F.col(key_col),
+            F.explode(F.sequence(F.col("__lo"), F.col("__hi"), step)).alias("__tick"),
+            F.lit(None).cast("timestamp").alias("__ts"),
+            F.lit(None)
+            .cast(
+                "struct<"
+                + ",".join(
+                    f"{c}:{df.schema[c].dataType.simpleString()}" for c in value_cols
+                )
+                + ">"
+            )
+            .alias("__v"),
+        )
+    )
+    # the spine row sorts after its bucket's observations (nulls last),
+    # so the bucket's own observations are visible to it and the latest
+    # one wins; gap ticks inherit from earlier buckets.
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(F.col("__tick").asc(), F.col("__ts").asc_nulls_last())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = spine.unionByName(obs).select(
+        key_col,
+        "__tick",
+        "__ts",
+        F.last("__v", ignorenulls=True).over(w).alias("__fill"),
+    )
+    return (
+        filled.where(F.col("__ts").isNull())  # keep spine rows only
+        .select(
+            F.col(key_col),
+            F.col("__tick").alias("tick"),
+            *[F.col(f"__fill.{c}").alias(c) for c in value_cols],
+        )
+    )

@@ -1,0 +1,198 @@
+"""Distinct-count sketches: HyperLogLog and threshold (theta-style)
+sampling, built on a cross-engine deterministic hash.
+
+At 100 TB, ``COUNT(DISTINCT user_id)`` per group is a full shuffle of
+every (group, user) pair; a sketch reduces it to a bounded per-group
+state with map-side partial aggregation — the canonical trade. Both
+sketches here are *deterministic* (md5-derived 60-bit hash, integer
+register arithmetic), so a DuckDB oracle can replay the identical
+computation and the driver's value-hash gate applies — unlike Spark's
+built-in ``approx_count_distinct`` whose HLL++ state is opaque and
+engine-specific.
+
+HLL (``hll_distinct``): register index = low ``p`` hash bits, rho =
+leading-zero rank of the remaining ``60-p`` bits (computed exactly via
+``length(bin(w))`` — no float log2), per-register MAX, then the
+standard bias-corrected harmonic mean with linear-counting fallback
+for the small range. The register sum Σ 2^(62-M_j) is kept in
+DECIMAL(38,0) so it is exact in both engines regardless of the
+register visit order (a double accumulator would be order-sensitive
+once registers span > 53 doublings).
+
+Plan shape: groupBy(group, register) MAX — map-side combine collapses
+each partition to ≤ |groups|·2^p rows before the only shuffle — then a
+tiny groupBy(group) fold. This is exactly how a distributed HLL
+implementation merges sketches (register-wise max is the merge op).
+
+Threshold sketch (``theta_distinct``): keep values whose hash falls
+below ``2^60 / rate``, count the survivors exactly, scale by ``rate``.
+The filter is map-side, so only ~1/rate of the distinct values ever
+shuffle — the KMV/theta-sketch idea with a fixed threshold, which
+keeps it deterministic and mergeable (union = union of survivor sets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# 2^62 as the fixed-point scale for the harmonic-mean sum: 2^(62-M) is
+# an exact BIGINT for every M >= 0 (M <= 61 always, since rho <= 60-p+1).
+_SCALE_POW = 62
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit non-negative hash: first 15 hex digits of
+    md5 of the string form. The DuckDB twin is
+    ``('0x' || substr(md5(v), 1, 15))::BIGINT`` — identical bits."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15), 16, 10).cast("bigint")
+
+
+def _alpha(m: int) -> float:
+    if m <= 16:
+        return 0.673
+    if m <= 32:
+        return 0.697
+    if m <= 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HLL cardinality estimate with 2^p registers.
+
+    Returns (group_cols..., hll_estimate double). The estimate is the
+    Flajolet HLL bias-corrected form with linear counting below 2.5m;
+    rounded to 4 digits (the raw expression is evaluated in the same
+    operation order by the oracle, but rounding removes any residual
+    decimal→double conversion risk).
+    """
+    m = 1 << p
+    L = 60 - p  # width of the rho word
+    h = hash60(F.col(value_col))
+    reg = (h % m).alias("__reg")
+    # w = high 60-p bits via shiftright — exact (a float division would
+    # corrupt the low bits once h exceeds 2^53)
+    regs = df.select(
+        *group_cols,
+        reg,
+        F.shiftright(h, p).alias("__w"),
+    ).withColumn(
+        # rho = 1-based position of the leftmost 1-bit in the L-bit word,
+        # L+1 if the word is zero. length(bin(w)) = floor(log2 w)+1 —
+        # integer-exact, no float log.
+        "__rho",
+        F.lit(L + 1)
+        - F.when(F.col("__w") == 0, F.lit(0)).otherwise(
+            F.length(F.bin(F.col("__w")))
+        ),
+    )
+    per_reg = regs.groupBy(*group_cols, "__reg").agg(F.max("__rho").alias("__M"))
+    folded = per_reg.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__present"),
+        F.sum(
+            F.shiftleft(F.lit(1).cast("bigint"), _SCALE_POW - F.col("__M")).cast(
+                "decimal(38,0)"
+            )
+        ).alias("__s_present"),
+    )
+    # empty registers contribute 2^62 each (M=0); V = zero-register count
+    alpha = _alpha(m)
+    s_total = (
+        F.col("__s_present")
+        + (F.lit(m) - F.col("__present")).cast("decimal(38,0)")
+        * F.lit(1 << _SCALE_POW).cast("decimal(38,0)")
+    )
+    v_zero = (F.lit(m) - F.col("__present")).cast("double")
+    e_raw = (
+        F.lit(float(alpha * m * m))
+        * F.lit(float(1 << _SCALE_POW))
+        / s_total.cast("double")
+    )
+    estimate = F.when(
+        (e_raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero),
+    ).otherwise(e_raw)
+    return folded.select(
+        *group_cols,
+        F.round(estimate, 4).alias("hll_estimate"),
+    )
+
+
+def hll_oracle_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+) -> str:
+    """DuckDB twin of ``hll_distinct`` — the identical arithmetic,
+    expressed over the same md5-derived hash, for the correctness gate."""
+    m = 1 << p
+    L = 60 - p
+    alpha = _alpha(m)
+    g = ", ".join(group_cols)
+    return f"""
+WITH hashed AS (
+  SELECT {g},
+         ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT AS h
+  FROM {table}
+),
+regs AS (
+  SELECT {g}, h % {m} AS reg, h // {m} AS w FROM hashed
+),
+rho AS (
+  SELECT {g}, reg,
+         {L + 1} - (CASE WHEN w = 0 THEN 0 ELSE length(bin(w)) END) AS rho
+  FROM regs
+),
+per_reg AS (
+  SELECT {g}, reg, max(rho) AS M FROM rho GROUP BY {g}, reg
+),
+folded AS (
+  SELECT {g},
+         count(*) AS present,
+         sum(CAST(1::BIGINT << ({_SCALE_POW} - M) AS DECIMAL(38,0))) AS s_present
+  FROM per_reg GROUP BY {g}
+)
+SELECT {g},
+       round(
+         CASE WHEN ({alpha * m * m!r} * {float(1 << _SCALE_POW)!r}
+                    / CAST(s_present
+                           + CAST({m} - present AS DECIMAL(38,0))
+                             * CAST({1 << _SCALE_POW}::BIGINT AS DECIMAL(38,0))
+                           AS DOUBLE)) <= {2.5 * m}
+                   AND ({m} - present) > 0
+              THEN {float(m)!r} * ln({float(m)!r} / CAST({m} - present AS DOUBLE))
+              ELSE ({alpha * m * m!r} * {float(1 << _SCALE_POW)!r}
+                    / CAST(s_present
+                           + CAST({m} - present AS DECIMAL(38,0))
+                             * CAST({1 << _SCALE_POW}::BIGINT AS DECIMAL(38,0))
+                           AS DOUBLE))
+         END, 4) AS hll_estimate
+FROM folded
+"""
+
+
+def theta_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    rate: int = 16,
+) -> DataFrame:
+    """Per-group threshold-sampled distinct estimate: exact distinct
+    over the ~1/rate of values whose 60-bit hash < 2^60/rate, scaled.
+
+    Map-side filter → only survivors shuffle; the survivor set is the
+    sketch state (mergeable by union). Returns
+    (group_cols..., theta_estimate bigint)."""
+    threshold = (1 << 60) // rate
+    h = hash60(F.col(value_col))
+    kept = df.select(*group_cols, h.alias("__h")).where(F.col("__h") < threshold)
+    return kept.groupBy(*group_cols).agg(
+        (F.count_distinct(F.col("__h")) * rate).alias("theta_estimate")
+    )

@@ -457,3 +457,40 @@ def pack_sequences(
         F.max(id_col).alias("last_doc"),
     )
     return out
+
+
+def char_entropy(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Shannon entropy of the character distribution per document — a
+    cheap perplexity proxy: machine-generated/repetitive text scores
+    low, natural prose lands ~4 bits, random noise high. A standard
+    heuristic quality filter in pretraining pipelines (the entropy
+    analog of the repetition ratios in ``repetition_stats``).
+
+    Plan: explode to one row per character, two-level hash aggregation
+    ((doc, char) counts, then the entropy fold per doc). Both aggs have
+    map-side partial combine; the char-level row count is bounded by
+    corpus bytes, so this scans like a tokenizer pass, not a join.
+    Entropy is rounded to 6 digits — the cross-engine float-sum
+    contract for the oracle hash.
+    """
+    chars = df.select(
+        F.col(id_col),
+        F.explode(F.split(F.col(text_col), "")).alias("__ch"),
+    )
+    counts = chars.groupBy(id_col, "__ch").agg(F.count(F.lit(1)).alias("__n"))
+    per_doc = counts.groupBy(id_col).agg(
+        F.sum("__n").alias("__total"),
+        F.sum(F.col("__n") * F.log2("__n")).alias("__sum_nlogn"),
+    )
+    # H = log2(N) - (1/N)·Σ n·log2(n): one pass, no per-char division.
+    return per_doc.select(
+        F.col(id_col),
+        F.col("__total").cast("bigint").alias("n_chars_counted"),
+        F.round(
+            F.log2("__total") - F.col("__sum_nlogn") / F.col("__total"), 6
+        ).alias("char_entropy_bits"),
+    )

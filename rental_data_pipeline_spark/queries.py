@@ -642,3 +642,4 @@ from rental_data_pipeline_spark import queries_extract  # noqa: E402,F401
 from rental_data_pipeline_spark import queries_streaming  # noqa: E402,F401
 from rental_data_pipeline_spark import queries_scalar2  # noqa: E402,F401
 from rental_data_pipeline_spark import queries_pipeline  # noqa: E402,F401
+from rental_data_pipeline_spark import queries_timeseries  # noqa: E402,F401
