@@ -207,7 +207,13 @@ def merge_listings(
     def tgt_val(c: Column) -> Column:
         return F.max_by(F.struct(c.alias("v")), F.when(~is_src, F.lit(0)))["v"]
 
-    upd_str = F.date_format(upd, "yyyy-MM-dd HH:mm:ss") if upd_type == "timestamp" else upd.cast("string")
+    # startswith covers TIMESTAMP_NTZ (tz-naive parquet) as well as LTZ;
+    # second resolution matches the reference's %Y-%m-%d %H:%M:%S format.
+    upd_str = (
+        F.date_format(upd, "yyyy-MM-dd HH:mm:ss")
+        if upd_type.startswith("timestamp")
+        else upd.cast("string")
+    )
 
     aggs: list[Column] = [F.max(F.when(~is_src, F.lit(1))).isNotNull().alias("__has_tgt")]
     for name, _ in columns:

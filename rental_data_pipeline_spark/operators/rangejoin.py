@@ -54,8 +54,12 @@ def point_in_interval_join(
     # bin index = how many whole bin_widths since epoch; works for both
     # numeric and timestamp axes (timestamps divide via unix micros).
     if dict(points.dtypes)[point_col].startswith("timestamp"):
+        # cast covers TIMESTAMP_NTZ (tz-naive parquet), which unix_micros
+        # rejects; an ntz->ltz session-tz shift applies equally to points
+        # and interval bounds, so bin alignment is preserved.
+        mu = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
         to_bin = lambda c: F.floor(  # noqa: E731
-            F.unix_micros(c) / F.unix_micros(F.to_timestamp(F.lit("1970-01-01")) + bin_width)
+            mu(c) / mu(F.to_timestamp(F.lit("1970-01-01")) + bin_width)
         )
     else:
         to_bin = lambda c: F.floor(c / bin_width)  # noqa: E731

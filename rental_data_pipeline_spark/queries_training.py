@@ -473,7 +473,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        count(*) AS n_events,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        round(avg(CAST(json_extract(props, '$.k') AS BIGINT)), 6) AS avg_k
 FROM events
 GROUP BY event_type
@@ -1046,7 +1046,7 @@ c AS (SELECT doc_id, n_tokens,
              sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum
       FROM t)
 SELECT CAST(floor((cum - n_tokens) / 512.0) AS BIGINT) AS bin_id,
-       count(*) AS n_docs, sum(n_tokens) AS total_tokens,
+       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        min(doc_id) AS first_doc, max(doc_id) AS last_doc
 FROM c GROUP BY 1
 """,
