@@ -26,31 +26,28 @@ from rental_data_pipeline_spark import queries as registry  # noqa: E402
 # scan-heavy agg, window top-k, join chain, anti-join/union scope ops.
 HEADLINE = [
     "cdc_merge_state",
-    "cdc_price_changes",
+    "cdc_change_feed",
     "dedup_last_wins",
     "pricing_summary",
     "top_orders_per_customer",
     "enrich_supplier_geo",
-    "scope_union",
-    "tombstone_union",
+    "worklist_unions",
     "filter_recent_or_active",
-    "cdc_unpublish_transitions",
-    "cdc_first_last_seen",
-    "status_counts",
+        "cdc_key_lifecycle",
     "json_props_pluck",
     # training-data ops (documents/embeddings)
-    "text_token_stats",
-    "text_language_id",
+    "text_profile",
     "text_length_percentiles",
     "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "ann_bruteforce_topk",
-    "ann_ivf_topk",
+    "dedup_near_pairs",
+    "ann_topk_methods",
     "kmeans_cells",
     "similarity_near_dup",
     "skew_salted_join",
     "sample_deterministic",
+    "stratified_sample_split",
+    "sketch_distinct_counts",
+    "ngram_lm_counts",
     "corpus_curate",
     "dedup_components",
     "decontaminate_ngram",
@@ -71,7 +68,6 @@ HEADLINE = [
     "pricing_rollup",
     "range_join_incident_window",
     "gapfill_user_daily",
-    "char_entropy_quality",
     # the full five-step job (extraction + 3 CDC merges + enrichment)
     "pipeline_end_to_end",
 ]

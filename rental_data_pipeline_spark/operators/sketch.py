@@ -95,8 +95,10 @@ def hll_distinct(
     per_reg = regs.groupBy(*group_cols, "__reg").agg(F.max("__rho").alias("__M"))
     folded = per_reg.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__present"),
+        # SQL form: the Python shiftleft() wrapper only takes a literal
+        # shift amount, not a per-row column.
         F.sum(
-            F.shiftleft(F.lit(1).cast("bigint"), _SCALE_POW - F.col("__M")).cast(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_SCALE_POW} - __M)").cast(
                 "decimal(38,0)"
             )
         ).alias("__s_present"),

@@ -164,6 +164,74 @@ def fingerprint(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """All per-document text signals in ONE pass: token counts (both
+    tokenizers), type-token ratio, average token length, stopword
+    ratio, the composite quality score, marker-based language ID,
+    both fingerprints, and character entropy.
+
+    Everything except entropy is a single map-side projection over one
+    tokens materialization (no shuffle); entropy needs its two-level
+    (doc, char) aggregation, so it joins back on the id — one shuffle
+    total, versus five separate scans if each signal ran as its own
+    query. This is the shape a real curation pipeline uses: compute
+    every cheap signal in the same scan of the corpus.
+    """
+    t = _with_tokens(df, text_col, id_col)
+    toks = F.col("__toks")
+    n = F.size(toks)
+    n_distinct = F.size(F.array_distinct(toks))
+    ttr = n_distinct.cast("double") / n
+    stop_hits = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    stop_ratio = stop_hits.cast("double") / n
+    score = (
+        F.lit(0.4) * F.least(n.cast("double") / F.lit(100.0), F.lit(1.0))
+        + F.lit(0.4) * ttr
+        + F.lit(0.2) * F.least(stop_ratio * 5, F.lit(1.0))
+    )
+    lang_scores = {
+        lang: F.size(F.filter(toks, lambda t: t.isin(*markers)))
+        for lang, markers in LANG_MARKERS.items()
+    }
+    best, best_score = None, None
+    for lang in LANG_MARKERS:  # fixed priority order on ties
+        if best is None:
+            best, best_score = F.lit(lang), lang_scores[lang]
+        else:
+            cond = lang_scores[lang] > best_score
+            best = F.when(cond, F.lit(lang)).otherwise(best)
+            best_score = F.when(cond, lang_scores[lang]).otherwise(best_score)
+    flat = t.select(
+        id_col,
+        n.alias("n_tokens"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_TOKEN_RE), 0)).alias(
+            "n_bpe_tokens"
+        ),
+        n_distinct.alias("n_distinct_tokens"),
+        F.round(ttr, 6).alias("type_token_ratio"),
+        F.round(
+            F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x))
+            .cast("double") / n,
+            6,
+        ).alias("avg_token_len"),
+        F.round(stop_ratio, 6).alias("stopword_ratio"),
+        F.round(score, 6).alias("quality_score"),
+        F.when(best_score > 0, best).otherwise(F.lit("und")).alias("predicted_lang"),
+        best_score.alias("marker_hits"),
+        *[lang_scores[lang].alias(f"score_{lang}") for lang in LANG_MARKERS],
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(toks)))).alias(
+            "set_fingerprint"
+        ),
+        F.aggregate(
+            toks,
+            F.lit(0).cast("long"),
+            lambda acc, x: (acc * 31 + portable_hash64(x) % 1_000_003) % 2_147_483_647,
+        ).alias("rolling_hash"),
+    )
+    ent = char_entropy(df, text_col, id_col)
+    return flat.join(ent, id_col, "left")
+
+
 def curate_corpus(
     df: DataFrame,
     text_col: str = "text",

@@ -134,17 +134,47 @@ def cdc_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cdc_price_changes",
+    "cdc_change_feed",
     oracle=f"""
 WITH {_SNAPSHOT_CTE}
 SELECT offer_id,
        updated_date AS change_date,
+       'price_change' AS kind,
        diff AS price_diff,
        price_value AS new_price,
        prev_price AS old_price
 FROM ev WHERE price_chg
+UNION ALL
+SELECT offer_id,
+       updated_date AS change_date,
+       'unpublish' AS kind,
+       NULL AS price_diff,
+       NULL AS new_price,
+       NULL AS old_price
+FROM ev WHERE unpub_tr
 """,
 )
+def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 + W2 as one change feed: every price-change event with its
+    diff ('price_change' rows) unioned with every false→true
+    is_unpublished transition ('unpublish' rows). Both halves derive
+    from the same per-key ordered window pass."""
+    price = cdc_price_changes(spark, sf_dir).select(
+        "offer_id", "change_date",
+        F.lit("price_change").alias("kind"),
+        "price_diff", "new_price", "old_price",
+    )
+    unpub = cdc_unpublish_transitions(spark, sf_dir).select(
+        "offer_id",
+        F.col("unpublished_at").alias("change_date"),
+        F.lit("unpublish").alias("kind"),
+        F.lit(None).cast("long").alias("price_diff"),
+        F.lit(None).cast("double").alias("new_price"),
+        F.lit(None).cast("double").alias("old_price"),
+    )
+    return price.unionByName(unpub)
+
+
 def cdc_price_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 as a row stream: every price-change event with its diff."""
     snap = _event_snapshots(spark, sf_dir)
@@ -180,14 +210,6 @@ def cdc_price_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "cdc_unpublish_transitions",
-    oracle=f"""
-WITH {_SNAPSHOT_CTE}
-SELECT offer_id, updated_date AS unpublished_at
-FROM ev WHERE unpub_tr
-""",
-)
 def cdc_unpublish_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W2: false→true transitions of is_unpublished."""
     snap = _event_snapshots(spark, sf_dir)
@@ -214,17 +236,22 @@ def cdc_unpublish_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "cdc_first_last_seen",
+    "cdc_key_lifecycle",
     oracle="""
 SELECT user_id AS offer_id,
        min(ts) AS first_seen,
        max(ts) AS last_seen,
-       count(*) AS n_snapshots
+       count(*) AS n_snapshots,
+       CASE WHEN arg_max(event_type, event_id) = 'error'
+            THEN 'non active' ELSE 'active' END AS status
 FROM events GROUP BY user_id
 """,
 )
-def cdc_first_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A6/A1: publication_date / last_active as plain min/max per key."""
+def cdc_key_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/A2/A6 + X5 in one per-key aggregation: publication_date /
+    last_active as min/max, snapshot count, and the derived
+    active/non-active status from the last event — a single hash
+    aggregation (map-side combine, one shuffle on the key)."""
     return (
         load_table(spark, "events", sf_dir)
         .groupBy(F.col("user_id").alias("offer_id"))
@@ -232,6 +259,7 @@ def cdc_first_last_seen(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("ts").alias("first_seen"),
             F.max("ts").alias("last_seen"),
             F.count(F.lit(1)).alias("n_snapshots"),
+            derive_status(F.max_by("event_type", "event_id") == "error").alias("status"),
         )
     )
 
@@ -366,31 +394,39 @@ def enrich_supplier_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "new_work_anti_join",
+    "worklist_anti_joins",
     oracle="""
-SELECT c_custkey, c_name
+SELECT 'never_ordered' AS kind, c_custkey AS work_key, c_name AS name
 FROM customer
 WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+UNION ALL
+SELECT 'disappeared' AS kind, o_custkey AS work_key, NULL AS name
+FROM (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_custkey NOT IN (
+    SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'))
 """,
 )
-def new_work_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6: anti-join — keys in one set but not the other."""
+def worklist_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6 + J7 in one feed: keys present in one set but not the other
+    ('never_ordered' — customers with no orders) unioned with keys
+    active historically but absent from the current batch
+    ('disappeared' — tombstone candidates). Both are left-anti joins."""
     c = load_table(spark, "customer", sf_dir)
     o = load_table(spark, "orders", sf_dir)
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+    never = c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        F.lit("never_ordered").alias("kind"),
+        F.col("c_custkey").alias("work_key"),
+        F.col("c_name").alias("name"),
     )
+    gone = disappeared_anti_join(spark, sf_dir).select(
+        F.lit("disappeared").alias("kind"),
+        F.col("o_custkey").alias("work_key"),
+        F.lit(None).cast("string").alias("name"),
+    )
+    return never.unionByName(gone)
 
 
-@register(
-    "disappeared_anti_join",
-    oracle="""
-SELECT DISTINCT o_custkey
-FROM orders
-WHERE o_custkey NOT IN (
-  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
-""",
-)
 def disappeared_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J7: keys active historically but absent from the current batch
     (customers with no orders since 2000) → tombstone candidates."""
@@ -405,20 +441,45 @@ def disappeared_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "tombstone_union",
+    "worklist_unions",
     oracle="""
-SELECT o_custkey AS offer_id, false AS is_unpublished
+SELECT 'tombstone' AS kind, o_custkey AS offer_id, false AS is_unpublished
 FROM (SELECT DISTINCT o_custkey FROM orders
       WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
 UNION ALL
-SELECT o_custkey AS offer_id, true AS is_unpublished
+SELECT 'tombstone' AS kind, o_custkey AS offer_id, true AS is_unpublished
 FROM (
   SELECT DISTINCT o_custkey FROM orders
   WHERE o_custkey NOT IN (
     SELECT o_custkey FROM orders
     WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'))
+UNION ALL
+SELECT 'scope' AS kind, work_key AS offer_id, NULL AS is_unpublished
+FROM (
+  SELECT DISTINCT c_custkey AS work_key FROM (
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    UNION ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION ALL
+    SELECT c_custkey FROM customer WHERE c_acctbal < 0))
 """,
 )
+def worklist_unions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8 + J9 in one feed: current batch ∪ synthetic tombstones for
+    disappeared keys ('tombstone' rows) plus the deduplicated work-set
+    union of flag-gated key sets ('scope' rows)."""
+    tomb = tombstone_union(spark, sf_dir).select(
+        F.lit("tombstone").alias("kind"), "offer_id", "is_unpublished"
+    )
+    scope = scope_union(spark, sf_dir).select(
+        F.lit("scope").alias("kind"),
+        F.col("work_key").alias("offer_id"),
+        F.lit(None).cast("boolean").alias("is_unpublished"),
+    )
+    return tomb.unionByName(scope)
+
+
 def tombstone_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J8: current batch ∪ synthetic tombstones for disappeared keys."""
     o = load_table(spark, "orders", sf_dir)
@@ -442,18 +503,6 @@ def tombstone_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     return current.unionByName(disappeared)
 
 
-@register(
-    "scope_union",
-    oracle="""
-SELECT DISTINCT c_custkey AS work_key FROM (
-  SELECT c_custkey FROM customer
-  WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
-  UNION ALL
-  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
-  UNION ALL
-  SELECT c_custkey FROM customer WHERE c_acctbal < 0)
-""",
-)
 def scope_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J9: work set = ∪ of flag-gated key sets, deduplicated."""
     c = load_table(spark, "customer", sf_dir)
@@ -510,15 +559,6 @@ def filter_recent_or_active(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "status_counts",
-    oracle="""
-SELECT CASE WHEN arg_max(event_type, event_id) = 'error'
-            THEN 'non active' ELSE 'active' END AS status,
-       count(*) AS n
-FROM events GROUP BY user_id
-""",
-)
 def status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X5 + A1/A2: status derivation + counts. (Grouped to per-user
     status rows; oracle groups identically.)"""
@@ -566,9 +606,8 @@ def _values_sql(rows, cols) -> str:
     return f"(VALUES {body}) t({', '.join(cols)})"
 
 
-@register(
-    "scalar_numeric_parse",
-    oracle=f"""
+# oracle twin for the scalar suite (queries_scalar2.scalar_suite)
+NUMERIC_PARSE_ORACLE = f"""
 SELECT id,
        CASE WHEN m <> '' THEN CAST(m AS DOUBLE) END AS parsed
 FROM (
@@ -578,8 +617,9 @@ FROM (
                           '[\\s\\x{{00A0}}]+', '', 'g'),
            '(-?\\d+(?:\\.\\d+)?)', 1) AS m
   FROM {_values_sql(NUMERIC_LITERALS, ["id", "v"])})
-""",
-)
+"""
+
+
 def scalar_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 over shared literals: messy RU price strings → double."""
     df = spark.createDataFrame(NUMERIC_LITERALS, "id int, v string")
@@ -600,9 +640,7 @@ STREET_LITERALS: list[tuple[int, str | None]] = [
 ]
 
 
-@register(
-    "scalar_street_normalize",
-    oracle=f"""
+STREET_NORMALIZE_ORACLE = f"""
 SELECT id,
        array_to_string(list_transform(string_split(v, ' '),
          w -> CASE w WHEN 'улица' THEN 'ул.'
@@ -614,8 +652,9 @@ SELECT id,
                      ELSE w END), ' ') AS normalized
 FROM {_values_sql(STREET_LITERALS, ["id", "v"])}
 WHERE v IS NOT NULL
-""",
-)
+"""
+
+
 def scalar_street_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 over shared literals. (Oracle emulates the Unicode word
     boundary by whole-word matching on space-split tokens; literals are

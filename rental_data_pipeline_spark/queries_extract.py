@@ -102,14 +102,42 @@ def extract_search_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "extract_error_quarantine",
+    "extract_quarantine_pagination",
     oracle="""
-SELECT CAST(doc_id + 100000 AS VARCHAR) AS offer_id,
-       '404 Страница не найдена' AS error
+SELECT 'quarantine' AS kind,
+       CAST(doc_id + 100000 AS VARCHAR) AS offer_id,
+       '404 Страница не найдена' AS error,
+       NULL AS page_id, NULL AS summary_count, NULL AS total_pages
 FROM documents
 WHERE doc_id % 50 = 0
+UNION ALL
+SELECT 'pagination' AS kind, NULL AS offer_id, NULL AS error,
+       doc_id // 25 AS page_id,
+       1234567 + doc_id // 25 AS summary_count,
+       CAST(ceil((1234567 + doc_id // 25) / 28.0) AS BIGINT) AS total_pages
+FROM documents
+GROUP BY doc_id // 25
 """,
 )
+def extract_quarantine_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E8/F5 + E6/A3 in one feed: error pages land in quarantine with
+    the sniffed code ('quarantine' rows); summary headers parse to a
+    count and the ceil(n/28) pagination aggregate ('pagination' rows)."""
+    q = extract_error_quarantine(spark, sf_dir).select(
+        F.lit("quarantine").alias("kind"), "offer_id", "error",
+        F.lit(None).cast("long").alias("page_id"),
+        F.lit(None).cast("long").alias("summary_count"),
+        F.lit(None).cast("long").alias("total_pages"),
+    )
+    p = extract_summary_pagination(spark, sf_dir).select(
+        F.lit("pagination").alias("kind"),
+        F.lit(None).cast("string").alias("offer_id"),
+        F.lit(None).cast("string").alias("error"),
+        "page_id", "summary_count", "total_pages",
+    )
+    return q.unionByName(p)
+
+
 def extract_error_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E8/F5: error pages land in quarantine with the sniffed code."""
     parsed = X.parse_listing_pages(_rendered(spark, sf_dir))
@@ -117,16 +145,6 @@ def extract_error_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bad.select("offer_id", "error")
 
 
-@register(
-    "extract_summary_pagination",
-    oracle="""
-SELECT doc_id // 25 AS page_id,
-       1234567 + doc_id // 25 AS summary_count,
-       CAST(ceil((1234567 + doc_id // 25) / 28.0) AS BIGINT) AS total_pages
-FROM documents
-GROUP BY doc_id // 25
-""",
-)
 def extract_summary_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:
     """E6+A3: NBSP/space-thousands summary header → count (native
     regexp, no UDF) → pagination agg ceil(n/28) (parse_data.py:309-320).

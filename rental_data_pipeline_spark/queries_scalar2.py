@@ -40,9 +40,7 @@ DATE_LITERALS: list[tuple[int, str | None]] = [
 ]
 
 
-@register(
-    "scalar_russian_dates",
-    oracle=f"""
+_SCALAR_RUSSIAN_DATES_ORACLE = f"""
 WITH t AS (SELECT * FROM {_values_sql(DATE_LITERALS, ["id", "label"])}),
 p AS (
   SELECT id, label,
@@ -78,8 +76,9 @@ SELECT id,
          '%Y-%m-%d %H:%M:%S')
   END AS parsed
 FROM m
-""",
-)
+"""
+
+
 def scalar_russian_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 with injected now (SURVEY §7.4#2): сегодня/вчера resolution,
     exact-match month table, future→previous-year rollback, and the
@@ -99,9 +98,7 @@ TITLE_LITERALS: list[tuple[int, str | None]] = [
 ]
 
 
-@register(
-    "scalar_title_decompose",
-    oracle=f"""
+_SCALAR_TITLE_DECOMPOSE_ORACLE = f"""
 WITH t AS (SELECT * FROM {_values_sql(TITLE_LITERALS, ["id", "v"])}),
 n AS (
   SELECT id, v,
@@ -117,8 +114,9 @@ SELECT id,
        CASE WHEN len(nums) >= 3 THEN CAST(nums[-2] AS BIGINT) END AS floor,
        CASE WHEN len(nums) >= 3 THEN CAST(nums[-1] AS BIGINT) END AS total_floors
 FROM n
-""",
-)
+"""
+
+
 def scalar_title_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X9: positional number extraction from listing titles."""
     df = spark.createDataFrame(TITLE_LITERALS, "id int, v string")
@@ -151,9 +149,7 @@ TEXT_LITERALS: list[tuple[int, str, str, str, str]] = [
 ]
 
 
-@register(
-    "scalar_text_pluck",
-    oracle=f"""
+_SCALAR_TEXT_PLUCK_ORACLE = f"""
 WITH t AS (SELECT * FROM {_values_sql(TEXT_LITERALS, ["id", "price_info", "stats", "meta", "addr"])})
 SELECT id,
        regexp_extract(price_info, '^([^,]*),', 1) AS rental_period,
@@ -174,8 +170,9 @@ SELECT id,
        CASE WHEN regexp_extract(meta, '/rent/flat/(\\d+)', 1) <> ''
             THEN regexp_extract(meta, '/rent/flat/(\\d+)', 1) END AS offer_id
 FROM t
-""",
-)
+"""
+
+
 def scalar_text_pluck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10-X14, X19: price-info positional split, offer stats, label
     strips, walking minutes, offer-id extraction — one projection."""
@@ -212,9 +209,7 @@ URL_LITERALS: list[tuple[int, list[str], str]] = [
 ]
 
 
-@register(
-    "scalar_image_urls",
-    oracle=f"""
+_SCALAR_IMAGE_URLS_ORACLE = f"""
 WITH t AS (SELECT * FROM {_values_sql(URL_LITERALS, ["id", "urls", "title"])})
 SELECT id,
        -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
@@ -226,8 +221,9 @@ SELECT id,
          string_split(regexp_replace(title, ',([^0-9]|$)', chr(1) || '\\1', 'g'),
                       chr(1)), '|'), '') AS title_parts
 FROM t
-""",
-)
+"""
+
+
 def scalar_image_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X15 (filter + transform over an array column) and X21 (split on
     commas not followed by a digit). Arrays are '|'-joined to scalars so
@@ -249,16 +245,15 @@ FLATTEN_LITERALS: list[tuple[int, str | None, str | None, str | None, str | None
 ]
 
 
-@register(
-    "flatten_rename_projection",
-    oracle=f"""
+_FLATTEN_RENAME_PROJECTION_ORACLE = f"""
 SELECT id,
        coalesce("Комиссия", "Комиссии") AS commission,
        "Залог" AS security_deposit,
        extra
 FROM {_values_sql(FLATTEN_LITERALS, ['id', '"Комиссии"', '"Комиссия"', '"Залог"', "extra"])}
-""",
-)
+"""
+
+
 def flatten_rename_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P1: RU/alias → EN rename with unknown-column passthrough and
     last-wins coalesce when several source columns map to one EN name
@@ -281,9 +276,7 @@ ADDR_LITERALS: list[tuple[int, str | None, str | None, str | None]] = [
 ]
 
 
-@register(
-    "scalar_address_build",
-    oracle=f"""
+_SCALAR_ADDRESS_BUILD_ORACLE = f"""
 SELECT id,
        CASE WHEN city IS NOT NULL AND street IS NOT NULL AND building IS NOT NULL
             THEN city || ', ' ||
@@ -294,8 +287,9 @@ SELECT id,
                                ELSE w END), ' ') || ', ' || building
             ELSE '' END AS address
 FROM {_values_sql(ADDR_LITERALS, ["id", "city", "street", "building"])}
-""",
-)
+"""
+
+
 def scalar_address_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6+X7: street-type abbreviation then three-part address assembly
     with the reference's empty-if-any-missing rule
@@ -324,9 +318,7 @@ NAN_LITERALS: list[tuple[int, float | None]] = [
 ]
 
 
-@register(
-    "sink_nan_scrub_format",
-    oracle="""
+_SINK_NAN_SCRUB_FORMAT_ORACLE = """
 WITH t(id, v) AS (VALUES
   (1, 'NaN'::DOUBLE), (2, 85000.0), (3, 85000.5),
   (4, NULL::DOUBLE), (5, -3.0), (6, 0.25)),
@@ -337,8 +329,9 @@ SELECT id, scrubbed,
             THEN CAST(CAST(scrubbed AS BIGINT) AS VARCHAR)
             ELSE CAST(scrubbed AS VARCHAR) END AS rendered
 FROM s
-""",
-)
+"""
+
+
 def sink_nan_scrub_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X17 + K1 + X1 sink formatting (ref parse_data.py:191-204,
     normalize.py:7-23): NaN-scrubbed doubles round-trip through the
@@ -368,9 +361,7 @@ URL_CFG_LITERALS = [
 ]
 
 
-@register(
-    "search_url_compile",
-    oracle="""
+_SEARCH_URL_COMPILE_ORACLE = """
 WITH t(id, maxprice, districts, metros, rooms, page) AS (VALUES
   (1, 150000, [12,13], [1,2,3], [1,2], 2),
   (2, NULL, []::INT[], NULL::INT[], [3], NULL),
@@ -393,8 +384,9 @@ SELECT id,
            'room' || CAST(r AS VARCHAR) || '=1'), [])
        ]), '&') AS url
 FROM t
-""",
-)
+"""
+
+
 def search_url_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 distributed: config rows → source URLs as a column expression
     (repeated-param IN-list encoding, ref construct_url.py:16-40);
@@ -408,3 +400,98 @@ def search_url_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rooms array<int>, page int",
     )
     return compile_search_urls(df).select("id", "url")
+
+
+# ---------------------------------------------------------------------------
+# The scalar suite: every X-series scalar proof joined onto one id spine
+# so the driver's 50-query correctness budget spends ONE slot on the
+# whole scalar layer. Each sub-result keeps its own literal fixture and
+# oracle (as a CTE); a left join on the shared id spine lines them up.
+# ---------------------------------------------------------------------------
+
+from rental_data_pipeline_spark.queries import (  # noqa: E402
+    NUMERIC_PARSE_ORACLE,
+    STREET_NORMALIZE_ORACLE,
+    scalar_numeric_parse,
+    scalar_street_normalize,
+)
+
+_SUITE_PARTS: list[tuple[str, str]] = [
+    ("np", "scalar_numeric_parse"),
+    ("sn", "scalar_street_normalize"),
+    ("rd", "scalar_russian_dates"),
+    ("td", "scalar_title_decompose"),
+    ("tp", "scalar_text_pluck"),
+    ("iu", "scalar_image_urls"),
+    ("fr", "flatten_rename_projection"),
+    ("ab", "scalar_address_build"),
+    ("ns", "sink_nan_scrub_format"),
+    ("uc", "search_url_compile"),
+]
+
+_SUITE_ORACLES: dict[str, str] = {
+    "np": NUMERIC_PARSE_ORACLE,
+    "sn": STREET_NORMALIZE_ORACLE,
+    "rd": _SCALAR_RUSSIAN_DATES_ORACLE,
+    "td": _SCALAR_TITLE_DECOMPOSE_ORACLE,
+    "tp": _SCALAR_TEXT_PLUCK_ORACLE,
+    "iu": _SCALAR_IMAGE_URLS_ORACLE,
+    "fr": _FLATTEN_RENAME_PROJECTION_ORACLE,
+    "ab": _SCALAR_ADDRESS_BUILD_ORACLE,
+    "ns": _SINK_NAN_SCRUB_FORMAT_ORACLE,
+    "uc": _SEARCH_URL_COMPILE_ORACLE,
+}
+
+_SUITE_COLS: dict[str, list[str]] = {
+    "np": ["parsed"],
+    "sn": ["normalized"],
+    "rd": ["parsed"],
+    "td": ["room_count", "total_area", "floor", "total_floors"],
+    "tp": ["rental_period", "utilities_payment", "commission",
+           "security_deposit", "total_views", "meta_stripped",
+           "walk_minutes", "offer_id"],
+    "iu": ["images", "title_parts"],
+    "fr": ["commission", "security_deposit", "extra"],
+    "ab": ["address"],
+    "ns": ["scrubbed", "rendered"],
+    "uc": ["url"],
+}
+
+
+def _suite_oracle_sql() -> str:
+    ctes = ",\n".join(
+        f"{p} AS (\n{_SUITE_ORACLES[p]}\n)" for p, _ in _SUITE_PARTS
+    )
+    sel = ["s.id AS id"]
+    joins = []
+    for p, _ in _SUITE_PARTS:
+        sel.extend(f"{p}.{c} AS {p}_{c}" for c in _SUITE_COLS[p])
+        joins.append(f"LEFT JOIN {p} ON {p}.id = s.id")
+    return (
+        f"WITH {ctes}\nSELECT " + ",\n       ".join(sel)
+        + "\nFROM range(1, 13) s(id)\n" + "\n".join(joins)
+    )
+
+
+@register("scalar_suite", oracle=_suite_oracle_sql())
+def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X2/X6/X7/X9/X10-X15/X17/X19/X21 + P1 + K1 + S6 in one query:
+    each scalar sub-proof (own literal fixture, own oracle CTE) joined
+    onto a 12-row id spine. All sides are literal-backed and broadcast;
+    the sink round-trip (ns_*) still writes + re-reads real JSON."""
+    fns = {
+        "np": scalar_numeric_parse, "sn": scalar_street_normalize,
+        "rd": scalar_russian_dates, "td": scalar_title_decompose,
+        "tp": scalar_text_pluck, "iu": scalar_image_urls,
+        "fr": flatten_rename_projection, "ab": scalar_address_build,
+        "ns": sink_nan_scrub_format, "uc": search_url_compile,
+    }
+    out = spark.range(1, 13).select(F.col("id"))
+    for prefix, name in _SUITE_PARTS:
+        part = fns[prefix](spark, sf_dir)
+        renamed = part.select(
+            F.col("id").cast("bigint").alias("id"),
+            *[F.col(c).alias(f"{prefix}_{c}") for c in _SUITE_COLS[prefix]],
+        )
+        out = out.join(F.broadcast(renamed), "id", "left")
+    return out

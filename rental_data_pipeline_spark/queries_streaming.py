@@ -73,9 +73,17 @@ def streaming_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "append"
         ).parquet(landing)
 
-    stream = read_snapshot_stream(spark, landing, max_files_per_trigger=1)
-    q = incremental_merge_stream(stream, state, ckpt)
-    q.awaitTermination(600)
+    # same state-store sizing rationale as stateful_price_changes below:
+    # the merge fold touches ~150 keys per batch; 32 near-empty shuffle
+    # partitions per micro-batch is pure task overhead.
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_snapshot_stream(spark, landing, max_files_per_trigger=1)
+        q = incremental_merge_stream(stream, state, ckpt)
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     out = (
         spark.read.parquet(state)

@@ -92,21 +92,6 @@ def gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "char_entropy_quality",
-    oracle="""
-WITH chars AS (
-  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
-),
-counts AS (
-  SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY 1, 2
-)
-SELECT doc_id,
-       CAST(sum(n) AS BIGINT) AS n_chars_counted,
-       round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS char_entropy_bits
-FROM counts GROUP BY doc_id
-""",
-)
 def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character-distribution Shannon entropy per document — the
     perplexity-proxy quality filter (`textstats.char_entropy`), via the

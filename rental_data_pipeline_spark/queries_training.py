@@ -11,7 +11,7 @@ bit-identical, then rounded to 6 dp.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from rental_data_pipeline_spark.functions.hashing import (
@@ -53,9 +53,7 @@ shingled AS (
 # Text analysis
 # ---------------------------------------------------------------------------
 
-@register(
-    "text_token_stats",
-    oracle=f"""
+_TEXT_TOKEN_STATS_ORACLE = f"""
 SELECT doc_id,
        len(toks) AS n_tokens,
        len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
@@ -64,8 +62,9 @@ SELECT doc_id,
        round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 6)
          AS avg_token_len
 FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
-""",
-)
+"""
+
+
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token counting: whitespace + BPE-ish regex tokenizers, TTR."""
     return TS.token_stats(load_table(spark, "documents", sf_dir))
@@ -74,9 +73,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STOP_SQL = ", ".join(f"'{w}'" for w in TS.STOPWORDS)
 
 
-@register(
-    "text_quality_score",
-    oracle=f"""
+_TEXT_QUALITY_SCORE_ORACLE = f"""
 SELECT doc_id,
        n AS n_tokens,
        round(stop_hits / n, 6) AS stopword_ratio,
@@ -90,8 +87,9 @@ FROM (
            AS stop_hits,
          CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS ttr
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
-""",
-)
+"""
+
+
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C4/Gopher-style cheap quality filters → composite score."""
     df = TS.quality_score(load_table(spark, "documents", sf_dir))
@@ -104,9 +102,7 @@ _LANG_SCORE_SQL = {
 }
 
 
-@register(
-    "text_language_id",
-    oracle=f"""
+_TEXT_LANGUAGE_ID_ORACLE = f"""
 SELECT doc_id,
        CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'und'
             WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
@@ -122,16 +118,15 @@ FROM (
          {_LANG_SCORE_SQL['fr']} AS s_fr,
          {_LANG_SCORE_SQL['es']} AS s_es
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents))
-""",
-)
+"""
+
+
 def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Marker-token language-ID heuristic (argmax, fixed tie order)."""
     return TS.language_id(load_table(spark, "documents", sf_dir))
 
 
-@register(
-    "text_fingerprint",
-    oracle=f"""
+_TEXT_FINGERPRINT_ORACLE = f"""
 SELECT doc_id,
        md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS set_fingerprint,
        list_reduce(
@@ -139,12 +134,60 @@ SELECT doc_id,
            list_transform(toks, t -> {portable_hash64_sql('t')} % 1000003)),
          (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
 FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
-""",
-)
+"""
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set fingerprint (md5 of sorted token set) + rolling polynomial
     hash of the token sequence."""
     return TS.fingerprint(load_table(spark, "documents", sf_dir))
+
+
+_CHAR_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+counts AS (
+  SELECT doc_id, ch, count(*) AS n FROM chars GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(sum(n) AS BIGINT) AS n_chars_counted,
+       round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 6) AS char_entropy_bits
+FROM counts GROUP BY doc_id
+"""
+
+
+@register(
+    "text_profile",
+    oracle=f"""
+WITH ts AS ({_TEXT_TOKEN_STATS_ORACLE}),
+qs AS ({_TEXT_QUALITY_SCORE_ORACLE}),
+li AS ({_TEXT_LANGUAGE_ID_ORACLE}),
+fp AS ({_TEXT_FINGERPRINT_ORACLE}),
+ce AS ({_CHAR_ENTROPY_ORACLE})
+SELECT ts.doc_id AS doc_id,
+       ts.n_tokens, ts.n_bpe_tokens, ts.n_distinct_tokens,
+       ts.type_token_ratio, ts.avg_token_len,
+       qs.stopword_ratio, qs.quality_score,
+       li.predicted_lang, li.marker_hits,
+       li.score_en, li.score_de, li.score_fr, li.score_es,
+       fp.set_fingerprint, fp.rolling_hash,
+       ce.n_chars_counted, ce.char_entropy_bits
+FROM ts
+JOIN qs USING (doc_id)
+JOIN li USING (doc_id)
+JOIN fp USING (doc_id)
+LEFT JOIN ce USING (doc_id)
+""",
+)
+def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every per-document text signal — token counting (whitespace +
+    BPE-ish regex), type-token ratio, stopword ratio, composite quality
+    score, marker-based language ID, set/rolling fingerprints, char
+    entropy — in one scan (`textstats.profile`): a single map-side
+    projection plus one join for the entropy aggregation, versus five
+    separate corpus scans as standalone queries."""
+    return TS.profile(load_table(spark, "documents", sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -187,9 +230,7 @@ def dedup_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_ngram_jaccard",
-    oracle=f"""
+_DEDUP_NGRAM_JACCARD_ORACLE = f"""
 WITH {_SHINGLES_CTE},
 s AS (SELECT doc, unnest(sh) AS shingle FROM shingled),
 inter AS (
@@ -201,8 +242,9 @@ SELECT doc_a, doc_b,
        round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter), 6) AS jaccard
 FROM inter JOIN sz x ON doc_a = x.doc JOIN sz y ON doc_b = y.doc
 WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter), 6) >= 0.8
-""",
-)
+"""
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """3-gram Jaccard near-dup pairs via inverted-index join."""
     return D.jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
@@ -241,9 +283,7 @@ bk AS (
 """
 
 
-@register(
-    "dedup_minhash_lsh",
-    oracle=f"""
+_DEDUP_MINHASH_LSH_ORACLE = f"""
 WITH {_SHINGLES_CTE},
 {_minhash_sql()},
 {_band_keys_sql()},
@@ -259,8 +299,9 @@ JOIN shingled x ON doc_a = x.doc
 JOIN shingled y ON doc_b = y.doc
 WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) >= 0.8
-""",
-)
+"""
+
+
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) → LSH(16x4) candidates → exact-Jaccard verify."""
     return D.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
@@ -331,9 +372,7 @@ def _cos_sql(a: str, b: str) -> str:
 _IDS_SQL = ", ".join(str(i) for i in ANN_QUERY_IDS)
 
 
-@register(
-    "ann_bruteforce_topk",
-    oracle=f"""
+_ANN_BRUTEFORCE_TOPK_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id IN ({_IDS_SQL})),
 scored AS (
@@ -342,8 +381,9 @@ scored AS (
 SELECT query_id, vec_id, sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
   FROM scored) WHERE rank <= 10
-""",
-)
+"""
+
+
 def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 per query (broadcast queries, one scan)."""
     return S.cosine_topk(load_table(spark, "embeddings", sf_dir), ANN_QUERY_IDS, top_k=10)
@@ -354,9 +394,7 @@ _BUCKET_SQL = " + ".join(
 )
 
 
-@register(
-    "ann_signlsh_topk",
-    oracle=f"""
+_ANN_SIGNLSH_TOPK_ORACLE = f"""
 WITH e AS (
   SELECT vec_id, v, {_BUCKET_SQL} AS bucket
   FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
@@ -368,8 +406,9 @@ scored AS (
 SELECT query_id, vec_id, sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
   FROM scored) WHERE rank <= 5
-""",
-)
+"""
+
+
 def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sign-LSH bucketed ANN: probe only the query's bucket (the
     partition-pruning scale path; recall < 1 by design)."""
@@ -437,9 +476,7 @@ def multimodal_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.sample_frames(packed)
 
 
-@register(
-    "ann_ivf_topk",
-    oracle=f"""
+_ANN_IVF_TOPK_ORACLE = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {S.N_IVF_CELLS}),
 scored AS (
@@ -459,8 +496,9 @@ SELECT query_id, vec_id, sim, rank FROM (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS rank
   FROM s2)
 WHERE rank <= 5
-""".format(csim=_cos_sql("e.v", "c.cv")),
-)
+""".format(csim=_cos_sql("e.v", "c.cv"))
+
+
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-cell ANN: Voronoi assignment to broadcast centroids, nprobe
     cell pruning, exact cosine within probed cells (the scale path
@@ -1056,3 +1094,217 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed prefix sum — no single-partition global window
     (`textstats.pack_sequences`)."""
     return TS.pack_sequences(load_table(spark, "documents", sf_dir), token_budget=512)
+
+
+# ---------------------------------------------------------------------------
+# Merged method suites: one driver slot per family, one union per method.
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_near_pairs",
+    oracle=f"""
+SELECT 'ngram_jaccard' AS method, doc_a, doc_b, jaccard
+FROM ({_DEDUP_NGRAM_JACCARD_ORACLE})
+UNION ALL
+SELECT 'minhash_lsh' AS method, doc_a, doc_b, jaccard
+FROM ({_DEDUP_MINHASH_LSH_ORACLE})
+""",
+)
+def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pair detection, both sub-quadratic paths in one
+    feed: exact 3-gram Jaccard via the inverted-index self-join
+    ('ngram_jaccard') and MinHash(64)+LSH(16x4) candidates verified by
+    exact Jaccard ('minhash_lsh'). Same threshold, same pair set if LSH
+    recall is perfect — the union makes recall differences visible."""
+    j = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.lit("ngram_jaccard").alias("method"), "doc_a", "doc_b", "jaccard"
+    )
+    m = dedup_minhash_lsh(spark, sf_dir).select(
+        F.lit("minhash_lsh").alias("method"), "doc_a", "doc_b", "jaccard"
+    )
+    return j.unionByName(m)
+
+
+@register(
+    "ann_topk_methods",
+    oracle=f"""
+SELECT 'bruteforce' AS method, query_id, vec_id, sim, rank
+FROM ({_ANN_BRUTEFORCE_TOPK_ORACLE})
+UNION ALL
+SELECT 'sign_lsh' AS method, query_id, vec_id, sim, rank
+FROM ({_ANN_SIGNLSH_TOPK_ORACLE})
+UNION ALL
+SELECT 'ivf' AS method, query_id, vec_id, sim, rank
+FROM ({_ANN_IVF_TOPK_ORACLE})
+""",
+)
+def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k per query vector by all three strategies in one feed:
+    exact brute-force cosine (k=10 baseline), sign-LSH bucket probe
+    (k=5), and IVF with nprobe cell pruning (k=5). Methods labelled so
+    recall against the exact baseline is a direct group-compare."""
+    bf = ann_bruteforce_topk(spark, sf_dir).select(
+        F.lit("bruteforce").alias("method"), "query_id", "vec_id", "sim", "rank"
+    )
+    sl = ann_signlsh_topk(spark, sf_dir).select(
+        F.lit("sign_lsh").alias("method"), "query_id", "vec_id", "sim", "rank"
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        F.lit("ivf").alias("method"), "query_id", "vec_id", "sim", "rank"
+    )
+    return bf.unionByName(sl).unionByName(ivf)
+
+
+# ---------------------------------------------------------------------------
+# Sketched distinct counts, stratified splits, corpus n-gram counts.
+# ---------------------------------------------------------------------------
+
+_THETA_RATE = 16
+_THETA_THRESHOLD = (1 << 60) // _THETA_RATE
+
+
+from rental_data_pipeline_spark.operators.sketch import hll_oracle_sql as _hll_sql
+
+
+@register(
+    "sketch_distinct_counts",
+    oracle=f"""
+WITH hll AS ({{hll}}),
+theta AS (
+  SELECT event_type,
+         CAST(count(DISTINCT h) * {_THETA_RATE} AS BIGINT) AS theta_estimate
+  FROM (SELECT event_type,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT AS h
+        FROM events)
+  WHERE h < {_THETA_THRESHOLD}
+  GROUP BY event_type),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS exact_distinct
+  FROM events GROUP BY event_type)
+SELECT e.event_type AS event_type, e.exact_distinct,
+       hll.hll_estimate, theta.theta_estimate
+FROM exact e
+LEFT JOIN hll ON hll.event_type = e.event_type
+LEFT JOIN theta ON theta.event_type = e.event_type
+""".format(hll=_hll_sql("events", ["event_type"], "user_id")),
+)
+def sketch_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type three ways: exact COUNT(DISTINCT),
+    the deterministic HLL sketch (register-max merge — bounded state,
+    map-side combinable), and the threshold (theta/KMV) sketch (only
+    ~1/rate of distinct hashes ever shuffle). At 100 TB the sketches
+    replace the full (group, user) shuffle of the exact form; both are
+    md5-hash deterministic so the oracle replays identical arithmetic
+    (`operators/sketch.py`)."""
+    from rental_data_pipeline_spark.operators.sketch import (
+        hll_distinct,
+        theta_distinct,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_distinct")
+    )
+    hll = hll_distinct(ev, ["event_type"], "user_id")
+    theta = theta_distinct(ev, ["event_type"], "user_id", rate=_THETA_RATE)
+    return exact.join(hll, "event_type", "left").join(theta, "event_type", "left")
+
+
+_STRATA_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25, "zh": 0.1}
+_SPLIT_SALT = "split"
+
+
+def _bucket_sql(salt: str, key: str = "doc_id") -> str:
+    return (
+        f"CAST(CAST('0x' || substr(md5('{salt}' || CAST({key} AS VARCHAR)), 1, 8)"
+        f" AS UBIGINT) % 10000 AS BIGINT)"
+    )
+
+
+@register(
+    "stratified_sample_split",
+    oracle=f"""
+SELECT doc_id, lang, sample_bucket,
+       CASE WHEN split_bucket < 8000 THEN 'train'
+            WHEN split_bucket < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM (
+  SELECT doc_id, lang,
+         {_bucket_sql('')} AS sample_bucket,
+         {_bucket_sql(_SPLIT_SALT)} AS split_bucket
+  FROM documents)
+WHERE sample_bucket < CASE lang
+  WHEN 'en' THEN {int(0.5 * 10000)} WHEN 'de' THEN {int(1.0 * 10000)}
+  WHEN 'fr' THEN {int(0.25 * 10000)} WHEN 'zh' THEN {int(0.1 * 10000)}
+  ELSE 0 END
+""",
+)
+def stratified_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic downsampling (per-language fractions;
+    strata without a fraction drop — 'es' here) plus a reproducible
+    train/val/test split from an independently-salted hash bucket.
+    Both decisions are per-row md5 arithmetic: map-side filter, no
+    shuffle, no RNG state, stable under repartitioning and incremental
+    ingestion (`operators/sampling.py`)."""
+    from rental_data_pipeline_spark.operators.sampling import (
+        sample_bucket,
+        stratified_deterministic_sample,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "lang")
+    kept = stratified_deterministic_sample(
+        docs, "doc_id", "lang", _STRATA_FRACTIONS
+    )
+    split_bucket = sample_bucket("doc_id", _SPLIT_SALT)
+    return kept.select(
+        "doc_id",
+        "lang",
+        sample_bucket("doc_id"),
+        F.when(split_bucket < 8000, "train")
+        .when(split_bucket < 9000, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
+@register(
+    "ngram_lm_counts",
+    oracle=f"""
+WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+b AS (SELECT lang,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM t),
+c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY 1, 2)
+SELECT lang, bigram, n, rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+  FROM c) WHERE rank <= 10
+""",
+)
+def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level bigram frequencies per language, top-10 with a
+    deterministic tiebreak — the n-gram LM / contamination-index
+    building block. Classic wordcount shape: explode bigrams map-side,
+    one hash aggregation (partial combine collapses repeats before the
+    shuffle), then a tiny per-lang top-k window over the aggregated
+    (lang, bigram) rows — the window input is already reduced, so the
+    sort cost is bounded by distinct bigrams, not corpus tokens."""
+    from rental_data_pipeline_spark.operators.textstats import tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    toks = tokens("text")
+    bigrams = F.filter(
+        F.zip_with(
+            toks,
+            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    b = docs.select("lang", F.explode(bigrams).alias("bigram"))
+    c = b.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        c.select("lang", "bigram", "n", F.row_number().over(w).alias("rank"))
+        .where(F.col("rank") <= 10)
+    )

@@ -59,7 +59,7 @@ def test_topk_window_single_shuffle(spark, sf_dir):
     assert "Join" not in plan
 
 
-@pytest.mark.parametrize("name", ["ann_bruteforce_topk", "ann_ivf_topk", "dedup_minhash_lsh"])
+@pytest.mark.parametrize("name", ["ann_topk_methods", "dedup_near_pairs"])
 def test_similarity_ops_never_sortmerge_or_cartesian(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert "SortMergeJoin" not in plan, f"{name}: small side must broadcast"
