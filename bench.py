@@ -24,6 +24,12 @@ from rental_data_pipeline_spark import queries as registry  # noqa: E402
 
 # Headline set: the semantics-bearing operators (CDC merge + windows),
 # scan-heavy agg, window top-k, join chain, anti-join/union scope ops.
+# NOTE (round 3): several entries are merged suites, so totals are not
+# directly comparable to rounds 1-2 — e.g. text_profile does the work
+# of the former text_token_stats + text_language_id (+3 more signals),
+# dedup_near_pairs = ngram_jaccard + minhash_lsh, ann_topk_methods =
+# bruteforce + sign_lsh + ivf, cdc_change_feed = price_changes +
+# unpublish_transitions.
 HEADLINE = [
     "cdc_merge_state",
     "cdc_change_feed",
@@ -109,11 +115,30 @@ def main() -> None:
             # intermediates so one query's cache doesn't skew the next
             spark.catalog.clearCache()
 
+    # Fixed CPU calibration probe: a pure-compute hash-aggregate over a
+    # generated range (no I/O, no Python workers). Identical work every
+    # round, so cross-round query-time comparisons can be normalized for
+    # host-speed drift (round-3 measurement: the same committed queries
+    # ran ~2x slower than round 2 on an otherwise idle VM).
+    from pyspark.sql import functions as F  # local import keeps module light
+
+    calib = None
+    for _rep in range(2):
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 200_000_000, 1, 32)
+            .select(F.xxhash64("id").alias("h"))
+            .agg(F.expr("bit_xor(h)")).collect()
+        )
+        dt = round(time.perf_counter() - t0, 3)
+        calib = dt if calib is None else min(calib, dt)
+
     out = {
         "metric": "headline_queries_total_runtime",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "calib_sec": calib,
         "sf": sf,
     }
     print(json.dumps(out))

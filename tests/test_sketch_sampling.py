@@ -1,0 +1,110 @@
+"""Distinct-count sketches and deterministic sampling invariants.
+
+The oracle gate proves cross-engine value equality; these tests prove
+the *semantic* properties a user relies on: sketch accuracy bounds,
+partition-invariance (the determinism claim), stratified fraction
+behavior, and split stability.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.operators.sampling import (
+    deterministic_sample,
+    sample_bucket,
+    stratified_deterministic_sample,
+)
+from rental_data_pipeline_spark.operators.sketch import (
+    hll_distinct,
+    theta_distinct,
+)
+from rental_data_pipeline_spark.sources.tables import load_table
+
+
+@pytest.fixture(scope="module")
+def events(spark, sf_dir):
+    return load_table(spark, "events", sf_dir).cache()
+
+
+def test_hll_estimate_within_error_bound(events):
+    exact = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    est = {
+        r["event_type"]: r["hll_estimate"]
+        for r in hll_distinct(events, ["event_type"], "user_id").collect()
+    }
+    assert set(est) == set(exact)
+    for k, n in exact.items():
+        # p=8 → 256 registers → theoretical RSE ≈ 1.04/sqrt(256) ≈ 6.5%;
+        # allow 3 sigma.
+        assert abs(est[k] - n) <= max(3 * 0.065 * n, 3), (k, est[k], n)
+
+
+def test_hll_is_partition_invariant(events):
+    a = hll_distinct(events, ["event_type"], "user_id").collect()
+    b = hll_distinct(events.repartition(7), ["event_type"], "user_id").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_theta_scales_survivor_count(events):
+    rate = 16
+    est = {
+        r["event_type"]: r["theta_estimate"]
+        for r in theta_distinct(events, ["event_type"], "user_id", rate=rate).collect()
+    }
+    for v in est.values():
+        assert v % rate == 0  # survivors × rate by construction
+    # union-mergeability: the estimate over a union of disjoint halves
+    # equals the estimate over the whole (survivor sets just union)
+    h1 = events.where(F.col("event_id") % 2 == 0)
+    h2 = events.where(F.col("event_id") % 2 == 1)
+    whole = theta_distinct(events, [], "user_id", rate=rate).collect()[0][0]
+    combined = theta_distinct(h1.union(h2), [], "user_id", rate=rate).collect()[0][0]
+    assert whole == combined
+
+
+def test_deterministic_sample_is_stable_and_sized(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    s1 = {r["doc_id"] for r in deterministic_sample(docs, "doc_id", 0.2).collect()}
+    s2 = {
+        r["doc_id"]
+        for r in deterministic_sample(docs.repartition(9), "doc_id", 0.2).collect()
+    }
+    assert s1 == s2, "sample membership must not depend on partitioning"
+    n = docs.count()
+    assert 0.1 * n <= len(s1) <= 0.3 * n  # ~20% with small-sample slack
+
+
+def test_stratified_fractions_and_drop(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    fractions = {"en": 0.5, "de": 1.0}
+    kept = stratified_deterministic_sample(docs, "doc_id", "lang", fractions)
+    counts = {
+        r["lang"]: r["n"]
+        for r in kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    totals = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) <= {"en", "de"}, "strata without a fraction must drop"
+    assert counts["de"] == totals["de"], "fraction 1.0 keeps the whole stratum"
+    assert 0.25 * totals["en"] <= counts.get("en", 0) <= 0.75 * totals["en"]
+
+
+def test_salted_buckets_are_independent(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir)
+    b = docs.select(
+        sample_bucket("doc_id").alias("b0"),
+        sample_bucket("doc_id", "split").alias("b1"),
+    )
+    same = b.where(F.col("b0") == F.col("b1")).count()
+    # 10000 buckets → expected collision fraction 1e-4; anything near
+    # full correlation means the salt is ignored.
+    assert same < 0.05 * docs.count()
