@@ -182,6 +182,51 @@ def jaccard_pairs(
     )
 
 
+def overlap_pairs(
+    df: DataFrame,
+    threshold: float = 0.9,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """Near-subset pairs by the overlap coefficient
+    |A∩B| / min(|A|, |B|) — catches doc-inside-doc duplication
+    (boilerplate wrappers, quoted articles, concatenated shards) that
+    Jaccard misses: a 100-shingle doc fully contained in a 10000-shingle
+    doc has Jaccard ≈ 0.01 but overlap = 1.0.
+
+    Same inverted-index plan as ``jaccard_pairs`` (the intersection
+    counts are identical work); only the normalizer differs, so the
+    scale analysis — and the ``max_doc_freq`` hot-shingle cap — carry
+    over unchanged."""
+    sizes, exploded = _shingle_pairs(df, text_col, id_col, k)
+    exploded = exploded.persist()
+    if max_doc_freq is not None:
+        freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
+        exploded = (
+            exploded.join(freq.where(F.col("__df") <= max_doc_freq), "shingle")
+            .drop("__df")
+            .persist()
+        )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    ov = F.col("n_inter").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(ov, 6).alias("score"))
+        .where(F.col("score") >= threshold)
+    )
+
+
 def minhash_signatures(
     df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

@@ -1100,29 +1100,54 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Merged method suites: one driver slot per family, one union per method.
 # ---------------------------------------------------------------------------
 
+_DEDUP_OVERLAP_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+s AS (SELECT doc, unnest(sh) AS shingle FROM shingled),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+  FROM s a JOIN s b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc),
+sz AS (SELECT doc, len(sh) AS n_sh FROM shingled)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / least(x.n_sh, y.n_sh), 6) AS score
+FROM inter JOIN sz x ON doc_a = x.doc JOIN sz y ON doc_b = y.doc
+WHERE round(CAST(n_inter AS DOUBLE) / least(x.n_sh, y.n_sh), 6) >= 0.9
+"""
+
+
 @register(
     "dedup_near_pairs",
     oracle=f"""
-SELECT 'ngram_jaccard' AS method, doc_a, doc_b, jaccard
+SELECT 'ngram_jaccard' AS method, doc_a, doc_b, jaccard AS score
 FROM ({_DEDUP_NGRAM_JACCARD_ORACLE})
 UNION ALL
-SELECT 'minhash_lsh' AS method, doc_a, doc_b, jaccard
+SELECT 'minhash_lsh' AS method, doc_a, doc_b, jaccard AS score
 FROM ({_DEDUP_MINHASH_LSH_ORACLE})
+UNION ALL
+SELECT 'overlap' AS method, doc_a, doc_b, score
+FROM ({_DEDUP_OVERLAP_ORACLE})
 """,
 )
 def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pair detection, both sub-quadratic paths in one
+    """Near-duplicate pair detection, three sub-quadratic paths in one
     feed: exact 3-gram Jaccard via the inverted-index self-join
-    ('ngram_jaccard') and MinHash(64)+LSH(16x4) candidates verified by
-    exact Jaccard ('minhash_lsh'). Same threshold, same pair set if LSH
-    recall is perfect — the union makes recall differences visible."""
+    ('ngram_jaccard'), MinHash(64)+LSH(16x4) candidates verified by
+    exact Jaccard ('minhash_lsh'), and the overlap coefficient
+    |A∩B|/min(|A|,|B|) for doc-inside-doc near-subset duplication
+    ('overlap'). Identical Jaccard thresholds for the first two, so
+    LSH recall differences surface as row diffs."""
     j = dedup_ngram_jaccard(spark, sf_dir).select(
-        F.lit("ngram_jaccard").alias("method"), "doc_a", "doc_b", "jaccard"
+        F.lit("ngram_jaccard").alias("method"), "doc_a", "doc_b",
+        F.col("jaccard").alias("score"),
     )
     m = dedup_minhash_lsh(spark, sf_dir).select(
-        F.lit("minhash_lsh").alias("method"), "doc_a", "doc_b", "jaccard"
+        F.lit("minhash_lsh").alias("method"), "doc_a", "doc_b",
+        F.col("jaccard").alias("score"),
     )
-    return j.unionByName(m)
+    o = D.overlap_pairs(load_table(spark, "documents", sf_dir), threshold=0.9).select(
+        F.lit("overlap").alias("method"), "doc_a", "doc_b", "score"
+    )
+    return j.unionByName(m).unionByName(o)
 
 
 @register(

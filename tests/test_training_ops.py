@@ -297,3 +297,13 @@ def test_pack_sequences_bins_conserve_tokens(spark):
         cum += n
     got = {r.bin_id: r.total_tokens for r in out}
     assert got == expect
+
+
+def test_overlap_catches_subset_jaccard_misses(spark):
+    small = "alpha beta gamma delta epsilon"
+    big = small + " " + " ".join(f"tok{i}" for i in range(200))
+    df = spark.createDataFrame([(1, small), (2, big)], "doc_id long, text string")
+    ov = D.overlap_pairs(df, threshold=0.9).collect()
+    assert len(ov) == 1 and ov[0]["score"] == 1.0, "subset doc is full-overlap"
+    jac = D.jaccard_pairs(df, threshold=0.8).collect()
+    assert jac == [], "jaccard stays below threshold for subset-in-large"
