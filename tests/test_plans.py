@@ -107,3 +107,34 @@ def test_tfidf_vocab_join_is_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "tfidf_top_terms")
     assert "BroadcastHashJoin" in plan, "vocabulary must broadcast onto tf side"
     assert "SortMergeJoin" not in plan
+
+
+def test_stratified_split_is_pure_map(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "stratified_sample_split")
+    assert _exchanges(plan) == 0, "hash-mod sampling must not shuffle"
+    assert "Join" not in plan
+
+
+def test_ngram_counts_single_agg_plus_window(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "ngram_lm_counts")
+    assert _exchanges(plan) <= 2, "wordcount agg + per-lang window only"
+    assert "Join" not in plan
+
+
+def test_sketch_joins_broadcast_never_sortmerge(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "sketch_distinct_counts")
+    assert "SortMergeJoin" not in plan, "per-group sketch outputs are tiny — broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_text_profile_is_one_scan_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_profile")
+    assert not re.search(r"EvalPython|MapInPandas", plan), "all signals stay native"
+    assert _exchanges(plan) <= 3, "map-side profile + entropy agg + one join"
+    assert "SortMergeJoin" not in plan
+
+
+def test_scalar_suite_all_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "scalar_suite")
+    assert _exchanges(plan) == 0, "literal fixtures must broadcast, never shuffle"
+    assert "SortMergeJoin" not in plan
