@@ -22,9 +22,33 @@ from rental_data_pipeline_spark.streaming import (
     incremental_merge_stream,
     read_snapshot_stream,
     windowed_price_stats,
+    windowed_price_stats_stream_exact,
 )
 
 _STREAM_CHUNKS = 3
+
+
+def _write_time_chunks(snaps: DataFrame, landing: str) -> None:
+    """Write the event history as _STREAM_CHUNKS parquet files in
+    ASCENDING time ranges (date terciles): the micro-batch replay then
+    processes events in the same global order the batch fold (and its
+    oracle) uses. Out-of-order chunks would be processed too (T5: the
+    reference has no ordering guard) but would legitimately produce
+    different CDC history than the oracle."""
+    dates = sorted(
+        r[0] for r in snaps.select(F.to_date("updated_date")).distinct().collect()
+    )
+    n = len(dates)
+    cuts = {d: (i * _STREAM_CHUNKS) // n for i, d in enumerate(dates)}
+    chunk_expr = F.coalesce(
+        *[F.when(F.to_date("updated_date") == F.lit(d), F.lit(c)) for d, c in cuts.items()],
+        F.lit(0),
+    )
+    chunked = snaps.withColumn("__chunk", chunk_expr)
+    for i in sorted(set(cuts.values())):
+        chunked.where(F.col("__chunk") == i).drop("__chunk").coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
 
 
 @register(
@@ -52,26 +76,7 @@ def streaming_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     snaps = _event_snapshots(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="rdp_stream_q_")
     landing, state, ckpt = f"{base}/landing", f"{base}/state", f"{base}/ckpt"
-
-    # chunk the history into ASCENDING time ranges (date terciles): the
-    # micro-batch fold then replays events in the same global order the
-    # batch fold (and its oracle) uses. Out-of-order chunks would be
-    # processed too (T5: the reference has no ordering guard) but would
-    # legitimately produce different CDC history than the oracle.
-    dates = sorted(
-        r[0] for r in snaps.select(F.to_date("updated_date")).distinct().collect()
-    )
-    n = len(dates)
-    cuts = {d: (i * _STREAM_CHUNKS) // n for i, d in enumerate(dates)}
-    chunk_expr = F.coalesce(
-        *[F.when(F.to_date("updated_date") == F.lit(d), F.lit(c)) for d, c in cuts.items()],
-        F.lit(0),
-    )
-    snaps = snaps.withColumn("__chunk", chunk_expr)
-    for i in sorted(set(cuts.values())):
-        snaps.where(F.col("__chunk") == i).drop("__chunk").coalesce(1).write.mode(
-            "append"
-        ).parquet(landing)
+    _write_time_chunks(snaps, landing)
 
     # same state-store sizing rationale as stateful_price_changes below:
     # the merge fold touches ~150 keys per batch; 32 near-empty shuffle
@@ -203,21 +208,7 @@ def stateful_price_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     snaps = _event_snapshots(spark, sf_dir)
     base = tempfile.mkdtemp(prefix="rdp_stateful_q_")
     landing = f"{base}/landing"
-
-    dates = sorted(
-        r[0] for r in snaps.select(F.to_date("updated_date")).distinct().collect()
-    )
-    n = len(dates)
-    cuts = {d: (i * _STREAM_CHUNKS) // n for i, d in enumerate(dates)}
-    chunk_expr = F.coalesce(
-        *[F.when(F.to_date("updated_date") == F.lit(d), F.lit(c)) for d, c in cuts.items()],
-        F.lit(0),
-    )
-    chunked = snaps.withColumn("__chunk", chunk_expr)
-    for i in sorted(set(cuts.values())):
-        chunked.where(F.col("__chunk") == i).drop("__chunk").coalesce(1).write.mode(
-            "append"
-        ).parquet(landing)
+    _write_time_chunks(snaps, landing)
 
     # state-store partition count is frozen per stream from this conf:
     # size it to key cardinality (150 keys here), not the session's

@@ -116,6 +116,47 @@ def incremental_merge_stream(
     return writer.start()
 
 
+def windowed_price_stats_stream_exact(
+    snapshots: DataFrame,
+    window_duration: str = "1 hour",
+    time_col: str = "updated_date",
+    key_col: str = "offer_id",
+    price_col: str = "price_value",
+) -> DataFrame:
+    """T4 on the REAL streaming engine, oracle-hashable: tumbling-window
+    stats shaped so every aggregate is deterministic under micro-batch
+    partial aggregation — exact distinct via ``collect_set`` size
+    (COUNT(DISTINCT) is unsupported in streaming), the price sum in
+    DECIMAL so accumulation order across batches can't change the
+    double bits, and the average derived from that exact sum with ONE
+    double division. Run with complete output mode (no watermark
+    cutoff, every window emitted), which is how a bounded replay
+    produces the full history; the production path with late-data
+    eviction is ``windowed_price_stats`` below."""
+    sum_dec = F.sum(F.col(price_col).cast("decimal(18,6)")).cast("double")
+    n_vals = F.count(price_col)
+    return (
+        snapshots.groupBy(F.window(F.col(time_col), window_duration).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_snapshots"),
+            F.size(F.collect_set(key_col)).alias("n_offers"),
+            sum_dec.alias("sum_price"),
+            (sum_dec / n_vals).alias("avg_price"),
+            F.min(price_col).alias("min_price"),
+            F.max(price_col).alias("max_price"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_snapshots",
+            "n_offers",
+            "sum_price",
+            "avg_price",
+            "min_price",
+            "max_price",
+        )
+    )
+
+
 def windowed_price_stats(
     snapshots: DataFrame,
     window_duration: str = "1 hour",
