@@ -222,27 +222,42 @@ def _py_norm(c: list[float]) -> float:
     return acc**0.5
 
 
+def _centroid_frame(spark, centroids: list[list[float]]) -> DataFrame:
+    """Centroids as DATA, not literals: one row, one
+    ``array<struct<cid,cv,cn>>`` column, broadcast to every task.
+
+    Embedding k·dim literal doubles in the plan forces a fresh
+    whole-stage-codegen compile every iteration (literal values are
+    inlined into the generated source); shipping them as a broadcast
+    row keeps the generated code byte-identical across iterations, so
+    Spark's codegen cache turns N compiles into 1. Norms are
+    precomputed driver-side with the same left-to-right fold as
+    :func:`norm` so both paths agree bit-for-bit."""
+    cents = [(cid, c, _py_norm(c)) for cid, c in enumerate(centroids)]
+    return spark.createDataFrame(
+        [(cents,)], "cents array<struct<cid:int, cv:array<double>, cn:double>>"
+    )
+
+
 def _assign_to_centroids(corpus: DataFrame, centroids: list[list[float]]) -> DataFrame:
-    """Map-side hard assignment against literal centroids: per row,
-    argmax of rounded cosine sim (ties → lowest cell id). No shuffle,
-    no join — the centroid set is a compiled expression.
+    """Map-side hard assignment: per row, argmax of rounded cosine sim
+    (ties → lowest cell id). The centroid set arrives as one broadcast
+    row (see :func:`_centroid_frame`) and the argmax is a single
+    ``transform`` + ``array_max`` over it — expression size is O(1) in
+    k and dim, not O(k·dim), so codegen compile cost stays flat.
 
     ``corpus`` must carry a precomputed ``vn = norm(v)`` column: one
-    fold per centroid (the dot) instead of three — centroid norms are
-    plain Python floats, row norms come from the persisted column."""
-    packed = F.array(
-        *[
-            F.struct(
-                F.round(
-                    dot(F.col("v"), F.lit(c)) / (F.col("vn") * F.lit(_py_norm(c))), 6
-                ).alias("s"),
-                F.lit(-cid).alias("negcid"),
-            )
-            for cid, c in enumerate(centroids)
-        ]
+    fold per centroid (the dot) instead of three."""
+    cent_df = _centroid_frame(corpus.sparkSession, centroids)
+    packed = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(dot(F.col("v"), c["cv"]) / (F.col("vn") * c["cn"]), 6).alias("s"),
+            (-c["cid"]).alias("negcid"),
+        ),
     )
     best = F.array_max(packed)
-    return corpus.select(
+    return corpus.crossJoin(F.broadcast(cent_df)).select(
         "vec_id", "v",
         (-best["negcid"]).alias("cid"),
         best["s"].alias("sim"),
@@ -260,12 +275,15 @@ def kmeans_fit(
     algorithm — the offline training step behind :func:`ivf_topk`'s
     index. Returns the final hard assignment ``(vec_id, cid, sim)``.
 
-    Per iteration: one corpus scan with a map-side argmax against
-    broadcast-literal centroids (zero shuffle), then one partial-agg
+    Per iteration: one corpus scan with a map-side argmax against a
+    broadcast centroid row (zero corpus shuffle), then one partial-agg
     shuffle of per-(cell, position) sums — k·dim rows per partition
     cross the wire, not the corpus. Centroids (k·dim doubles) live on
     the driver between iterations, the standard k-means topology (what
-    MLlib's treeAggregate does). Components are rounded to 6 dp after
+    MLlib's treeAggregate does). Centroids travel as broadcast DATA,
+    never as plan literals, so whole-stage codegen compiles once and
+    every later iteration hits the codegen cache (the round-3 bench
+    regression was N recompiles of a k·dim-literal expression tree). Components are rounded to 6 dp after
     every update so the fixed-point arithmetic is reproducible across
     engines and summation orders; deterministic init = the k
     lowest-id vectors. Empty cells keep their previous centroid.
@@ -278,25 +296,29 @@ def kmeans_fit(
     init = corpus.orderBy("vec_id").limit(k).collect()
     centroids = [[round(x, 6) for x in r.v] for r in init]
 
-    dim = len(centroids[0])
     for _ in range(n_iter):
         assigned = _assign_to_centroids(corpus, centroids)
-        # k·(dim+1)-wide rows after map-side partial agg — the corpus
-        # never crosses the wire widened (a posexplode here would
-        # shuffle corpus×dim rows; this shuffles ≤ k rows/partition).
+        # Centroid update as a (cid, pos) partial agg: posexplode runs
+        # map-side and hash-aggregate combines before the exchange, so
+        # only k·dim (cid,pos) rows per partition cross the wire — the
+        # same shuffle volume as a k-row agg of dim-wide sums, but the
+        # agg expression is O(1) wide instead of O(dim), which keeps
+        # codegen compile (the bench-scale bottleneck) out of the loop.
         rows = (
-            assigned.groupBy("cid")
-            .agg(
-                F.count(F.lit(1)).alias("n"),
-                *[F.sum(F.col("v")[i]).alias(f"s{i}") for i in range(dim)],
-            )
+            assigned.select("cid", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
             .collect()
         )
-        acc = {
-            r["cid"]: [round(r[f"s{i}"] / r["n"], 6) for i in range(dim)]
-            for r in rows
-        }
-        centroids = [acc.get(cid, centroids[cid]) for cid in range(k)]
+        acc: dict[int, dict[int, float]] = {}
+        for r in rows:
+            acc.setdefault(r["cid"], {})[r["pos"]] = round(r["s"] / r["n"], 6)
+        centroids = [
+            [acc[cid][p] for p in range(len(centroids[cid]))]
+            if cid in acc
+            else centroids[cid]
+            for cid in range(k)
+        ]
 
     final = _assign_to_centroids(corpus, centroids).select("vec_id", "cid", "sim")
     corpus.unpersist()
