@@ -133,6 +133,56 @@ def _shingle_pairs(
     return sizes, exploded
 
 
+def _intersection_counts(
+    df: DataFrame,
+    k: int,
+    text_col: str,
+    id_col: str,
+    max_doc_freq: int | None,
+) -> DataFrame:
+    """Shared inverted-index core of the pairwise dedup scores:
+    ``(doc_a, doc_b, n_inter, n_a, n_b)`` for every pair with at least
+    one co-occurring shingle. Jaccard and overlap differ only in the
+    normalizer applied to these counts.
+
+    ``max_doc_freq`` is the scale knob: a shingle appearing in f docs
+    contributes f² join rows, so one stopword-run shingle in 1M docs is
+    a 10¹²-row hot key. The cap is a window count over the
+    shingle-partitioned index (one shuffle, no extra join), dropping
+    hot shingles from the PAIR-GENERATION side only; per-doc set sizes
+    stay uncapped, so the reported score is a lower bound — pairs held
+    together solely by ubiquitous shingles are exactly the
+    non-duplicates the cap is meant to suppress. Exact semantics with
+    ``None``.
+
+    The index is persisted because it feeds both sides of the
+    self-join (at cluster scale it is the materialized doc↔shingle
+    index table); the job-scoped cache is released by the session's
+    ``clearCache`` between queries.
+    """
+    from pyspark.sql import Window
+
+    sizes, exploded = _shingle_pairs(df, text_col, id_col, k)
+    if max_doc_freq is not None:
+        w = Window.partitionBy("shingle")
+        exploded = (
+            exploded.withColumn("__df", F.count(F.lit(1)).over(w))
+            .where(F.col("__df") <= max_doc_freq)
+            .drop("__df")
+        )
+    exploded = exploded.persist()
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
 def jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
@@ -143,41 +193,13 @@ def jaccard_pairs(
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via inverted-index join (no cross
     join): |A∩B| from shingle co-occurrence counts, |A∪B| = |A|+|B|−|A∩B|.
-
-    ``max_doc_freq`` is the scale knob: a shingle appearing in f docs
-    contributes f² join rows, so one stopword-run shingle in 1M docs is
-    a 10¹²-row hot key. Capping drops shingles with doc-frequency above
-    the cap from the PAIR-GENERATION side only — |A∩B| then undercounts
-    by at most the capped shingles, making the reported Jaccard a lower
-    bound (pairs held together solely by ubiquitous shingles are
-    exactly the non-duplicates the cap is meant to suppress). Exact
-    semantics with ``None`` (default)."""
-    sizes, exploded = _shingle_pairs(df, text_col, id_col, k)
-    # the inverted index feeds both sides of the self-join: persist so
-    # the shingle scan runs once, not twice (at cluster scale this is
-    # the materialized doc↔shingle index table)
-    exploded = exploded.persist()
-    if max_doc_freq is not None:
-        freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        exploded = (
-            exploded.join(freq.where(F.col("__df") <= max_doc_freq), "shingle")
-            .drop("__df")
-            .persist()
-        )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    See :func:`_intersection_counts` for the plan and the
+    ``max_doc_freq`` hot-shingle cap (the configuration to run at
+    100 TB)."""
+    counts = _intersection_counts(df, k, text_col, id_col, max_doc_freq)
     jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        counts.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -196,33 +218,14 @@ def overlap_pairs(
     Jaccard misses: a 100-shingle doc fully contained in a 10000-shingle
     doc has Jaccard ≈ 0.01 but overlap = 1.0.
 
-    Same inverted-index plan as ``jaccard_pairs`` (the intersection
-    counts are identical work); only the normalizer differs, so the
-    scale analysis — and the ``max_doc_freq`` hot-shingle cap — carry
-    over unchanged."""
-    sizes, exploded = _shingle_pairs(df, text_col, id_col, k)
-    exploded = exploded.persist()
-    if max_doc_freq is not None:
-        freq = exploded.groupBy("shingle").agg(F.count(F.lit(1)).alias("__df"))
-        exploded = (
-            exploded.join(freq.where(F.col("__df") <= max_doc_freq), "shingle")
-            .drop("__df")
-            .persist()
-        )
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    Same inverted-index plan as :func:`jaccard_pairs` (the intersection
+    counts are shared via :func:`_intersection_counts`); only the
+    normalizer differs, so the scale analysis — and the
+    ``max_doc_freq`` hot-shingle cap — carry over unchanged."""
+    counts = _intersection_counts(df, k, text_col, id_col, max_doc_freq)
     ov = F.col("n_inter").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
     return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(ov, 6).alias("score"))
+        counts.select("doc_a", "doc_b", F.round(ov, 6).alias("score"))
         .where(F.col("score") >= threshold)
     )
 

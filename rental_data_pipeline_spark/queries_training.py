@@ -1100,6 +1100,26 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Merged method suites: one driver slot per family, one union per method.
 # ---------------------------------------------------------------------------
 
+# The capped branch mirrors dedup._intersection_counts(max_doc_freq=5):
+# hot shingles leave the pair-generation side only (QUALIFY window count,
+# same as Spark's window-filter), per-doc sizes stay uncapped, so the
+# score is the documented lower bound.
+_DEDUP_JACCARD_CAPPED_ORACLE = f"""
+WITH {_SHINGLES_CTE},
+s AS (SELECT doc, unnest(sh) AS shingle FROM shingled),
+sc AS (SELECT doc, shingle FROM s
+       QUALIFY count(*) OVER (PARTITION BY shingle) <= 5),
+inter AS (
+  SELECT a.doc AS doc_a, b.doc AS doc_b, count(*) AS n_inter
+  FROM sc a JOIN sc b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY a.doc, b.doc),
+sz AS (SELECT doc, len(sh) AS n_sh FROM shingled)
+SELECT doc_a, doc_b,
+       round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter), 6) AS jaccard
+FROM inter JOIN sz x ON doc_a = x.doc JOIN sz y ON doc_b = y.doc
+WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter), 6) >= 0.8
+"""
+
 _DEDUP_OVERLAP_ORACLE = f"""
 WITH {_SHINGLES_CTE},
 s AS (SELECT doc, unnest(sh) AS shingle FROM shingled),
@@ -1124,20 +1144,33 @@ UNION ALL
 SELECT 'minhash_lsh' AS method, doc_a, doc_b, jaccard AS score
 FROM ({_DEDUP_MINHASH_LSH_ORACLE})
 UNION ALL
+SELECT 'ngram_jaccard_capped' AS method, doc_a, doc_b, jaccard AS score
+FROM ({_DEDUP_JACCARD_CAPPED_ORACLE})
+UNION ALL
 SELECT 'overlap' AS method, doc_a, doc_b, score
 FROM ({_DEDUP_OVERLAP_ORACLE})
 """,
 )
 def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-duplicate pair detection, three sub-quadratic paths in one
+    """Near-duplicate pair detection, four sub-quadratic paths in one
     feed: exact 3-gram Jaccard via the inverted-index self-join
-    ('ngram_jaccard'), MinHash(64)+LSH(16x4) candidates verified by
-    exact Jaccard ('minhash_lsh'), and the overlap coefficient
+    ('ngram_jaccard'), the same join under the hot-shingle
+    doc-frequency cap ('ngram_jaccard_capped', max_doc_freq=5 — the
+    configuration that survives 100 TB, where one ubiquitous shingle
+    in 1M docs would be a 10¹²-row join key; scores are the documented
+    lower bound), MinHash(64)+LSH(16x4) candidates verified by exact
+    Jaccard ('minhash_lsh'), and the overlap coefficient
     |A∩B|/min(|A|,|B|) for doc-inside-doc near-subset duplication
-    ('overlap'). Identical Jaccard thresholds for the first two, so
-    LSH recall differences surface as row diffs."""
+    ('overlap'). Identical Jaccard thresholds for the exact paths, so
+    LSH recall and cap pruning surface as row diffs."""
     j = dedup_ngram_jaccard(spark, sf_dir).select(
         F.lit("ngram_jaccard").alias("method"), "doc_a", "doc_b",
+        F.col("jaccard").alias("score"),
+    )
+    jc = D.jaccard_pairs(
+        load_table(spark, "documents", sf_dir), threshold=0.8, max_doc_freq=5
+    ).select(
+        F.lit("ngram_jaccard_capped").alias("method"), "doc_a", "doc_b",
         F.col("jaccard").alias("score"),
     )
     m = dedup_minhash_lsh(spark, sf_dir).select(
@@ -1147,7 +1180,7 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = D.overlap_pairs(load_table(spark, "documents", sf_dir), threshold=0.9).select(
         F.lit("overlap").alias("method"), "doc_a", "doc_b", "score"
     )
-    return j.unionByName(m).unionByName(o)
+    return j.unionByName(jc).unionByName(m).unionByName(o)
 
 
 @register(
