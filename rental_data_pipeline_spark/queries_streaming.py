@@ -15,13 +15,13 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from rental_data_pipeline_spark.queries import _SNAPSHOT_CTE, _event_snapshots, register
 from rental_data_pipeline_spark.sources.tables import load_table
 from rental_data_pipeline_spark.streaming import (
     incremental_merge_stream,
     read_snapshot_stream,
-    windowed_price_stats,
     windowed_price_stats_stream_exact,
 )
 
@@ -107,13 +107,23 @@ def streaming_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+_WINDOW_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("offer_id", T.LongType()),
+        T.StructField("updated_date", T.TimestampNTZType()),
+        T.StructField("price_value", T.DoubleType()),
+    ]
+)
+
+
 @register(
     "streaming_window_stats",
     oracle="""
 SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        count(*) AS n_snapshots,
        count(DISTINCT user_id) AS n_offers,
-       avg(value) AS avg_price,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) / count(value) AS avg_price,
        min(value) AS min_price,
        max(value) AS max_price
 FROM events
@@ -121,16 +131,47 @@ GROUP BY 1
 """,
 )
 def streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T4: the tumbling-window event-time aggregation (batch twin of
-    the watermarked streaming agg — same function, exact distinct)."""
+    """T4 on the REAL streaming engine: events replayed as micro-batch
+    files through readStream → tumbling-window aggregation → complete
+    output mode → memory sink. Every aggregate is micro-batch
+    deterministic (exact distinct via collect_set size, DECIMAL price
+    sum, avg derived from that sum), so a DuckDB time_bucket oracle
+    value-hash-checks an actual StreamingQuery execution. The
+    watermarked production variant (bounded state, late-data eviction)
+    is ``windowed_price_stats``, pytest-proven batch≡stream."""
     ev = load_table(spark, "events", sf_dir)
     snaps = ev.select(
         F.col("user_id").alias("offer_id"),
         F.col("ts").alias("updated_date"),
         F.col("value").alias("price_value"),
     )
-    out = windowed_price_stats(snaps, "1 hour", approx_distinct=False)
-    return out.drop("window_end")
+    base = tempfile.mkdtemp(prefix="rdp_window_q_")
+    landing = f"{base}/landing"
+    _write_time_chunks(snaps, landing)
+
+    # complete-mode window state is ~|windows| rows; 32 near-empty state
+    # partitions per micro-batch would be pure task overhead (same
+    # sizing rationale as the other streaming slots)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try:
+        stream = read_snapshot_stream(
+            spark, landing, schema=_WINDOW_STREAM_SCHEMA, max_files_per_trigger=1
+        )
+        q = (
+            windowed_price_stats_stream_exact(stream, "1 hour")
+            .writeStream.format("memory")
+            .queryName("window_stats_stream")
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+    out = spark.table("window_stats_stream").localCheckpoint(eager=True)
+    shutil.rmtree(base, ignore_errors=True)
+    return out
 
 
 @register(
