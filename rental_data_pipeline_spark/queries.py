@@ -133,10 +133,115 @@ def cdc_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# W4/J5 edge-case fixture (ref merge.py:13-18,27-28): literal target
+# state + source batch exercising the two merge branches the events
+# table never hits — a row with NO updated_date (fields merge, zero
+# CDC) and a KEYLESS row whose offer_url matches state (adopt the key,
+# force is_unpublished). Key 9002 is the in-fixture control (a normal
+# price change continuing a stored change count); the keyless 'u9999'
+# row matches nothing and must vanish.
+_MERGE_FIX_TGT = [
+    (9001, "u9001", 100.0, False, "2024-06-01 10:00:00", None),
+    (9002, "u9002", 200.0, False, "2024-06-01 10:00:00", 2),
+    (9003, "u9003", 300.0, False, "2024-06-01 10:00:00", None),
+]
+_MERGE_FIX_SRC = [
+    (9001, "u9001", None, 150.0, None),
+    (9002, "u9002", "2024-06-02 09:00:00", 250.0, False),
+    (None, "u9003", "2024-06-02 09:30:00", None, None),
+    (None, "u9999", "2024-06-02 10:00:00", 400.0, None),
+]
+
+# The oracle replays the merge semantics in SQL over the same literals
+# (each fixture key has exactly one source row, so the evolving-state
+# windows collapse to target-vs-source comparisons). Keep in sync with
+# _MERGE_FIX_TGT/_MERGE_FIX_SRC above.
+_MERGE_FIX_ORACLE = """
+fx_tgt AS (
+  SELECT * FROM (VALUES
+    (9001, 'u9001', 100.0, false, TIMESTAMP '2024-06-01 10:00:00', CAST(NULL AS BIGINT)),
+    (9002, 'u9002', 200.0, false, TIMESTAMP '2024-06-01 10:00:00', 2),
+    (9003, 'u9003', 300.0, false, TIMESTAMP '2024-06-01 10:00:00', CAST(NULL AS BIGINT))
+  ) t(offer_id, offer_url, price_value, is_unpublished, last_active, total_price_changes)),
+fx_src AS (
+  SELECT * FROM (VALUES
+    (9001, 'u9001', CAST(NULL AS TIMESTAMP), 150.0, CAST(NULL AS BOOLEAN)),
+    (9002, 'u9002', TIMESTAMP '2024-06-02 09:00:00', 250.0, false),
+    (CAST(NULL AS BIGINT), 'u9003', TIMESTAMP '2024-06-02 09:30:00',
+     CAST(NULL AS DOUBLE), CAST(NULL AS BOOLEAN)),
+    (CAST(NULL AS BIGINT), 'u9999', TIMESTAMP '2024-06-02 10:00:00',
+     400.0, CAST(NULL AS BOOLEAN))
+  ) t(offer_id, offer_url, updated_date, price_value, is_unpublished)),
+fx_adopt AS (
+  SELECT coalesce(s.offer_id, t.offer_id) AS offer_id, s.updated_date, s.price_value,
+         CASE WHEN s.offer_id IS NULL THEN true ELSE s.is_unpublished END AS is_unpublished
+  FROM fx_src s LEFT JOIN fx_tgt t ON s.offer_id IS NULL AND s.offer_url = t.offer_url
+  WHERE coalesce(s.offer_id, t.offer_id) IS NOT NULL),
+fx_flag AS (
+  SELECT a.offer_id, a.updated_date, a.price_value, a.is_unpublished,
+         coalesce(a.updated_date IS NOT NULL AND a.is_unpublished
+                  AND t.is_unpublished = false, false) AS unpub_tr,
+         coalesce(a.updated_date IS NOT NULL
+                  AND NOT coalesce(a.updated_date IS NOT NULL AND a.is_unpublished
+                                   AND t.is_unpublished = false, false)
+                  AND a.price_value IS NOT NULL AND t.price_value IS NOT NULL
+                  AND a.price_value <> t.price_value, false) AS price_chg
+  FROM fx_adopt a JOIN fx_tgt t USING (offer_id)),
+fx_state AS (
+  SELECT t.offer_id,
+         coalesce(f.price_value, t.price_value) AS price_value,
+         coalesce(f.is_unpublished, t.is_unpublished) AS is_unpublished,
+         coalesce(f.updated_date, t.last_active) AS last_active,
+         CASE WHEN f.unpub_tr THEN f.updated_date END AS unpublished_date,
+         CASE WHEN f.price_chg THEN coalesce(t.total_price_changes, 0) + 1
+              ELSE t.total_price_changes END AS total_price_changes
+  FROM fx_tgt t LEFT JOIN fx_flag f USING (offer_id))
+"""
+
+
+def _merge_edge_fixture_feed(spark: SparkSession, ts_type: str) -> DataFrame:
+    """W4/J5 fixture run through the REAL merge operator: final state
+    projected as labelled feed rows — 'fixture_state' (price_diff
+    carries total_price_changes, old_price carries is_unpublished as
+    0.0/1.0) plus 'fixture_unpublish' for any key the merge stamped an
+    unpublished_date on (the J5 adoption must force that transition)."""
+    from rental_data_pipeline_spark.operators.merge import merge_listings
+
+    tgt = spark.createDataFrame(
+        _MERGE_FIX_TGT,
+        "offer_id bigint, offer_url string, price_value double, "
+        "is_unpublished boolean, last_active string, total_price_changes bigint",
+    ).withColumn("last_active", F.col("last_active").cast(ts_type))
+    src = spark.createDataFrame(
+        _MERGE_FIX_SRC,
+        "offer_id bigint, offer_url string, updated_date string, "
+        "price_value double, is_unpublished boolean",
+    ).withColumn("updated_date", F.col("updated_date").cast(ts_type))
+    state = merge_listings(tgt, src, key="offer_id", order_cols=["updated_date"])
+    st = state.select(
+        "offer_id",
+        F.col("last_active").cast(ts_type).alias("change_date"),
+        F.lit("fixture_state").alias("kind"),
+        F.col("total_price_changes").cast("long").alias("price_diff"),
+        F.col("price_value").alias("new_price"),
+        F.col("is_unpublished").cast("double").alias("old_price"),
+    )
+    un = state.where(F.col("unpublished_date").isNotNull()).select(
+        "offer_id",
+        F.col("unpublished_date").cast(ts_type).alias("change_date"),
+        F.lit("fixture_unpublish").alias("kind"),
+        F.lit(None).cast("long").alias("price_diff"),
+        F.lit(None).cast("double").alias("new_price"),
+        F.lit(None).cast("double").alias("old_price"),
+    )
+    return st.unionByName(un)
+
+
 @register(
     "cdc_change_feed",
     oracle=f"""
-WITH {_SNAPSHOT_CTE}
+WITH {_SNAPSHOT_CTE},
+{_MERGE_FIX_ORACLE}
 SELECT offer_id,
        updated_date AS change_date,
        'price_change' AS kind,
@@ -152,13 +257,25 @@ SELECT offer_id,
        NULL AS new_price,
        NULL AS old_price
 FROM ev WHERE unpub_tr
+UNION ALL
+SELECT offer_id, last_active AS change_date, 'fixture_state' AS kind,
+       total_price_changes AS price_diff, price_value AS new_price,
+       CAST(is_unpublished AS DOUBLE) AS old_price
+FROM fx_state
+UNION ALL
+SELECT offer_id, unpublished_date AS change_date, 'fixture_unpublish' AS kind,
+       NULL AS price_diff, NULL AS new_price, NULL AS old_price
+FROM fx_state WHERE unpublished_date IS NOT NULL
 """,
 )
 def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1 + W2 as one change feed: every price-change event with its
     diff ('price_change' rows) unioned with every false→true
-    is_unpublished transition ('unpublish' rows). Both halves derive
-    from the same per-key ordered window pass."""
+    is_unpublished transition ('unpublish' rows), both from the same
+    per-key ordered window pass — plus the W4/J5 edge-case fixture
+    ('fixture_*' rows): the no-updated_date and url-adoption merge
+    branches the events table never exercises, run through the real
+    merge operator against a SQL replay oracle."""
     price = cdc_price_changes(spark, sf_dir).select(
         "offer_id", "change_date",
         F.lit("price_change").alias("kind"),
@@ -172,7 +289,10 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("new_price"),
         F.lit(None).cast("double").alias("old_price"),
     )
-    return price.unionByName(unpub)
+    fixture = _merge_edge_fixture_feed(
+        spark, dict(price.dtypes)["change_date"]
+    )
+    return price.unionByName(unpub).unionByName(fixture)
 
 
 def cdc_price_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
