@@ -28,6 +28,26 @@ from pyspark.sql import functions as F
 _SALT = "__salt"
 
 
+def _stable_salt(df: DataFrame, salt_n: int) -> Column:
+    """Uniform salt derived from ROW CONTENT, not partition layout:
+    ``pmod(hash(all hashable columns), salt_n)``. The assignment is
+    identical across runs, retries, and repartitionings — a partial
+    recompute under a task retry lands every row on the same salt, so
+    no partial aggregate can double-count. (The earlier
+    ``hash(monotonically_increasing_id())`` variant was uniform but
+    layout-dependent, which silently voided that guarantee.)
+
+    Rows that are full duplicates share a salt by construction; feed a
+    unique id column through the frame when the hot key's rows are
+    near-identical and you need the full spread."""
+    hashable = [
+        f.name for f in df.schema.fields
+        if "map<" not in f.dataType.simpleString()
+    ]
+    src = F.hash(*[F.col(n) for n in hashable]) if hashable else F.lit(0)
+    return F.pmod(src, F.lit(salt_n)).cast("int")
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,
@@ -37,18 +57,14 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join where ``big`` has skewed keys: ``small`` is replicated
     ``salt_n``× (explode over the salt range) and each big-side row
-    picks a uniform salt, splitting every hot key across ``salt_n``
-    tasks. Correct for any ``how`` where the replicated side is the
-    non-preserved side of the join."""
+    picks a uniform content-derived salt (:func:`_stable_salt`),
+    splitting every hot key across ``salt_n`` tasks. Correct for any
+    ``how`` where the replicated side is the non-preserved side of the
+    join."""
     salted_small = small.withColumn(
         _SALT, F.explode(F.sequence(F.lit(0), F.lit(salt_n - 1)))
     )
-    # uniform, deterministic salt: stable hash of the whole big row id
-    # space spreads each key's rows evenly without an RNG (replayable)
-    salted_big = big.withColumn(
-        _SALT,
-        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_n)).cast("int"),
-    )
+    salted_big = big.withColumn(_SALT, _stable_salt(big, salt_n))
     out = salted_big.join(salted_small, [key, _SALT], how)
     return out.drop(_SALT)
 
@@ -65,10 +81,10 @@ def two_phase_agg(
     phase 2 merges the partials per key.
 
     ``aggs(df)`` returns the phase-1 aggregate columns; ``finish(df)``
-    merges them per key (e.g. sum of partial counts)."""
-    salted = df.withColumn(
-        _SALT,
-        F.pmod(F.hash(F.monotonically_increasing_id()), F.lit(salt_n)).cast("int"),
-    )
+    merges them per key (e.g. sum of partial counts). The salt is
+    content-derived (:func:`_stable_salt`), so a task retry recomputes
+    the same (key, salt) partials — layout-dependent salting here could
+    double-count under retry with a non-deterministic upstream."""
+    salted = df.withColumn(_SALT, _stable_salt(df, salt_n))
     partial = salted.groupBy(key, _SALT).agg(*aggs(salted))
     return partial.groupBy(key).agg(*finish(partial))

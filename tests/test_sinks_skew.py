@@ -79,3 +79,37 @@ def test_two_phase_agg_matches_single_phase(spark):
     for k in want:
         assert got[k][0] == want[k][0]
         assert math.isclose(got[k][1], want[k][1])
+
+
+def test_salt_is_stable_across_partitionings(spark):
+    """The salt must derive from row content only: the same rows
+    arriving in a different partition layout get identical salt
+    assignments (retry/replay safety), which layout-dependent salting
+    (monotonically_increasing_id) violated."""
+    from rental_data_pipeline_spark.operators.skew import _SALT, _stable_salt
+
+    rows = [(i % 3, i, f"p{i}") for i in range(300)]
+    a = spark.createDataFrame(rows, "k int, id int, payload string")
+    b = spark.createDataFrame(rows, "k int, id int, payload string").repartition(7, "payload")
+    salted = lambda d: sorted(
+        (r.k, r.id, r.payload, r.s)
+        for r in d.withColumn("s", _stable_salt(d, 8))
+        .withColumnRenamed("s", _SALT)
+        .select("k", "id", "payload", F.col(_SALT).alias("s"))
+        .collect()
+    )
+    assert salted(a) == salted(b)
+    # and the phase-1 partials are therefore layout-invariant too
+    phase1 = lambda d: sorted(
+        map(
+            tuple,
+            two_phase_agg(
+                d,
+                "k",
+                aggs=lambda x: [F.count(F.lit(1)).alias("pn")],
+                finish=lambda x: [F.sum("pn").alias("n")],
+                salt_n=8,
+            ).collect(),
+        )
+    )
+    assert phase1(a) == phase1(b)
