@@ -1,11 +1,13 @@
-"""As-of join (backward): for each left row, the most recent right row
-at-or-before its event time, per key.
+"""As-of join (backward and forward): for each left row, the nearest
+right row at-or-before (backward) / at-or-after (forward) its event
+time, per key.
 
 A custom operator Spark lacks natively, composed from existing
 DataFrame ops (no join at all): union both sides tagged, window
 ``last(right-payload, ignorenulls=True)`` over (key, time), keep left
-rows. One shuffle on the key — same scale shape as the CDC merge, and
-immune to the row-explosion a naive range-join would cost. (A
+rows. The forward direction is the same plan with the time ordering
+reversed. One shuffle on the key — same scale shape as the CDC merge,
+and immune to the row-explosion a naive range-join would cost. (A
 sort-merge range join materializes every candidate pair before
 filtering; the union-window form touches each row once.)
 """
@@ -18,21 +20,32 @@ from pyspark.sql import functions as F
 _SIDE = "__is_left"
 
 
-def asof_join_backward(
+def asof_join(
     left: DataFrame,
     right: DataFrame,
     key: str,
     time_col: str,
     right_payload: list[str],
     tiebreak: str | None = None,
+    direction: str = "backward",
+    how: str = "left",
 ) -> DataFrame:
-    """Left rows + columns ``right_payload`` from the latest right row
-    with ``right.time <= left.time`` on the same key (null if none).
+    """Left rows + columns ``right_payload`` from the nearest right row
+    on the same key: latest with ``right.time <= left.time``
+    (``direction='backward'``) or earliest with ``right.time >=
+    left.time`` (``'forward'``). ``how='left'`` keeps unmatched left
+    rows with null payload; ``'inner'`` drops them (DuckDB's
+    ``ASOF [LEFT] JOIN`` semantics in both directions).
 
     ``tiebreak`` orders simultaneous rows deterministically; right rows
     sort before left rows at equal (time, tiebreak) so an exactly-
-    simultaneous right row IS visible to the left row (<=, not <).
+    simultaneous right row IS visible to the left row (<= / >=, never
+    strict).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be left|inner, got {how!r}")
     lcols = left.columns
     # One struct per right row — never per column. A per-column
     # last(ignorenulls) would let a NULL payload field inherit from an
@@ -57,9 +70,17 @@ def asof_join_backward(
         payload_struct.alias("__r_payload"),
         F.lit(0).alias(_SIDE),
     )
-    order = [F.col(time_col).asc(), F.col(_SIDE).asc()]
-    if tiebreak:
-        order.insert(1, F.col(tiebreak).asc_nulls_first())
+    if direction == "backward":
+        order = [F.col(time_col).asc(), F.col(_SIDE).asc()]
+        if tiebreak:
+            order.insert(1, F.col(tiebreak).asc_nulls_first())
+    else:
+        # forward = the same scan in reverse time order: the running
+        # last-non-null payload is then the EARLIEST right row at or
+        # after the left row's time
+        order = [F.col(time_col).desc(), F.col(_SIDE).asc()]
+        if tiebreak:
+            order.insert(1, F.col(tiebreak).desc_nulls_first())
     w = (
         Window.partitionBy(key)
         .orderBy(*order)
@@ -69,7 +90,26 @@ def asof_join_backward(
         "*",
         F.last("__r_payload", ignorenulls=True).over(w).alias("__asof_payload"),
     )
-    return filled.where(F.col(_SIDE) == 1).select(
+    out = filled.where(F.col(_SIDE) == 1)
+    if how == "inner":
+        out = out.where(F.col("__asof_payload").isNotNull())
+    return out.select(
         *lcols,
         *[F.col(f"__asof_payload.{c}").alias(f"asof_{c}") for c in right_payload],
+    )
+
+
+def asof_join_backward(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    time_col: str,
+    right_payload: list[str],
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Backward/left as-of join (the original API; see
+    :func:`asof_join`)."""
+    return asof_join(
+        left, right, key, time_col, right_payload, tiebreak,
+        direction="backward", how="left",
     )

@@ -625,19 +625,28 @@ def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH p AS (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'),
 c AS (SELECT user_id, ts, arg_max(value, event_id) AS click_value
       FROM events WHERE event_type = 'click' GROUP BY user_id, ts)
-SELECT p.event_id, p.user_id, p.ts,
+SELECT 'backward_left' AS direction, p.event_id, p.user_id, p.ts,
        round(p.value, 6) AS purchase_value,
        round(c.click_value, 6) AS asof_click_value,
        c.ts AS asof_click_ts
 FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+UNION ALL
+SELECT 'forward_inner' AS direction, p.event_id, p.user_id, p.ts,
+       round(p.value, 6) AS purchase_value,
+       round(c.click_value, 6) AS asof_click_value,
+       c.ts AS asof_click_ts
+FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts
 """,
 )
 def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """As-of (backward) join: each purchase paired with the user's most
-    recent click at-or-before it — composed as union + last-ignorenulls
-    window (one shuffle, no range-join row explosion); DuckDB's native
-    ASOF JOIN is the oracle."""
-    from rental_data_pipeline_spark.operators.asof import asof_join_backward
+    """As-of join, both directions in one direction-labelled feed: each
+    purchase with the user's most recent click at-or-before it
+    ('backward_left', unmatched kept with null payload) and with the
+    earliest click at-or-after it ('forward_inner', unmatched dropped)
+    — composed as union + last-ignorenulls window (one shuffle per
+    direction, no range-join row explosion); DuckDB's native
+    ASOF [LEFT] JOIN is the oracle for both."""
+    from rental_data_pipeline_spark.operators.asof import asof_join
 
     ev = load_table(spark, "events", sf_dir)
     purchases = ev.where(F.col("event_type") == "purchase").select(
@@ -648,15 +657,23 @@ def asof_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("user_id", "ts")
         .agg(F.max_by("value", "event_id").alias("click_value"))
     )
-    out = asof_join_backward(
-        purchases, clicks, key="user_id", time_col="ts",
-        right_payload=["click_value", "ts"], tiebreak="event_id",
-    )
-    return out.select(
-        "event_id", "user_id", "ts",
-        F.round("value", 6).alias("purchase_value"),
-        F.round("asof_click_value", 6).alias("asof_click_value"),
-        F.col("asof_ts").alias("asof_click_ts"),
+
+    def half(direction: str, how: str, label: str) -> DataFrame:
+        out = asof_join(
+            purchases, clicks, key="user_id", time_col="ts",
+            right_payload=["click_value", "ts"], tiebreak="event_id",
+            direction=direction, how=how,
+        )
+        return out.select(
+            F.lit(label).alias("direction"),
+            "event_id", "user_id", "ts",
+            F.round("value", 6).alias("purchase_value"),
+            F.round("asof_click_value", 6).alias("asof_click_value"),
+            F.col("asof_ts").alias("asof_click_ts"),
+        )
+
+    return half("backward", "left", "backward_left").unionByName(
+        half("forward", "inner", "forward_inner")
     )
 
 

@@ -46,3 +46,33 @@ def test_asof_null_payload_not_inherited_from_older_row(spark):
     assert row.asof_tag == "new"
     assert row.asof_ts == _ts(8)
     assert row.asof_v is None  # NOT 111.0 from the older row
+
+
+def test_asof_forward_and_inner(spark):
+    from rental_data_pipeline_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, _ts(10)), (1, _ts(5)), (2, _ts(30))], "k int, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, _ts(5), 100.0), (1, _ts(12), 200.0), (2, _ts(4), 300.0)],
+        "k int, ts timestamp, v double",
+    )
+    fwd = {
+        (r.k, r.ts): (r.asof_v, r.asof_ts)
+        for r in asof_join(
+            left, right, key="k", time_col="ts", right_payload=["v", "ts"],
+            direction="forward", how="left",
+        ).collect()
+    }
+    # nearest right row at-or-after: ts 10 -> 12; simultaneous visible
+    assert fwd[(1, _ts(10))] == (200.0, _ts(12))
+    assert fwd[(1, _ts(5))] == (100.0, _ts(5))
+    # no right row at-or-after -> nulls under how='left'
+    assert fwd[(2, _ts(30))] == (None, None)
+    # ...and dropped entirely under how='inner'
+    inner = asof_join(
+        left, right, key="k", time_col="ts", right_payload=["v", "ts"],
+        direction="forward", how="inner",
+    ).collect()
+    assert {(r.k, r.ts) for r in inner} == {(1, _ts(10)), (1, _ts(5))}
