@@ -410,11 +410,23 @@ def search_url_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 from rental_data_pipeline_spark.queries import (  # noqa: E402
+    NUMERIC_LITERALS,
     NUMERIC_PARSE_ORACLE,
+    STREET_LITERALS,
     STREET_NORMALIZE_ORACLE,
     scalar_numeric_parse,
     scalar_street_normalize,
 )
+
+# The id spine must cover every fixture row: a fixture id beyond the
+# spine would be silently dropped from BOTH engines (left joins), so the
+# gate would keep passing while coverage shrank. Derive the bound.
+_SUITE_FIXTURES = [
+    NUMERIC_LITERALS, STREET_LITERALS, DATE_LITERALS, TITLE_LITERALS,
+    TEXT_LITERALS, URL_LITERALS, FLATTEN_LITERALS, ADDR_LITERALS,
+    NAN_LITERALS, URL_CFG_LITERALS,
+]
+_SPINE_END = max(r[0] for fx in _SUITE_FIXTURES for r in fx) + 1
 
 _SUITE_PARTS: list[tuple[str, str]] = [
     ("np", "scalar_numeric_parse"),
@@ -469,7 +481,7 @@ def _suite_oracle_sql() -> str:
         joins.append(f"LEFT JOIN {p} ON {p}.id = s.id")
     return (
         f"WITH {ctes}\nSELECT " + ",\n       ".join(sel)
-        + "\nFROM range(1, 13) s(id)\n" + "\n".join(joins)
+        + f"\nFROM range(1, {_SPINE_END}) s(id)\n" + "\n".join(joins)
     )
 
 
@@ -477,8 +489,10 @@ def _suite_oracle_sql() -> str:
 def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1/X2/X6/X7/X9/X10-X15/X17/X19/X21 + P1 + K1 + S6 in one query:
     each scalar sub-proof (own literal fixture, own oracle CTE) joined
-    onto a 12-row id spine. All sides are literal-backed and broadcast;
-    the sink round-trip (ns_*) still writes + re-reads real JSON."""
+    onto an id spine sized to the fixtures (_SPINE_END, so no fixture
+    row can fall off silently). All sides are literal-backed and
+    broadcast; the sink round-trip (ns_*) still writes + re-reads real
+    JSON."""
     fns = {
         "np": scalar_numeric_parse, "sn": scalar_street_normalize,
         "rd": scalar_russian_dates, "td": scalar_title_decompose,
@@ -486,7 +500,7 @@ def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fr": flatten_rename_projection, "ab": scalar_address_build,
         "ns": sink_nan_scrub_format, "uc": search_url_compile,
     }
-    out = spark.range(1, 13).select(F.col("id"))
+    out = spark.range(1, _SPINE_END).select(F.col("id"))
     for prefix, name in _SUITE_PARTS:
         part = fns[prefix](spark, sf_dir)
         renamed = part.select(
