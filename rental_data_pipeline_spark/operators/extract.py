@@ -350,10 +350,26 @@ def quarantine_split(df: DataFrame, error_col: str = "error") -> tuple[DataFrame
 # ---------------------------------------------------------------------------
 
 
+# Real listing pages are 100s of KB of nav/layout markup around ~1 KB
+# of extractable facts (SURVEY §2.2). The fixture embeds that dead
+# weight so the mapInPandas parse stage is benchmarked at realistic
+# page size: the mini-DOM must walk every filler tag to know it matches
+# no selector. Rendered JVM-side via repeat() (one literal, no Python).
+_FILLER_BLOCK = (
+    '<div class="layout-row"><nav class="breadcrumbs">'
+    '<a href="/">Главная</a><a href="/rent/">Аренда</a>'
+    '<span class="sep">/</span></nav>'
+    '<div class="promo-banner" data-track="imp"><span>реклама</span></div></div>'
+)
+FILLER_BLOCKS = 400  # ~75 KB per page
+
+
 def listing_page_html(doc_id: Column, text: Column) -> Column:
     """Render a listing page for a document row. All derived fields are
     doc_id arithmetic, so a SQL oracle can recompute them exactly.
-    Every 7th listing is unpublished; every 50th renders an error page."""
+    Every 7th listing is unpublished; every 50th renders an error page.
+    ~75 KB of selector-miss filler markup per page (see _FILLER_BLOCK)
+    keeps the parse cost page-size-realistic."""
     rooms = doc_id % 4 + 1
     area = doc_id % 60 + 30
     floor = doc_id % 15 + 1
@@ -369,6 +385,7 @@ def listing_page_html(doc_id: Column, text: Column) -> Column:
     title = F.format_string("%d-комн. кв., %d м², %d/%d этаж", rooms, area, floor, total)
     page = F.concat(
         F.lit("<html><body>"),
+        F.repeat(F.lit(_FILLER_BLOCK), FILLER_BLOCKS),
         F.when(doc_id % 7 == 0, F.lit('<div data-name="OfferUnpublished"><span>Снято</span></div>')).otherwise(F.lit("")),
         F.lit('<h1 data-mark="OfferTitle">'), title, F.lit("</h1>"),
         F.format_string('<span data-mark="MainPrice">%d ₽/мес.</span>', price),

@@ -24,7 +24,13 @@ from rental_data_pipeline_spark.sources.tables import load_table
 
 def _rendered(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    return docs.select(
+    # Fan out BEFORE rendering: the documents file is small in bytes
+    # (one scan split), but each row becomes a ~75 KB page whose parse
+    # dominates the query — without this the whole Arrow stage runs on
+    # one core. The exchange moves only the ~1 KB pre-render rows; the
+    # page markup is materialized after the shuffle, never through it.
+    n = spark.sparkContext.defaultParallelism
+    return docs.repartition(n, F.col("doc_id")).select(
         "doc_id",
         X.listing_page_html(F.col("doc_id"), F.col("text")).alias("html"),
         X.listing_url(F.col("doc_id")).alias("url"),

@@ -63,7 +63,11 @@ def pipeline_end_to_end(spark: SparkSession, sf_dir: str) -> DataFrame:
         wanted = scope_ids.select(
             (F.col("offer_id").cast("long") - 100000).alias("doc_id")
         )
-        rows = docs.join(wanted, "doc_id")
+        # fan out before rendering (same rationale as queries_extract.
+        # _rendered): the parse stage dominates, and the exchange moves
+        # only the ~1 KB pre-render rows, never the page markup
+        n = spark.sparkContext.defaultParallelism
+        rows = docs.join(wanted, "doc_id").repartition(n, F.col("doc_id"))
         return rows.select(
             X.listing_page_html(F.col("doc_id"), F.col("text")).alias("html"),
             X.listing_url(F.col("doc_id")).alias("url"),

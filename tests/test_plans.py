@@ -72,7 +72,10 @@ def test_extract_is_one_arrow_stage_no_shuffle(spark, sf_dir):
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan, (
         "no per-expression Python UDFs in the extract path"
     )
-    assert _exchanges(plan) == 0
+    # exactly one exchange, and it must sit BEFORE the render: it moves
+    # the ~1 KB pre-render doc rows so the ~75 KB rendered pages (and
+    # their parse) fan out across cores without ever being shuffled
+    assert _exchanges(plan) == 1
 
 
 def test_asof_join_free_bounded_shuffles(spark, sf_dir):
