@@ -343,6 +343,34 @@ def quarantine_split(df: DataFrame, error_col: str = "error") -> tuple[DataFrame
     return clean, bad
 
 
+def sniff_error_pages(
+    df: DataFrame, html_col: str = "html", url_col: str = "url"
+) -> DataFrame:
+    """E8 as a NATIVE pre-filter — the shape you want at 100 TB: the
+    error marker is one JVM-side regexp over the raw page, so only the
+    rows that need field extraction ever pay the Arrow transfer + the
+    Python parse. Mirrors ``_parse_listing``'s error branch (first
+    ``class="error-code"`` element's text, offer_id from the url;
+    ref html_parser.py error sniff): on pages where the marker exists
+    the mini-DOM and this regexp read the same text node.
+
+    Returns ``(offer_id, error)`` for error pages only; compose with
+    ``parse_listing_pages`` over the complement for a parse-once
+    pipeline (``jobs/pipeline.py`` keeps the split-after-parse form
+    because it already parses every page exactly once)."""
+    err = F.regexp_extract(
+        F.col(html_col), r'class="error-code"[^>]*>\s*([^<]*?)\s*<', 1
+    )
+    offer_id = F.regexp_extract(F.col(url_col), r"/rent/flat/(\d+)", 1)
+    return (
+        df.select(
+            F.when(offer_id != "", offer_id).alias("offer_id"),
+            F.when(err != "", err).alias("error"),
+        )
+        .where(F.col("error").isNotNull())
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic HTML fixtures (JVM-side rendering; tests + queries).
 # In production HTML arrives from crawl files; these render the same

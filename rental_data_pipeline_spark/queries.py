@@ -207,16 +207,22 @@ def _merge_edge_fixture_feed(spark: SparkSession, ts_type: str) -> DataFrame:
     unpublished_date on (the J5 adoption must force that transition)."""
     from rental_data_pipeline_spark.operators.merge import merge_listings
 
+    # repartition(1): createDataFrame spreads even 3 literal rows over
+    # defaultParallelism partitions, turning the tiny merge into ~64
+    # near-empty tasks per stage (measured ~2 s of pure scheduling).
+    # NOT coalesce(1) — collapsing the parallelize without an exchange
+    # measured ~17 s here (pathological single-task stages); the
+    # explicit 1-partition exchange is the cheap, AQE-friendly form.
     tgt = spark.createDataFrame(
         _MERGE_FIX_TGT,
         "offer_id bigint, offer_url string, price_value double, "
         "is_unpublished boolean, last_active string, total_price_changes bigint",
-    ).withColumn("last_active", F.col("last_active").cast(ts_type))
+    ).repartition(1).withColumn("last_active", F.col("last_active").cast(ts_type))
     src = spark.createDataFrame(
         _MERGE_FIX_SRC,
         "offer_id bigint, offer_url string, updated_date string, "
         "price_value double, is_unpublished boolean",
-    ).withColumn("updated_date", F.col("updated_date").cast(ts_type))
+    ).repartition(1).withColumn("updated_date", F.col("updated_date").cast(ts_type))
     state = merge_listings(tgt, src, key="offer_id", order_cols=["updated_date"])
     st = state.select(
         "offer_id",

@@ -145,10 +145,13 @@ def extract_quarantine_pagination(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 def extract_error_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """E8/F5: error pages land in quarantine with the sniffed code."""
-    parsed = X.parse_listing_pages(_rendered(spark, sf_dir))
-    _clean, bad = X.quarantine_split(parsed)
-    return bad.select("offer_id", "error")
+    """E8/F5: error pages land in quarantine with the sniffed code —
+    via the NATIVE regexp sniff (no Python stage): at 100 TB the cheap
+    marker scan prunes error pages before any Arrow transfer, instead
+    of full-parsing every page to find the 2% that are errors. The
+    parse-then-split form stays exercised by the pipeline (parse-once)
+    and extract_listing_fields."""
+    return X.sniff_error_pages(_rendered(spark, sf_dir))
 
 
 def extract_summary_pagination(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -500,7 +500,7 @@ def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fr": flatten_rename_projection, "ab": scalar_address_build,
         "ns": sink_nan_scrub_format, "uc": search_url_compile,
     }
-    out = spark.range(1, _SPINE_END).select(F.col("id"))
+    out = spark.range(1, _SPINE_END, 1, 1).select(F.col("id"))
     for prefix, name in _SUITE_PARTS:
         part = fns[prefix](spark, sf_dir)
         renamed = part.select(

@@ -78,6 +78,14 @@ def test_extract_is_one_arrow_stage_no_shuffle(spark, sf_dir):
     assert _exchanges(plan) == 1
 
 
+def test_quarantine_sniff_is_native(spark, sf_dir):
+    # E8 standalone: the error marker must be sniffed JVM-side — no
+    # Arrow stage, no Python — so error pages are pruned before any
+    # expensive parse at scale
+    plan = _plan(spark, sf_dir, "extract_quarantine_pagination")
+    assert not re.search(r"EvalPython|MapInPandas", plan), "sniff stays native"
+
+
 def test_asof_join_free_bounded_shuffles(spark, sf_dir):
     plan = _plan(spark, sf_dir, "asof_click_before_purchase")
     assert "Join" not in plan, "as-of composes union+window, not a range join"
