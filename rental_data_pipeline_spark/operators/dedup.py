@@ -133,6 +133,45 @@ def _shingle_pairs(
     return sizes, exploded
 
 
+def _cap_hot_shingles(exploded: DataFrame, max_doc_freq: int) -> DataFrame:
+    """Drop shingles whose doc-frequency exceeds the cap — a window
+    count over the shingle-partitioned index (one shuffle, no extra
+    join)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shingle")
+    return (
+        exploded.withColumn("__df", F.count(F.lit(1)).over(w))
+        .where(F.col("__df") <= max_doc_freq)
+        .drop("__df")
+    )
+
+
+def _pair_counts(exploded: DataFrame, sizes: DataFrame) -> DataFrame:
+    """Inverted-index self-join → ``(doc_a, doc_b, n_inter, n_a, n_b)``
+    for every pair with at least one co-occurring shingle."""
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b")
+
+
+def _jaccard_score() -> Column:
+    return F.col("n_inter").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_inter")
+    )
+
+
+def _overlap_score() -> Column:
+    return F.col("n_inter").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
+
+
 def _intersection_counts(
     df: DataFrame,
     k: int,
@@ -160,27 +199,10 @@ def _intersection_counts(
     index table); the job-scoped cache is released by the session's
     ``clearCache`` between queries.
     """
-    from pyspark.sql import Window
-
     sizes, exploded = _shingle_pairs(df, text_col, id_col, k)
     if max_doc_freq is not None:
-        w = Window.partitionBy("shingle")
-        exploded = (
-            exploded.withColumn("__df", F.count(F.lit(1)).over(w))
-            .where(F.col("__df") <= max_doc_freq)
-            .drop("__df")
-        )
-    exploded = exploded.persist()
-    a = exploded.alias("a")
-    b = exploded.alias("b")
-    inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa = sizes.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return inter.join(sa, "doc_a").join(sb, "doc_b")
+        exploded = _cap_hot_shingles(exploded, max_doc_freq)
+    return _pair_counts(exploded.persist(), sizes)
 
 
 def jaccard_pairs(
@@ -197,9 +219,8 @@ def jaccard_pairs(
     ``max_doc_freq`` hot-shingle cap (the configuration to run at
     100 TB)."""
     counts = _intersection_counts(df, k, text_col, id_col, max_doc_freq)
-    jac = F.col("n_inter").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
     return (
-        counts.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        counts.select("doc_a", "doc_b", F.round(_jaccard_score(), 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 
@@ -223,11 +244,98 @@ def overlap_pairs(
     normalizer differs, so the scale analysis — and the
     ``max_doc_freq`` hot-shingle cap — carry over unchanged."""
     counts = _intersection_counts(df, k, text_col, id_col, max_doc_freq)
-    ov = F.col("n_inter").cast("double") / F.least(F.col("n_a"), F.col("n_b"))
     return (
-        counts.select("doc_a", "doc_b", F.round(ov, 6).alias("score"))
+        counts.select("doc_a", "doc_b", F.round(_overlap_score(), 6).alias("score"))
         .where(F.col("score") >= threshold)
     )
+
+
+def near_pair_suite(
+    df: DataFrame,
+    jaccard_threshold: float = 0.8,
+    overlap_threshold: float = 0.9,
+    capped_doc_freq: int = 5,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """All four near-dup detection paths over ONE materialized
+    doc↔shingle index — the suite form of
+    jaccard_pairs/overlap_pairs/minhash_lsh_pairs for when the methods
+    run together (which is how a curation pipeline compares them):
+
+    - the shingle arrays are computed once and persisted (at cluster
+      scale: the index table);
+    - 'ngram_jaccard' and 'overlap' share the SAME inverted-index
+      self-join — they are two normalizers over one n_inter feed;
+    - 'ngram_jaccard_capped' reuses the persisted index through the
+      hot-shingle window cap (its self-join is necessarily separate);
+    - 'minhash_lsh' derives signatures from the same index and
+      verifies candidates against the persisted shingle arrays.
+
+    Returns ``(method, doc_a, doc_b, score)``.
+    """
+    tok = _tokenized(df, text_col, id_col)
+    # materialize doc → shingle-array ONCE; everything below is narrow
+    # lineage off this cache (explode of a cached column is safe from
+    # the InferFiltersFromGenerate re-evaluation trap — the cache is an
+    # evaluation barrier)
+    sh = tok.select("doc", shingles_of(F.col("toks"), k).alias("sh")).persist()
+    sizes = sh.select("doc", F.size("sh").alias("n_sh"))
+    exploded = sh.select("doc", F.explode("sh").alias("shingle")).persist()
+
+    # one self-join feeds BOTH uncapped scores
+    counts = _pair_counts(exploded, sizes).persist()
+    jac = counts.select(
+        F.lit("ngram_jaccard").alias("method"), "doc_a", "doc_b",
+        F.round(_jaccard_score(), 6).alias("score"),
+    ).where(F.col("score") >= jaccard_threshold)
+    ov = counts.select(
+        F.lit("overlap").alias("method"), "doc_a", "doc_b",
+        F.round(_overlap_score(), 6).alias("score"),
+    ).where(F.col("score") >= overlap_threshold)
+
+    capped_counts = _pair_counts(
+        _cap_hot_shingles(exploded, capped_doc_freq), sizes
+    )
+    jac_capped = capped_counts.select(
+        F.lit("ngram_jaccard_capped").alias("method"), "doc_a", "doc_b",
+        F.round(_jaccard_score(), 6).alias("score"),
+    ).where(F.col("score") >= jaccard_threshold)
+
+    # MinHash+LSH from the same index; verify against the cached arrays
+    hashed = exploded.select(
+        "doc", (portable_hash64(F.col("shingle")) % F.lit(2_147_483_647)).alias("h")
+    )
+    sig = hashed.groupBy("doc").agg(
+        *[F.min(minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(NUM_PERM)]
+    )
+    bk = lsh_band_keys(sig)
+    a, b = bk.alias("a"), bk.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    mh = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select(
+            F.lit("minhash_lsh").alias("method"), "doc_a", "doc_b",
+            F.round(inter.cast("double") / union, 6).alias("score"),
+        )
+        .where(F.col("score") >= jaccard_threshold)
+    )
+    return jac.unionByName(jac_capped).unionByName(mh).unionByName(ov)
 
 
 def minhash_signatures(

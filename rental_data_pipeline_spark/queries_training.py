@@ -1179,25 +1179,13 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Jaccard ('minhash_lsh'), and the overlap coefficient
     |A∩B|/min(|A|,|B|) for doc-inside-doc near-subset duplication
     ('overlap'). Identical Jaccard thresholds for the exact paths, so
-    LSH recall and cap pruning surface as row diffs."""
-    j = dedup_ngram_jaccard(spark, sf_dir).select(
-        F.lit("ngram_jaccard").alias("method"), "doc_a", "doc_b",
-        F.col("jaccard").alias("score"),
+    LSH recall and cap pruning surface as row diffs. All four run off
+    ONE persisted doc↔shingle index (dedup.near_pair_suite): jaccard
+    and overlap share the same inverted-index self-join."""
+    return D.near_pair_suite(
+        load_table(spark, "documents", sf_dir),
+        jaccard_threshold=0.8, overlap_threshold=0.9, capped_doc_freq=5,
     )
-    jc = D.jaccard_pairs(
-        load_table(spark, "documents", sf_dir), threshold=0.8, max_doc_freq=5
-    ).select(
-        F.lit("ngram_jaccard_capped").alias("method"), "doc_a", "doc_b",
-        F.col("jaccard").alias("score"),
-    )
-    m = dedup_minhash_lsh(spark, sf_dir).select(
-        F.lit("minhash_lsh").alias("method"), "doc_a", "doc_b",
-        F.col("jaccard").alias("score"),
-    )
-    o = D.overlap_pairs(load_table(spark, "documents", sf_dir), threshold=0.9).select(
-        F.lit("overlap").alias("method"), "doc_a", "doc_b", "score"
-    )
-    return j.unionByName(jc).unionByName(m).unionByName(o)
 
 
 @register(
