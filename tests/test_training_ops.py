@@ -307,3 +307,25 @@ def test_overlap_catches_subset_jaccard_misses(spark):
     assert len(ov) == 1 and ov[0]["score"] == 1.0, "subset doc is full-overlap"
     jac = D.jaccard_pairs(df, threshold=0.8).collect()
     assert jac == [], "jaccard stays below threshold for subset-in-large"
+
+
+def test_near_pair_suite_matches_standalone_ops(spark, docs):
+    """The fused suite (one materialized shingle index, shared
+    inverted-index self-join) must return exactly the union of the
+    standalone operators it replaces."""
+    suite = {
+        (r.method, r.doc_a, r.doc_b, r.score)
+        for r in D.near_pair_suite(
+            docs, jaccard_threshold=0.8, overlap_threshold=0.9, capped_doc_freq=5
+        ).collect()
+    }
+    expect = set()
+    for r in D.jaccard_pairs(docs, threshold=0.8).collect():
+        expect.add(("ngram_jaccard", r.doc_a, r.doc_b, r.jaccard))
+    for r in D.jaccard_pairs(docs, threshold=0.8, max_doc_freq=5).collect():
+        expect.add(("ngram_jaccard_capped", r.doc_a, r.doc_b, r.jaccard))
+    for r in D.minhash_lsh_pairs(docs, threshold=0.8).collect():
+        expect.add(("minhash_lsh", r.doc_a, r.doc_b, r.jaccard))
+    for r in D.overlap_pairs(docs, threshold=0.9).collect():
+        expect.add(("overlap", r.doc_a, r.doc_b, r.score))
+    assert suite == expect
