@@ -94,6 +94,88 @@ def _parse_dom(html: str) -> _Node:
     return b.root
 
 
+# ---------------------------------------------------------------------------
+# String-level strainer: tokenize ~1% of the page, not all of it
+# ---------------------------------------------------------------------------
+
+_VOID_TAGS = frozenset(("br", "img", "meta", "link", "input", "hr"))
+_TAGNAME_RE = re.compile(r"<([a-zA-Z][a-zA-Z0-9]*)")
+
+
+def _compile_strainer(pairs: list[tuple[str, str]]) -> re.Pattern:
+    """Alternation of the literal ``attr="value"`` byte patterns the
+    parser selects on (double-quoted attributes, the only form the
+    sources emit)."""
+    return re.compile("|".join(re.escape(f'{a}="{v}"') for a, v in pairs))
+
+
+def _balanced_end(html: str, start: int, tag: str) -> int:
+    """Index just past the close tag matching the open tag at
+    ``start``, by same-tag depth counting. Tolerant like the DOM
+    builder: an unbalanced region extends to end-of-document (the
+    result is then over-inclusive, never wrong — the DOM parse still
+    applies real attribute matching)."""
+    pat = re.compile("<(/?)" + re.escape(tag) + r"(?=[\s>/])", re.I)
+    depth = 0
+    pos = start
+    while True:
+        m = pat.search(html, pos)
+        if not m:
+            return len(html)
+        gt = html.find(">", m.end())
+        if gt == -1:
+            return len(html)
+        if m.group(1):
+            depth -= 1
+            if depth <= 0:
+                return gt + 1
+        else:
+            if html[gt - 1] != "/":
+                depth += 1
+            elif depth == 0:
+                return gt + 1
+        pos = gt + 1
+
+
+def _strain(html: str, watch_re: re.Pattern) -> str:
+    """SoupStrainer-style pre-filter: markup of every element whose
+    start tag carries a watched ``attr="value"``, concatenated in
+    document order. The pure-Python html.parser tokenizer is the parse
+    bottleneck (~60% of per-page cost, measured); a C-speed regex scan
+    plus tiny-fragment parse replaces tokenizing the ~99% of a real
+    listing page that is nav/layout filler no selector can match.
+
+    Semantics contract (holds for the reference's selector set): a
+    watched element nested inside another watched element is covered by
+    the outer region (matches inside an extracted region are skipped),
+    and selectors that are only ever queried *within* a matched
+    component (UndergroundItem, itemprop=name inside Geo) need not be
+    watched at top level. Spurious matches in text content extract a
+    garbage region; the DOM parse then simply finds no matching
+    attribute — over-inclusion is safe, exclusion of a watched literal
+    is not."""
+    out: list[str] = []
+    end_prev = 0
+    for m in watch_re.finditer(html):
+        if m.start() < end_prev:
+            continue
+        lt = html.rfind("<", 0, m.start())
+        if lt == -1:
+            continue
+        tm = _TAGNAME_RE.match(html, lt)
+        if not tm:
+            continue
+        tag = tm.group(1).lower()
+        if tag in _VOID_TAGS:
+            gt = html.find(">", m.end())
+            end = gt + 1 if gt != -1 else len(html)
+        else:
+            end = _balanced_end(html, lt, tag)
+        out.append(html[lt:end])
+        end_prev = end
+    return "".join(out)
+
+
 def _text(node: _Node) -> str:
     parts: list[str] = []
 
@@ -160,11 +242,36 @@ _OFFER_ID_RE = re.compile(r"/rent/flat/(\d+)")
 _NUMS_RE = re.compile(r"\d+")
 
 
+# every selector _parse_listing queries from the page root; selectors
+# queried only within a matched component (UndergroundItem and
+# itemprop=name inside Geo) ride along in the Geo region
+_LISTING_STRAINER = _compile_strainer(
+    [
+        ("class", "error-code"),
+        ("data-testid", "valuation_offerPrice"),
+        ("data-testid", "price-amount"),
+        ("data-mark", "MainPrice"),
+        ("data-mark", "OfferSubtitle"),
+        ("data-mark", "OfferTitle"),
+        ("data-testid", "metadata-updated-date"),
+        ("data-name", "Description"),
+        ("data-name", "OfferStats"),
+        ("data-name", "Geo"),
+        ("data-name", "OfferUnpublished"),
+        ("data-name", "OfferFactItem"),
+        ("data-name", "ObjectFactoidsItem"),
+        ("data-name", "FeaturesItem"),
+    ]
+)
+
+
 def _parse_listing(html: str, url: str) -> dict:
     """One listing page → one record (reference html_parser.py:59-221
     semantics: first-match-wins selector priority, label-value pairs,
-    feature flags, unpublished marker, error sniff)."""
-    dom = _parse_dom(html)
+    feature flags, unpublished marker, error sniff). The DOM is built
+    from the strained page (see :func:`_strain`) so only
+    selector-bearing regions pay the Python tokenizer."""
+    dom = _parse_dom(_strain(html, _LISTING_STRAINER))
 
     err = _find_one(dom, "class", "error-code")
     if err is not None:
@@ -296,6 +403,9 @@ def _parse_card(card: _Node) -> dict:
     return rec
 
 
+_CARD_STRAINER = _compile_strainer([("data-name", "CardComponent")])
+
+
 def split_cards(
     df: DataFrame, html_col: str = "html", page_id_col: str = "page_id"
 ) -> DataFrame:
@@ -307,7 +417,10 @@ def split_cards(
         for pdf in batches:
             out: list[dict] = []
             for pid, h in zip(pdf[page_id_col], pdf[html_col]):
-                dom = _parse_dom(h or "")
+                # strain to the card blocks: LinkArea/OfferTitle/
+                # MainPrice are only queried within a card, so the
+                # CardComponent regions cover them
+                dom = _parse_dom(_strain(h or "", _CARD_STRAINER))
                 for card in _find_all(dom, "data-name", "CardComponent"):
                     rec = _parse_card(card)
                     rec["page_id"] = int(pid)

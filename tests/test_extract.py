@@ -77,3 +77,59 @@ def test_render_parse_roundtrip(spark):
     r7 = out["100007"]  # doc_id 7: unpublished (7 % 7 == 0)
     assert r7.is_unpublished is True
     assert r7.facts["Этаж"] == "8 из 15"  # floor = 7%15+1 = 8, total = 8 + 7%10 = 15
+
+
+def test_strained_parse_equals_full_dom_parse():
+    """The string-level strainer must be semantics-neutral: parsing the
+    strained page gives the exact record the full-DOM parse gives, for
+    normal / unpublished / error / feature-bearing pages, including a
+    page with an unclosed tag (tolerant overshoot)."""
+    from rental_data_pipeline_spark.operators.extract import (
+        _FILLER_BLOCK,
+        _LISTING_STRAINER,
+        _parse_dom,
+        _parse_listing,
+        _strain,
+    )
+
+    def full_parse(html, url):
+        # bypass the strainer by pre-straining with a pass-through
+        import rental_data_pipeline_spark.operators.extract as X
+
+        orig = X._strain
+        X._strain = lambda h, w: h
+        try:
+            return _parse_listing(html, url)
+        finally:
+            X._strain = orig
+
+    filler = _FILLER_BLOCK * 20
+    pages = [
+        # normal page with every component
+        "<html><body>" + filler
+        + '<div data-name="OfferUnpublished"><span>Снято</span></div>'
+        + '<h1 data-mark="OfferTitle">2-комн. кв., 54 м², 3/9 этаж</h1>'
+        + '<span data-mark="MainPrice">45 000 ₽/мес.</span>'
+        + '<div data-name="OfferMetaData"><div data-testid="metadata-updated-date">'
+        + "<span>Обновлено: 12 мая, 14:30</span></div>"
+        + '<div data-name="OfferStats">99 просмотров, 3 за сегодня, 42 уникальных</div></div>'
+        + '<div data-name="Geo"><div itemprop="name" content="Москва, ул. Тестовая, 7"></div>'
+        + '<ul><li data-name="UndergroundItem"><a>м. Станция3</a></li></ul></div>'
+        + '<div data-name="OfferFactItem"><span>Этаж</span><span>3 из 9</span></div>'
+        + '<div data-name="FeaturesItem">Холодильник</div>'
+        + '<div data-name="Description"><span>текст описания</span></div>'
+        + filler + "</body></html>",
+        # error page
+        '<html><body><h5 class="error-code">404 Страница не найдена</h5></body></html>',
+        # unclosed tag inside a watched region (tolerant overshoot)
+        "<html><body>" + filler
+        + '<div data-name="Description"><span>no close'
+        + "</body></html>",
+        # page with none of the selectors
+        "<html><body>" + filler + "</body></html>",
+    ]
+    url = "https://example.test/rent/flat/100042/"
+    for html in pages:
+        assert _parse_listing(html, url) == full_parse(html, url)
+    # the strainer really prunes: strained normal page is tiny
+    assert len(_strain(pages[0], _LISTING_STRAINER)) < len(pages[0]) / 5
