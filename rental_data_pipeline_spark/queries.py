@@ -32,6 +32,18 @@ QUERIES: dict = {}
 ORACLES: dict[str, str] = {}
 
 
+def literal_frame(spark: SparkSession, rows: list, schema: str) -> DataFrame:
+    """Literal fixture rows as a ONE-partition DataFrame.
+
+    ``spark.createDataFrame(rows)`` spreads even a 3-row fixture over
+    defaultParallelism partitions, so every downstream job over it
+    schedules ~32 near-empty tasks (measured ~2 s of pure overhead on
+    the merge fixture, ~1.8x on each broadcast build). Parallelizing
+    with an explicit single slice keeps the frame 1-partition with no
+    exchange — the form every VALUES-backed fixture should take."""
+    return spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -207,22 +219,16 @@ def _merge_edge_fixture_feed(spark: SparkSession, ts_type: str) -> DataFrame:
     unpublished_date on (the J5 adoption must force that transition)."""
     from rental_data_pipeline_spark.operators.merge import merge_listings
 
-    # repartition(1): createDataFrame spreads even 3 literal rows over
-    # defaultParallelism partitions, turning the tiny merge into ~64
-    # near-empty tasks per stage (measured ~2 s of pure scheduling).
-    # NOT coalesce(1) — collapsing the parallelize without an exchange
-    # measured ~17 s here (pathological single-task stages); the
-    # explicit 1-partition exchange is the cheap, AQE-friendly form.
-    tgt = spark.createDataFrame(
-        _MERGE_FIX_TGT,
+    tgt = literal_frame(
+        spark, _MERGE_FIX_TGT,
         "offer_id bigint, offer_url string, price_value double, "
         "is_unpublished boolean, last_active string, total_price_changes bigint",
-    ).repartition(1).withColumn("last_active", F.col("last_active").cast(ts_type))
-    src = spark.createDataFrame(
-        _MERGE_FIX_SRC,
+    ).withColumn("last_active", F.col("last_active").cast(ts_type))
+    src = literal_frame(
+        spark, _MERGE_FIX_SRC,
         "offer_id bigint, offer_url string, updated_date string, "
         "price_value double, is_unpublished boolean",
-    ).repartition(1).withColumn("updated_date", F.col("updated_date").cast(ts_type))
+    ).withColumn("updated_date", F.col("updated_date").cast(ts_type))
     state = merge_listings(tgt, src, key="offer_id", order_cols=["updated_date"])
     st = state.select(
         "offer_id",
@@ -748,7 +754,7 @@ FROM (
 
 def scalar_numeric_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X1 over shared literals: messy RU price strings → double."""
-    df = spark.createDataFrame(NUMERIC_LITERALS, "id int, v string")
+    df = literal_frame(spark, NUMERIC_LITERALS, "id int, v string")
     return df.select("id", parse_numeric_value(F.col("v")).alias("parsed"))
 
 
@@ -785,7 +791,7 @@ def scalar_street_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X6 over shared literals. (Oracle emulates the Unicode word
     boundary by whole-word matching on space-split tokens; literals are
     chosen with space/string boundaries so both formulations agree.)"""
-    df = spark.createDataFrame(STREET_LITERALS, "id int, v string")
+    df = literal_frame(spark, STREET_LITERALS, "id int, v string")
     return (
         df.where(F.col("v").isNotNull())
         .select("id", normalize_street_names(F.col("v")).alias("normalized"))

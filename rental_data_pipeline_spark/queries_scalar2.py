@@ -20,7 +20,7 @@ from rental_data_pipeline_spark.functions.text import (
     strip_metro_prefix,
     strip_updated_label,
 )
-from rental_data_pipeline_spark.queries import _values_sql, register
+from rental_data_pipeline_spark.queries import _values_sql, literal_frame, register
 
 _NOW = "2024-06-15 12:00:00"
 
@@ -83,7 +83,7 @@ def scalar_russian_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 with injected now (SURVEY §7.4#2): сегодня/вчера resolution,
     exact-match month table, future→previous-year rollback, and the
     reference's passthrough rules."""
-    df = spark.createDataFrame(DATE_LITERALS, "id int, label string")
+    df = literal_frame(spark, DATE_LITERALS, "id int, label string")
     return df.select(
         "id", parse_russian_date_label(F.col("label"), _NOW).alias("parsed")
     )
@@ -119,7 +119,7 @@ FROM n
 
 def scalar_title_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X9: positional number extraction from listing titles."""
-    df = spark.createDataFrame(TITLE_LITERALS, "id int, v string")
+    df = literal_frame(spark, TITLE_LITERALS, "id int, v string")
     cols = parse_title(F.col("v"))
     return df.select("id", *[expr.alias(name) for name, expr in cols.items()])
 
@@ -176,7 +176,7 @@ FROM t
 def scalar_text_pluck(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X10-X14, X19: price-info positional split, offer stats, label
     strips, walking minutes, offer-id extraction — one projection."""
-    df = spark.createDataFrame(
+    df = literal_frame(spark, 
         TEXT_LITERALS, "id int, price_info string, stats string, meta string, addr string"
     )
     pi = parse_price_info(F.col("price_info"))
@@ -228,7 +228,7 @@ def scalar_image_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X15 (filter + transform over an array column) and X21 (split on
     commas not followed by a digit). Arrays are '|'-joined to scalars so
     the row-hash comparator can canonicalize them."""
-    df = spark.createDataFrame(URL_LITERALS, "id int, urls array<string>, title string")
+    df = literal_frame(spark, URL_LITERALS, "id int, urls array<string>, title string")
     return df.select(
         "id",
         F.array_join(rewrite_image_urls(F.col("urls")), "|").alias("images"),
@@ -260,7 +260,7 @@ def flatten_rename_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Комиссии+Комиссия → commission; ref flatten.py:57-71)."""
     from rental_data_pipeline_spark.operators.flatten import flatten_listings
 
-    df = spark.createDataFrame(
+    df = literal_frame(spark, 
         FLATTEN_LITERALS,
         "id int, `Комиссии` string, `Комиссия` string, `Залог` string, extra string",
     )
@@ -299,7 +299,7 @@ def scalar_address_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         normalize_street_names,
     )
 
-    df = spark.createDataFrame(ADDR_LITERALS, "id int, city string, street string, building string")
+    df = literal_frame(spark, ADDR_LITERALS, "id int, city string, street string, building string")
     return df.select(
         "id",
         build_address(
@@ -342,7 +342,7 @@ def sink_nan_scrub_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rental_data_pipeline_spark.functions.numeric import format_int_if_integral
     from rental_data_pipeline_spark.operators.sinks import write_state_json
 
-    df = spark.createDataFrame(NAN_LITERALS, "id int, v double")
+    df = literal_frame(spark, NAN_LITERALS, "id int, v double")
     path = tempfile.mkdtemp(prefix="spark_graft_k1_") + "/state_json"
     write_state_json(df, path)  # K1: NaN -> null scrub happens here
     back = spark.read.schema("id int, v double").json(path)
@@ -394,7 +394,7 @@ def search_url_compile(spark: SparkSession, sf_dir: str) -> DataFrame:
     hence i - 1)."""
     from rental_data_pipeline_spark.jobs.pipeline import compile_search_urls
 
-    df = spark.createDataFrame(
+    df = literal_frame(spark, 
         URL_CFG_LITERALS,
         "id int, maxprice int, districts array<int>, metros array<int>, "
         "rooms array<int>, page int",
