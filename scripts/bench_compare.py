@@ -1,0 +1,48 @@
+#!/usr/bin/env python3
+"""Cross-round bench comparison, normalized for host-speed drift.
+
+Raw seconds are not comparable across rounds: the same committed code
+has measured >3x wall-clock differences on this VM (see README). Each
+BENCH_r*.json carries `calib_sec` — a fixed pure-compute probe — so the
+comparable quantity is t_query / calib_sec.
+
+Usage: python scripts/bench_compare.py BENCH_r03.json BENCH_r04.json
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+
+
+def load(path: str) -> tuple[dict, float]:
+    d = json.load(open(path))
+    d = d.get("parsed", d)
+    return d["queries"], d.get("calib_sec") or 1.0
+
+
+def main() -> None:
+    if len(sys.argv) != 3:
+        sys.exit(__doc__)
+    (qa, ca), (qb, cb) = load(sys.argv[1]), load(sys.argv[2])
+    common = sorted(set(qa) & set(qb))
+    print(f"calib: {ca} -> {cb}   common queries: {len(common)} "
+          f"(+{len(set(qb)-set(qa))} new, -{len(set(qa)-set(qb))} gone)")
+    print(f"{'query':34} {'t_a':>7} {'t_b':>7} {'raw':>6} {'norm':>6}")
+    tot_a = tot_b = 0.0
+    rows = []
+    for q in common:
+        raw = qb[q] / qa[q]
+        norm = (qb[q] / cb) / (qa[q] / ca)
+        tot_a += qa[q]
+        tot_b += qb[q]
+        rows.append((norm, f"{q:34} {qa[q]:7.2f} {qb[q]:7.2f} {raw:5.2f}x {norm:5.2f}x"))
+    for _, line in sorted(rows, reverse=True):
+        print(line)
+    raw = tot_b / tot_a
+    norm = (tot_b / cb) / (tot_a / ca)
+    print(f"{'COMMON TOTAL':34} {tot_a:7.2f} {tot_b:7.2f} {raw:5.2f}x {norm:5.2f}x")
+
+
+if __name__ == "__main__":
+    main()
