@@ -76,3 +76,57 @@ def test_asof_forward_and_inner(spark):
         direction="forward", how="inner",
     ).collect()
     assert {(r.k, r.ts) for r in inner} == {(1, _ts(10)), (1, _ts(5))}
+
+
+def test_asof_randomized_against_bruteforce(spark):
+    """Seeded randomized differential test: both directions and both
+    how-modes against a brute-force python reference, including
+    simultaneous timestamps and keys with no right rows."""
+    import random
+
+    from rental_data_pipeline_spark.operators.asof import asof_join
+
+    rng = random.Random(42)
+    left = [(k, _ts(rng.randrange(0, 60))) for k in range(6) for _ in range(8)]
+    right = [
+        (k, _ts(rng.randrange(0, 60)), float(rng.randrange(100)))
+        for k in range(5)  # key 5 has no right rows
+        for _ in range(5)
+    ]
+    # dedupe right on (k, ts): keep max v so the expected pick is unambiguous
+    rmap: dict = {}
+    for k, ts, v in right:
+        rmap[(k, ts)] = max(v, rmap.get((k, ts), -1.0))
+    right = [(k, ts, v) for (k, ts), v in rmap.items()]
+
+    ldf = spark.createDataFrame(left, "k int, ts timestamp")
+    rdf = spark.createDataFrame(right, "k int, ts timestamp, v double")
+
+    def brute(direction, how):
+        out = []
+        for k, ts in left:
+            if direction == "backward":
+                cands = [(rts, v) for rk, rts, v in right if rk == k and rts <= ts]
+                pick = max(cands) if cands else None
+            else:
+                cands = [(rts, v) for rk, rts, v in right if rk == k and rts >= ts]
+                pick = min(cands) if cands else None
+            if pick is None:
+                if how == "left":
+                    out.append((k, ts, None, None))
+            else:
+                out.append((k, ts, pick[1], pick[0]))
+        return sorted(out, key=lambda r: (r[0], r[1], str(r[2])))
+
+    for direction in ("backward", "forward"):
+        for how in ("left", "inner"):
+            got = sorted(
+                ((r.k, r.ts, r.asof_v, r.asof_ts)
+                 for r in asof_join(
+                     ldf, rdf, key="k", time_col="ts",
+                     right_payload=["v", "ts"],
+                     direction=direction, how=how,
+                 ).collect()),
+                key=lambda r: (r[0], r[1], str(r[2])),
+            )
+            assert got == brute(direction, how), (direction, how)
