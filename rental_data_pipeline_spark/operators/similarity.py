@@ -234,8 +234,12 @@ def _centroid_frame(spark, centroids: list[list[float]]) -> DataFrame:
     precomputed driver-side with the same left-to-right fold as
     :func:`norm` so both paths agree bit-for-bit."""
     cents = [(cid, c, _py_norm(c)) for cid, c in enumerate(centroids)]
+    # single-slice parallelize: createDataFrame would spread this one
+    # row over defaultParallelism partitions, costing a ~32-task
+    # broadcast-build job per k-means iteration
     return spark.createDataFrame(
-        [(cents,)], "cents array<struct<cid:int, cv:array<double>, cn:double>>"
+        spark.sparkContext.parallelize([(cents,)], 1),
+        "cents array<struct<cid:int, cv:array<double>, cn:double>>",
     )
 
 
