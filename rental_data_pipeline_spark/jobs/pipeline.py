@@ -255,6 +255,10 @@ def run_pipeline(
     )
 
     # ---- 3: distance enrichment (F3 → J11 → X16 → J10) ---------------
+    # step 3 both reads the post-listing state (needs-distance scan)
+    # and merges into it; the repeated subtree is deduplicated by
+    # exchange reuse (measured: an explicit persist here changes
+    # nothing), so no materialization barrier is needed
     need = state.where(                                                   # F3
         F.col("distance").isNull()
         & F.col("address").isNotNull()
