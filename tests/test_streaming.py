@@ -170,3 +170,54 @@ def test_stateful_price_change_stream_matches_batch_lag(spark, tmpdirs):
     )
     assert got == want
     assert len(got) == 1  # key 1: 100 -> 120 (same-price re-obs is a no-op)
+
+
+def test_out_of_order_chunks_fold_in_arrival_order(spark, tmpdirs):
+    """T5: the stream has NO ordering guard (reference parity) — chunks
+    arriving out of time order are folded in ARRIVAL order, and the
+    result is deterministic: it equals a one-shot fold over the same
+    arrival sequence. CDC then reflects processing order, e.g. the
+    unpublish row arriving FIRST creates the key (no false->true
+    transition, so no unpublished_date) and last_active regresses to
+    the latest-processed row."""
+    import time as _t
+
+    landing, state, ckpt = tmpdirs
+    snaps = _snapshots(spark)
+
+    for day in (3, 1, 2):  # reverse/shuffled time order
+        chunk = snaps.where(F.dayofmonth("updated_date") == day)
+        chunk.coalesce(1).write.mode("append").parquet(landing)
+        _t.sleep(1.1)  # distinct mtimes: the file source replays by them
+
+    stream = read_snapshot_stream(spark, landing, SNAPSHOT_SCHEMA, max_files_per_trigger=1)
+    q = incremental_merge_stream(stream, state, ckpt)
+    q.awaitTermination(120)
+
+    got = {r.offer_id: r for r in spark.read.parquet(state).collect()}
+
+    arr = (
+        F.when(F.dayofmonth("updated_date") == 3, 0)
+        .when(F.dayofmonth("updated_date") == 1, 1)
+        .otherwise(2)
+    )
+    want = {
+        r.offer_id: r
+        for r in merge_snapshots(
+            snaps.withColumn("__arr", arr),
+            key="offer_id",
+            order_cols=[F.col("__arr"), F.col("updated_date"), F.col("event_id")],
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for col in (
+            "price_value", "is_unpublished", "publication_date",
+            "last_active", "unpublished_date", "total_price_changes",
+            "price_changes",
+        ):
+            assert getattr(got[k], col) == getattr(want[k], col), (k, col)
+    # the order-dependent specifics, pinned:
+    assert got[1].price_changes == "20"          # 100 -> 120 after late arrival
+    assert got[1].unpublished_date is None       # unpub arrived first: no transition
+    assert got[1].is_unpublished is False        # later explicit False wins
