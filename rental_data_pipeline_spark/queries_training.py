@@ -245,11 +245,6 @@ WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter), 6) >= 0.8
 """
 
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """3-gram Jaccard near-dup pairs via inverted-index join."""
-    return D.jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
-
-
 def _minhash_sql() -> str:
     """DuckDB minhash signature CTE mirroring dedup.minhash_signatures."""
     h = portable_hash64_sql("shingle")
@@ -300,11 +295,6 @@ JOIN shingled y ON doc_b = y.doc
 WHERE round(CAST(len(list_intersect(x.sh, y.sh)) AS DOUBLE)
             / (len(x.sh) + len(y.sh) - len(list_intersect(x.sh, y.sh))), 6) >= 0.8
 """
-
-
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash(64) → LSH(16x4) candidates → exact-Jaccard verify."""
-    return D.minhash_lsh_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
 
 
 def _simhash_sql() -> str:
