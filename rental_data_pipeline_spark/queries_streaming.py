@@ -21,6 +21,7 @@ from rental_data_pipeline_spark.queries import _SNAPSHOT_CTE, _event_snapshots, 
 from rental_data_pipeline_spark.sources.tables import load_table
 from rental_data_pipeline_spark.streaming import (
     incremental_merge_stream,
+    read_state,
     read_snapshot_stream,
     windowed_price_stats_stream_exact,
 )
@@ -106,7 +107,7 @@ def streaming_merge_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     out = (
-        spark.read.parquet(state)
+        read_state(spark, state)
         .select(
             "offer_id",
             "price_value",

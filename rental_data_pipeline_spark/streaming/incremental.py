@@ -70,6 +70,20 @@ def read_snapshot_stream(
     )
 
 
+def _state_versions(state_path: str) -> list[str]:
+    import glob as _glob
+
+    return sorted(_glob.glob(f"{state_path}/v_*"))
+
+
+def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Latest committed state version, or None before the first fold."""
+    versions = _state_versions(state_path)
+    if not versions:
+        return None
+    return spark.read.parquet(versions[-1])
+
+
 def incremental_merge_stream(
     snapshots: DataFrame,
     state_path: str,
@@ -77,34 +91,38 @@ def incremental_merge_stream(
     key: str = "offer_id",
     order_cols: list[str] | None = None,
     available_now: bool = True,
+    keep_versions: int = 2,
     **merge_kwargs,
 ):
     """T3: fold each micro-batch into the persistent state table via
     the batch merge operator. Returns the started StreamingQuery.
 
     State is read-all/rewrite-all per batch (the reference's exact
-    persistence model, parse_data.py:131-132,217-223); the overwrite
-    goes through a staging DataFrame collect-free cycle: read current
-    parquet state (if any), merge, write to the state path with
-    ``mode=overwrite``.
+    persistence model, parse_data.py:131-132,217-223) but VERSIONED:
+    batch N reads the latest ``v_*`` directory and writes the next, so
+    the write never replaces the files it is reading — no whole-state
+    materialization barrier per batch (the earlier in-place overwrite
+    needed an eager localCheckpoint of the full state, doubling state
+    I/O) and no corruptible half-overwritten state on failure. Retries
+    are idempotent (batch_id names the version); ``keep_versions``
+    snapshots are retained, older ones pruned. Read the result with
+    :func:`read_state`.
     """
     order_cols = order_cols or ["updated_date", "event_id"]
-    spark = snapshots.sparkSession
 
     def fold(batch: DataFrame, batch_id: int) -> None:
+        import shutil as _shutil
+
         sess = batch.sparkSession
-        try:
-            target = sess.read.parquet(state_path)
-        except Exception:
+        target = read_state(sess, state_path)
+        if target is None:
             target = batch.limit(0).drop("updated_date")
         merged = merge_listings(
             target, batch, key=key, order_cols=order_cols, **merge_kwargs
         )
-        # parquet overwrite of the input path within foreachBatch needs
-        # a materialized intermediate: localCheckpoint breaks lineage
-        # to the files being replaced (truncate=eager, stays on disk of
-        # the executors, no driver collect)
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(state_path)
+        merged.write.mode("overwrite").parquet(f"{state_path}/v_{batch_id:09d}")
+        for old in _state_versions(state_path)[:-keep_versions]:
+            _shutil.rmtree(old, ignore_errors=True)
 
     writer = (
         snapshots.writeStream.foreachBatch(fold)

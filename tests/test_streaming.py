@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from rental_data_pipeline_spark.operators.merge import merge_snapshots
 from rental_data_pipeline_spark.streaming import (
     incremental_merge_stream,
+    read_state,
     read_snapshot_stream,
     windowed_price_stats,
 )
@@ -61,7 +62,7 @@ def test_chunked_stream_merge_equals_batch_fold(spark, tmpdirs):
 
     got = {
         r.offer_id: r
-        for r in spark.read.parquet(state).collect()
+        for r in read_state(spark, state).collect()
     }
     want = {
         r.offer_id: r
@@ -194,7 +195,7 @@ def test_out_of_order_chunks_fold_in_arrival_order(spark, tmpdirs):
     q = incremental_merge_stream(stream, state, ckpt)
     q.awaitTermination(120)
 
-    got = {r.offer_id: r for r in spark.read.parquet(state).collect()}
+    got = {r.offer_id: r for r in read_state(spark, state).collect()}
 
     arr = (
         F.when(F.dayofmonth("updated_date") == 3, 0)
