@@ -160,13 +160,28 @@ def _empty_state(spark: SparkSession) -> DataFrame:
 
 def load_state(spark: SparkSession, state_path: str | None) -> DataFrame:
     """S1: tolerant state load — missing/corrupt → empty (ref
-    parse_data.py:206-211)."""
+    parse_data.py:206-211). Reads the latest versioned commit (see
+    :func:`rental_data_pipeline_spark.streaming.incremental.read_state`);
+    falls back to a legacy flat parquet layout."""
     if state_path:
+        from rental_data_pipeline_spark.streaming.incremental import read_state
+
+        st = read_state(spark, state_path)
+        if st is not None:
+            return st
         try:
             return spark.read.parquet(state_path)
         except Exception:
             pass
     return _empty_state(spark)
+
+
+def _next_state_version(state_path: str) -> str:
+    from rental_data_pipeline_spark.streaming.incremental import _state_versions
+
+    vs = _state_versions(state_path)
+    n = int(vs[-1].rsplit("v_", 1)[1]) + 1 if vs else 0
+    return f"{state_path}/v_{n:09d}"
 
 
 def run_pipeline(
@@ -189,13 +204,10 @@ def run_pipeline(
     metrics: dict[str, int] = {}
 
     # ---- 0: state + scope (F1/F2/A2) --------------------------------
+    # versioned state (see step 4+5): this run reads v_{N-1} and will
+    # commit v_{N}, so no plan ever depends on files being replaced —
+    # no materialization barrier needed at load
     state = load_state(spark, state_path)
-    if state_path:
-        # the run ends by overwriting state_path; materialize the load
-        # so no downstream plan (scope, quarantine, snapshots) still
-        # depends on the files being replaced — the Spark analog of the
-        # reference's full reload into memory (parse_data.py:131-132)
-        state = state.localCheckpoint(eager=True)
     active = state.where(~F.coalesce(F.col("is_unpublished"), F.lit(False)))
     db_active_ids = active.select("offer_id").distinct()
 
@@ -292,12 +304,19 @@ def run_pipeline(
         sinks.write_csv_snapshot(state, f"{output_dir}/combined_data")
         sinks.write_filtered_csv(state, f"{output_dir}/combined_data_filtered", cfg.now)
         if state_path:
-            # durable state for the next micro-batch (T3): stage through
-            # a checkpoint since we read the same path at step 0 — and
-            # return the checkpointed frame, whose lineage no longer
-            # depends on the files just replaced
-            state = state.localCheckpoint(eager=True)
-            state.write.mode("overwrite").parquet(state_path)
+            # durable state for the next run (T3): a versioned commit —
+            # the write never touches the files step 0 read, so no
+            # checkpoint staging, and a failed run can't corrupt the
+            # previous state (same scheme as the streaming fold)
+            import shutil as _shutil
+
+            from rental_data_pipeline_spark.streaming.incremental import (
+                _state_versions,
+            )
+
+            state.write.mode("overwrite").parquet(_next_state_version(state_path))
+            for old in _state_versions(state_path)[:-2]:
+                _shutil.rmtree(old, ignore_errors=True)
         metrics.update({k: int(v) for k, v in obs.get.items()})
         metrics["n_quarantined"] = quarantined.count()
     return {"state": state, "metrics": metrics}
