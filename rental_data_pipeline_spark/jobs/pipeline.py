@@ -166,21 +166,26 @@ def load_state(spark: SparkSession, state_path: str | None) -> DataFrame:
     if state_path:
         from rental_data_pipeline_spark.streaming.incremental import read_state
 
-        st = read_state(spark, state_path)
-        if st is not None:
-            return st
         try:
-            return spark.read.parquet(state_path)
+            st = read_state(spark, state_path)
+            if st is not None:
+                return st
+            return spark.read.parquet(state_path)  # legacy flat layout
         except Exception:
             pass
     return _empty_state(spark)
 
 
 def _next_state_version(state_path: str) -> str:
-    from rental_data_pipeline_spark.streaming.incremental import _state_versions
+    # counter over ALL v_* dirs (committed or crashed) so a new commit
+    # never reuses a garbage directory's name
+    from rental_data_pipeline_spark.streaming.incremental import (
+        _all_version_dirs,
+        _version_counter,
+    )
 
-    vs = _state_versions(state_path)
-    n = int(vs[-1].rsplit("v_", 1)[1]) + 1 if vs else 0
+    vs = _all_version_dirs(state_path)
+    n = _version_counter(vs[-1]) + 1 if vs else 0
     return f"{state_path}/v_{n:09d}"
 
 
@@ -317,6 +322,11 @@ def run_pipeline(
             state.write.mode("overwrite").parquet(_next_state_version(state_path))
             for old in _state_versions(state_path)[:-2]:
                 _shutil.rmtree(old, ignore_errors=True)
+            # the RETURNED frame must outlive version pruning by later
+            # runs (its lineage reads v_{N-1}, which a caller holding
+            # the frame across two more runs would otherwise lose);
+            # cheap here — state is already persisted above
+            state = state.localCheckpoint(eager=True)
         metrics.update({k: int(v) for k, v in obs.get.items()})
         metrics["n_quarantined"] = quarantined.count()
     return {"state": state, "metrics": metrics}

@@ -295,8 +295,11 @@ def near_pair_suite(
         F.round(_overlap_score(), 6).alias("score"),
     ).where(F.col("score") >= overlap_threshold)
 
+    # persist the capped index: it feeds both sides of its self-join,
+    # same as the uncapped path (without this the hot-shingle window
+    # count — a full shuffle of the index — would run once per side)
     capped_counts = _pair_counts(
-        _cap_hot_shingles(exploded, capped_doc_freq), sizes
+        _cap_hot_shingles(exploded, capped_doc_freq).persist(), sizes
     )
     jac_capped = capped_counts.select(
         F.lit("ngram_jaccard_capped").alias("method"), "doc_a", "doc_b",
@@ -304,55 +307,11 @@ def near_pair_suite(
     ).where(F.col("score") >= jaccard_threshold)
 
     # MinHash+LSH from the same index; verify against the cached arrays
-    hashed = exploded.select(
-        "doc", (portable_hash64(F.col("shingle")) % F.lit(2_147_483_647)).alias("h")
-    )
-    sig = hashed.groupBy("doc").agg(
-        *[F.min(minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(NUM_PERM)]
-    )
-    bk = lsh_band_keys(sig)
-    a, b = bk.alias("a"), bk.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc") < F.col("b.doc")),
-        )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .distinct()
-    )
-    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    mh = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select(
-            F.lit("minhash_lsh").alias("method"), "doc_a", "doc_b",
-            F.round(inter.cast("double") / union, 6).alias("score"),
-        )
-        .where(F.col("score") >= jaccard_threshold)
+    mh = _minhash_pairs_from_index(exploded, sh, jaccard_threshold).select(
+        F.lit("minhash_lsh").alias("method"), "doc_a", "doc_b",
+        F.col("jaccard").alias("score"),
     )
     return jac.unionByName(jac_capped).unionByName(mh).unionByName(ov)
-
-
-def minhash_signatures(
-    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
-) -> DataFrame:
-    """64-perm MinHash signature per document, computed in one
-    aggregation over exploded shingles (columns mh0..mh63)."""
-    _, exploded = _shingle_pairs(df, text_col, id_col, k)
-    # materialize the md5-derived hash once per shingle row; the 64 perm
-    # expressions then reference the column instead of each inlining the
-    # md5 computation
-    hashed = exploded.select(
-        "doc", (portable_hash64(F.col("shingle")) % F.lit(2_147_483_647)).alias("h")
-    )
-    return hashed.groupBy("doc").agg(
-        *[F.min(minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(NUM_PERM)]
-    )
 
 
 def lsh_band_keys(sig: DataFrame) -> DataFrame:
@@ -376,17 +335,22 @@ def lsh_band_keys(sig: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_pairs(
-    df: DataFrame,
-    threshold: float = 0.8,
-    k: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
+def _minhash_pairs_from_index(
+    exploded: DataFrame, sh: DataFrame, threshold: float
 ) -> DataFrame:
-    """Full MinHash+LSH near-dup pipeline: signature → bands →
-    candidate pairs (any shared band) → verify with exact Jaccard ≥
-    threshold. Output equals brute-force Jaccard up to LSH recall."""
-    sig = minhash_signatures(df, k, text_col, id_col)
+    """MinHash+LSH core over a prebuilt index: ``exploded`` =
+    (doc, shingle) rows, ``sh`` = (doc, sh array). Signature → bands →
+    candidate pairs (any shared band) → exact-Jaccard verify against
+    the shingle arrays. The single implementation behind both
+    :func:`minhash_lsh_pairs` and :func:`near_pair_suite` — hash
+    domain, permutation count, and banding must never diverge between
+    them."""
+    hashed = exploded.select(
+        "doc", (portable_hash64(F.col("shingle")) % F.lit(2_147_483_647)).alias("h")
+    )
+    sig = hashed.groupBy("doc").agg(
+        *[F.min(minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(NUM_PERM)]
+    )
     # signatures are tiny (|docs| x 64 ints) but expensive to compute:
     # persist before the banded self-join so the signature aggregation
     # runs once (the scale design materializes signatures as a table)
@@ -402,9 +366,6 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    sh = _tokenized(df, text_col, id_col).select(
-        "doc", shingles_of(F.col("toks"), k).alias("sh")
-    ).persist()
     sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -416,6 +377,23 @@ def minhash_lsh_pairs(
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Full MinHash+LSH near-dup pipeline: signature → bands →
+    candidate pairs (any shared band) → verify with exact Jaccard ≥
+    threshold. Output equals brute-force Jaccard up to LSH recall."""
+    _, exploded = _shingle_pairs(df, text_col, id_col, k)
+    sh = _tokenized(df, text_col, id_col).select(
+        "doc", shingles_of(F.col("toks"), k).alias("sh")
+    ).persist()
+    return _minhash_pairs_from_index(exploded, sh, threshold)
 
 
 def simhash_signatures(

@@ -470,15 +470,28 @@ def sniff_error_pages(
     Returns ``(offer_id, error)`` for error pages only; compose with
     ``parse_listing_pages`` over the complement for a parse-once
     pipeline (``jobs/pipeline.py`` keeps the split-after-parse form
-    because it already parses every page exactly once)."""
-    err = F.regexp_extract(
-        F.col(html_col), r'class="error-code"[^>]*>\s*([^<]*?)\s*<', 1
+    because it already parses every page exactly once).
+
+    Detection is PRESENCE of the marker (mirroring the DOM path, which
+    quarantines even a text-less marker element); the error text is
+    captured through nested OPEN tags up to the first closing tag, so
+    ``<div class="error-code"><span>404</span></div>`` yields "404"
+    like ``_text`` would. Text split across sibling elements inside
+    the marker is truncated at the first close — acceptable for an
+    error CODE sniff; the full-fidelity reading stays on the DOM
+    path."""
+    present = F.col(html_col).contains('class="error-code"')
+    # capture = runs of text or OPEN tags (never a closing tag), then
+    # strip the tags: the marker element's leading text content
+    region = F.regexp_extract(
+        F.col(html_col), r'class="error-code"[^>]*>((?:[^<]|<(?!/)[^>]*>)*)', 1
     )
+    err = F.trim(F.regexp_replace(region, r"<[^>]*>", ""))
     offer_id = F.regexp_extract(F.col(url_col), r"/rent/flat/(\d+)", 1)
     return (
         df.select(
             F.when(offer_id != "", offer_id).alias("offer_id"),
-            F.when(err != "", err).alias("error"),
+            F.when(present, err).alias("error"),
         )
         .where(F.col("error").isNotNull())
     )

@@ -246,7 +246,7 @@ WHERE round(CAST(n_inter AS DOUBLE) / (x.n_sh + y.n_sh - n_inter), 6) >= 0.8
 
 
 def _minhash_sql() -> str:
-    """DuckDB minhash signature CTE mirroring dedup.minhash_signatures."""
+    """DuckDB minhash signature CTE mirroring dedup._minhash_pairs_from_index."""
     h = portable_hash64_sql("shingle")
     mins = ",\n         ".join(
         f"min(({MINHASH_A[i]} * (({h}) % {MERSENNE_P}) + {MINHASH_B[i]})"

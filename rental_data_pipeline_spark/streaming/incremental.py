@@ -70,10 +70,28 @@ def read_snapshot_stream(
     )
 
 
-def _state_versions(state_path: str) -> list[str]:
+def _version_counter(path: str) -> int:
+    import os as _os
+
+    return int(_os.path.basename(path).split("v_")[1].split("_")[0])
+
+
+def _all_version_dirs(state_path: str) -> list[str]:
     import glob as _glob
 
-    return sorted(_glob.glob(f"{state_path}/v_*"))
+    return sorted(_glob.glob(f"{state_path}/v_*"), key=_version_counter)
+
+
+def _state_versions(state_path: str) -> list[str]:
+    """COMMITTED state versions (parquet job wrote its _SUCCESS
+    marker), oldest→newest. A crash mid-write leaves a marker-less
+    directory that is never read as state."""
+    import os as _os
+
+    return [
+        d for d in _all_version_dirs(state_path)
+        if _os.path.exists(f"{d}/_SUCCESS")
+    ]
 
 
 def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
@@ -99,20 +117,34 @@ def incremental_merge_stream(
 
     State is read-all/rewrite-all per batch (the reference's exact
     persistence model, parse_data.py:131-132,217-223) but VERSIONED:
-    batch N reads the latest ``v_*`` directory and writes the next, so
-    the write never replaces the files it is reading — no whole-state
-    materialization barrier per batch (the earlier in-place overwrite
-    needed an eager localCheckpoint of the full state, doubling state
-    I/O) and no corruptible half-overwritten state on failure. Retries
-    are idempotent (batch_id names the version); ``keep_versions``
-    snapshots are retained, older ones pruned. Read the result with
-    :func:`read_state`.
+    each fold reads the latest COMMITTED ``v_*`` directory (``_SUCCESS``
+    marker — a crashed write is invisible) and writes a new one with a
+    monotonic counter plus the batch id in its name
+    (``v_{counter}_b{batch}``). The write never replaces files being
+    read — no whole-state materialization barrier per batch (the
+    earlier in-place overwrite needed an eager localCheckpoint of the
+    full state, doubling state I/O) and no corruptible half-written
+    state. A replayed batch whose version already committed (crash
+    after commit, before the offset log) is skipped — idempotent — and
+    the counter is independent of the batch id, so a fresh checkpoint
+    over existing state (including versions the batch pipeline wrote)
+    keeps folding on top instead of shadowing it. ``keep_versions``
+    committed snapshots are retained, older ones pruned. Read the
+    result with :func:`read_state`.
     """
     order_cols = order_cols or ["updated_date", "event_id"]
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         import shutil as _shutil
 
+        suffix = f"_b{batch_id:09d}"
+        committed = _state_versions(state_path)
+        if any(v.endswith(suffix) for v in committed):
+            return  # this batch already committed; replay is a no-op
+        # clear garbage from a crashed attempt of this same batch
+        for d in _all_version_dirs(state_path):
+            if d.endswith(suffix) and d not in committed:
+                _shutil.rmtree(d, ignore_errors=True)
         sess = batch.sparkSession
         target = read_state(sess, state_path)
         if target is None:
@@ -120,7 +152,11 @@ def incremental_merge_stream(
         merged = merge_listings(
             target, batch, key=key, order_cols=order_cols, **merge_kwargs
         )
-        merged.write.mode("overwrite").parquet(f"{state_path}/v_{batch_id:09d}")
+        all_dirs = _all_version_dirs(state_path)
+        n = _version_counter(all_dirs[-1]) + 1 if all_dirs else 0
+        merged.write.mode("overwrite").parquet(
+            f"{state_path}/v_{n:09d}{suffix}"
+        )
         for old in _state_versions(state_path)[:-keep_versions]:
             _shutil.rmtree(old, ignore_errors=True)
 

@@ -133,3 +133,21 @@ def test_strained_parse_equals_full_dom_parse():
         assert _parse_listing(html, url) == full_parse(html, url)
     # the strainer really prunes: strained normal page is tiny
     assert len(_strain(pages[0], _LISTING_STRAINER)) < len(pages[0]) / 5
+
+
+def test_sniff_error_pages_nested_and_textless_markers(spark):
+    """The native sniff must mirror the DOM path's PRESENCE semantics:
+    nested markup inside the marker still quarantines (with its leading
+    text), and a text-less marker still quarantines (empty error), as
+    _parse_listing does via _text()."""
+    from rental_data_pipeline_spark.operators.extract import sniff_error_pages
+
+    rows = [
+        ('<html><body><h5 class="error-code">404 nf</h5></body></html>', "u/rent/flat/1/"),
+        ('<html><body><div class="error-code"><span>410 gone</span></div></body></html>', "u/rent/flat/2/"),
+        ('<html><body><div class="error-code"></div><div>nav</div></body></html>', "u/rent/flat/3/"),
+        ("<html><body>no error here</body></html>", "u/rent/flat/4/"),
+    ]
+    df = spark.createDataFrame(rows, "html string, url string")
+    got = {r.offer_id: r.error for r in sniff_error_pages(df).collect()}
+    assert got == {"1": "404 nf", "2": "410 gone", "3": ""}

@@ -222,3 +222,37 @@ def test_out_of_order_chunks_fold_in_arrival_order(spark, tmpdirs):
     assert got[1].price_changes == "20"          # 100 -> 120 after late arrival
     assert got[1].unpublished_date is None       # unpub arrived first: no transition
     assert got[1].is_unpublished is False        # later explicit False wins
+
+
+def test_state_versioning_ignores_partial_and_replays_idempotently(spark, tmpdirs):
+    """A crashed write (version dir without _SUCCESS) must be invisible
+    to read_state and must not block the next fold; re-running the
+    stream over the same checkpoint must not change state."""
+    import os
+
+    landing, state, ckpt = tmpdirs
+    snaps = _snapshots(spark)
+    for day in (1, 2, 3):
+        snaps.where(F.dayofmonth("updated_date") == day).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+
+    stream = read_snapshot_stream(spark, landing, SNAPSHOT_SCHEMA, max_files_per_trigger=1)
+    q = incremental_merge_stream(stream, state, ckpt)
+    q.awaitTermination(120)
+    first = sorted(map(tuple, read_state(spark, state).collect()))
+
+    # plant garbage: a higher-numbered version dir with no _SUCCESS
+    # (what a crash mid-write leaves behind)
+    os.makedirs(f"{state}/v_999999999_b999999999")
+    with open(f"{state}/v_999999999_b999999999/part-junk.parquet", "w") as f:
+        f.write("not parquet")
+    assert sorted(map(tuple, read_state(spark, state).collect())) == first
+
+    # replay: same landing, same checkpoint -> no new batches, state unchanged
+    q2 = incremental_merge_stream(
+        read_snapshot_stream(spark, landing, SNAPSHOT_SCHEMA, max_files_per_trigger=1),
+        state, ckpt,
+    )
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, read_state(spark, state).collect())) == first
