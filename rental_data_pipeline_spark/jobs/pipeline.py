@@ -164,13 +164,14 @@ def load_state(spark: SparkSession, state_path: str | None) -> DataFrame:
     :func:`rental_data_pipeline_spark.streaming.incremental.read_state`);
     falls back to a legacy flat parquet layout."""
     if state_path:
-        from rental_data_pipeline_spark.streaming.incremental import read_state
+        from rental_data_pipeline_spark.streaming.incremental import (
+            read_state_or_legacy,
+        )
 
         try:
-            st = read_state(spark, state_path)
+            st = read_state_or_legacy(spark, state_path)
             if st is not None:
                 return st
-            return spark.read.parquet(state_path)  # legacy flat layout
         except Exception:
             pass
     return _empty_state(spark)

@@ -159,12 +159,23 @@ def _strain(html: str, watch_re: re.Pattern) -> str:
     for m in watch_re.finditer(html):
         if m.start() < end_prev:
             continue
-        lt = html.rfind("<", 0, m.start())
-        if lt == -1:
-            continue
-        tm = _TAGNAME_RE.match(html, lt)
+        # Walk back through successive '<' positions until one parses
+        # as a tag open: a literal '<' inside an earlier attribute
+        # value or text in the same tag region must not make the
+        # element DISAPPEAR (exclusion is the unsafe direction — the
+        # DOM parse tolerates over-inclusion but can't recover a
+        # skipped region).
+        lt = html.rfind("<", end_prev, m.start())
+        tm = _TAGNAME_RE.match(html, lt) if lt != -1 else None
+        while lt != -1 and not tm:
+            lt = html.rfind("<", end_prev, lt)
+            tm = _TAGNAME_RE.match(html, lt) if lt != -1 else None
         if not tm:
-            continue
+            # no plausible tag open before the match: over-include the
+            # document tail so any real element carrying the watched
+            # attribute further in is still parsed
+            out.append(html[m.start():])
+            break
         tag = tm.group(1).lower()
         if tag in _VOID_TAGS:
             gt = html.find(">", m.end())
@@ -480,11 +491,19 @@ def sniff_error_pages(
     the marker is truncated at the first close — acceptable for an
     error CODE sniff; the full-fidelity reading stays on the DOM
     path."""
-    present = F.col(html_col).contains('class="error-code"')
+    # presence is anchored INSIDE a tag — '<' + tag-name letter + the
+    # attr literal before the tag's '>' — so the literal appearing in
+    # text content or a comment (`<!-- -->` has no leading letter)
+    # doesn't quarantine a page the DOM path would keep; still an
+    # over-match for single-quoted/whitespace-variant attributes, which
+    # the sources never emit (same contract as the strainer).
+    present = F.col(html_col).rlike('<[a-zA-Z][^>]*class="error-code"')
     # capture = runs of text or OPEN tags (never a closing tag), then
     # strip the tags: the marker element's leading text content
     region = F.regexp_extract(
-        F.col(html_col), r'class="error-code"[^>]*>((?:[^<]|<(?!/)[^>]*>)*)', 1
+        F.col(html_col),
+        r'<[a-zA-Z][^>]*class="error-code"[^>]*>((?:[^<]|<(?!/)[^>]*>)*)',
+        1,
     )
     err = F.trim(F.regexp_replace(region, r"<[^>]*>", ""))
     offer_id = F.regexp_extract(F.col(url_col), r"/rent/flat/(\d+)", 1)

@@ -70,6 +70,11 @@ def read_snapshot_stream(
     )
 
 
+import re as _re
+
+_VERSION_NAME_RE = _re.compile(r"v_\d{9}(_b\d{9})?")
+
+
 def _version_counter(path: str) -> int:
     import os as _os
 
@@ -77,9 +82,24 @@ def _version_counter(path: str) -> int:
 
 
 def _all_version_dirs(state_path: str) -> list[str]:
-    import glob as _glob
+    """Version directories under ``state_path``, oldest→newest.
 
-    return sorted(_glob.glob(f"{state_path}/v_*"), key=_version_counter)
+    Only names matching the exact ``v_{counter:09d}[_b{batch:09d}]``
+    layout this module writes are considered: a stray user entry
+    (``v_tmp``, ``v_x``, editor droppings) is ignored rather than
+    crashing the sort — state reads must never depend on the directory
+    containing nothing but our own entries."""
+    import glob as _glob
+    import os as _os
+
+    return sorted(
+        (
+            d
+            for d in _glob.glob(f"{state_path}/v_*")
+            if _VERSION_NAME_RE.fullmatch(_os.path.basename(d))
+        ),
+        key=_version_counter,
+    )
 
 
 def _state_versions(state_path: str) -> list[str]:
@@ -100,6 +120,22 @@ def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
     if not versions:
         return None
     return spark.read.parquet(versions[-1])
+
+
+def read_state_or_legacy(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Latest committed version, else the pre-versioning flat parquet
+    layout (state written directly under ``state_path``), else None.
+    The flat fallback keeps continuity for state tables created before
+    versioning existed — both the batch pipeline's ``load_state`` and
+    the streaming fold go through here so neither silently restarts
+    from empty on a legacy layout."""
+    st = read_state(spark, state_path)
+    if st is not None:
+        return st
+    try:
+        return spark.read.parquet(state_path)
+    except Exception:
+        return None
 
 
 def incremental_merge_stream(
@@ -146,7 +182,7 @@ def incremental_merge_stream(
             if d.endswith(suffix) and d not in committed:
                 _shutil.rmtree(d, ignore_errors=True)
         sess = batch.sparkSession
-        target = read_state(sess, state_path)
+        target = read_state_or_legacy(sess, state_path)
         if target is None:
             target = batch.limit(0).drop("updated_date")
         merged = merge_listings(

@@ -151,3 +151,49 @@ def test_sniff_error_pages_nested_and_textless_markers(spark):
     df = spark.createDataFrame(rows, "html string, url string")
     got = {r.offer_id: r.error for r in sniff_error_pages(df).collect()}
     assert got == {"1": "404 nf", "2": "410 gone", "3": ""}
+
+
+def test_sniff_error_pages_ignores_literal_in_text(spark):
+    """The marker literal in TEXT content (or a comment) must not
+    quarantine a page the DOM path would keep: presence is anchored
+    inside a tag."""
+    from rental_data_pipeline_spark.operators.extract import sniff_error_pages
+
+    rows = [
+        # literal appears only as text / in a comment: NOT an error page
+        ('<html><body><p>docs about class="error-code" handling</p></body></html>',
+         "u/rent/flat/10/"),
+        ('<html><body><!-- class="error-code" --><p>ok</p></body></html>',
+         "u/rent/flat/11/"),
+        # text literal first, REAL marker later: still quarantined, with
+        # the real marker's text (not the text-literal's surroundings)
+        ('<html><body><p>see class="error-code"</p>'
+         '<h5 class="error-code">404</h5></body></html>',
+         "u/rent/flat/12/"),
+    ]
+    df = spark.createDataFrame(rows, "html string, url string")
+    got = {r.offer_id: r.error for r in sniff_error_pages(df).collect()}
+    assert got == {"12": "404"}
+
+
+def test_strain_survives_literal_lt_before_watched_attr():
+    """A literal '<' inside an earlier attribute value (or text) in the
+    same tag region must not make the watched element disappear from
+    the strained output — over-include, never exclude."""
+    from rental_data_pipeline_spark.operators.extract import (
+        _compile_strainer,
+        _strain,
+    )
+
+    watch = _compile_strainer([("data-name", "Description")])
+    # title attribute carries a literal '<' BEFORE the watched attr in
+    # the same tag: rfind('<') lands mid-attribute, where no tag name
+    # parses — the walk-back must recover the real tag open
+    html = (
+        "<html><body>"
+        '<div title="a < b" data-name="Description"><span>text</span></div>'
+        "</body></html>"
+    )
+    out = _strain(html, watch)
+    assert 'data-name="Description"' in out
+    assert "<span>text</span>" in out

@@ -256,3 +256,75 @@ def test_state_versioning_ignores_partial_and_replays_idempotently(spark, tmpdir
     )
     q2.awaitTermination(120)
     assert sorted(map(tuple, read_state(spark, state).collect())) == first
+
+
+def test_state_dir_tolerates_stray_entries(spark, tmpdirs):
+    """A user-created file or directory whose name doesn't match the
+    exact v_{counter}[_b{batch}] layout must be ignored by version
+    listing — not crash the sort (and load_state must not silently
+    return empty because of it)."""
+    import os
+
+    landing, state, ckpt = tmpdirs
+    snaps = _snapshots(spark)
+    snaps.coalesce(1).write.mode("append").parquet(landing)
+
+    q = incremental_merge_stream(
+        read_snapshot_stream(spark, landing, SNAPSHOT_SCHEMA), state, ckpt
+    )
+    q.awaitTermination(120)
+    first = sorted(map(tuple, read_state(spark, state).collect()))
+
+    # junk that used to throw in _version_counter
+    os.makedirs(f"{state}/v_tmp")
+    with open(f"{state}/v_x", "w") as f:
+        f.write("junk")
+    os.makedirs(f"{state}/v_12_bad")  # wrong zero-padding: not ours
+
+    assert sorted(map(tuple, read_state(spark, state).collect())) == first
+
+    # and a further fold on top still works
+    snaps.limit(0).coalesce(1).write.mode("append").parquet(landing)
+    q2 = incremental_merge_stream(
+        read_snapshot_stream(spark, landing, SNAPSHOT_SCHEMA), state, ckpt
+    )
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, read_state(spark, state).collect())) == first
+
+
+def test_fold_continues_from_legacy_flat_state(spark, tmpdirs):
+    """A state_path holding the pre-versioning FLAT parquet layout must
+    seed the first fold (not silently start from empty): the fold's
+    read path shares load_state's legacy fallback."""
+    landing, state, ckpt = tmpdirs
+    snaps = _snapshots(spark)
+
+    # legacy layout: day-1 history folded and written flat at state root
+    day1 = snaps.where(F.dayofmonth("updated_date") == 1)
+    merge_snapshots(
+        day1, key="offer_id", order_cols=["updated_date", "event_id"]
+    ).write.mode("overwrite").parquet(state)
+
+    # stream only days 2-3 on top
+    for day in (2, 3):
+        snaps.where(F.dayofmonth("updated_date") == day).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    q = incremental_merge_stream(
+        read_snapshot_stream(spark, landing, SNAPSHOT_SCHEMA, max_files_per_trigger=1),
+        state, ckpt,
+    )
+    q.awaitTermination(120)
+
+    got = {r.offer_id: r for r in read_state(spark, state).collect()}
+    want = {
+        r.offer_id: r
+        for r in merge_snapshots(
+            snaps, key="offer_id", order_cols=["updated_date", "event_id"]
+        ).collect()
+    }
+    assert set(got) == set(want) == {1, 2, 3}
+    # continuity facts that only hold if the legacy state seeded the fold:
+    assert got[1].price_changes == want[1].price_changes == "20"
+    assert got[1].publication_date == want[1].publication_date
+    assert got[3].total_price_changes is None
