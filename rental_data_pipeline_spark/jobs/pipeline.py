@@ -313,16 +313,27 @@ def run_pipeline(
             # durable state for the next run (T3): a versioned commit —
             # the write never touches the files step 0 read, so no
             # checkpoint staging, and a failed run can't corrupt the
-            # previous state (same scheme as the streaming fold)
-            import shutil as _shutil
-
+            # previous state. The pipeline run merges the whole state,
+            # so its commit is a FULL bucketed snapshot (the same
+            # layout the streaming fold writes deltas into — the two
+            # engines share one state table), which also lets
+            # _prune_versions drop every shadowed delta beneath it.
             from rental_data_pipeline_spark.streaming.incremental import (
-                _state_versions,
+                BUCKET_COL,
+                N_STATE_BUCKETS,
+                _bucket_of,
+                _ensure_meta,
+                _mark_full,
+                _prune_versions,
             )
 
-            state.write.mode("overwrite").parquet(_next_state_version(state_path))
-            for old in _state_versions(state_path)[:-2]:
-                _shutil.rmtree(old, ignore_errors=True)
+            meta = _ensure_meta(state_path, "offer_id", N_STATE_BUCKETS)
+            vdir = _next_state_version(state_path)
+            state.withColumn(
+                BUCKET_COL, _bucket_of("offer_id", int(meta["n_buckets"]))
+            ).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(vdir)
+            _mark_full(vdir)
+            _prune_versions(state_path, keep_versions=2)
             # the RETURNED frame must outlive version pruning by later
             # runs (its lineage reads v_{N-1}, which a caller holding
             # the frame across two more runs would otherwise lose);

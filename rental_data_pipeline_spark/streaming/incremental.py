@@ -22,10 +22,20 @@ full state-file reload/rewrite per run (T1/T3:
   state retention. The merge itself retains all keys by design —
   listings never expire (T7, ``merge.py:111``).
 
-Scale: state rewrite per batch is O(|state|) parquet I/O — the same
-cost profile as the reference's JSON rewrite but columnar, splittable,
-and partitionable by key range. On a cluster the state table becomes a
-partitioned table and the merge one shuffle per micro-batch.
+Scale: the state table is HASH-BUCKETED by key
+(``pmod(xxhash64(key), n_buckets)`` → ``state_bucket=K`` partition
+dirs inside each version). A micro-batch fold reads and rewrites ONLY
+the buckets its keys hash into (keys in untouched buckets are identity
+under the merge, so bucket-local merge ≡ global merge); untouched
+buckets stay live in older versions and the composed read picks the
+newest committed copy of each bucket (LSM-style deltas). Every
+``compact_every`` commits the fold writes a full snapshot (``_FULL``
+marker) so shadowed deltas can be pruned — per-batch I/O is
+O(|touched buckets|) with an amortized O(|state|/compact_every)
+compaction tax, instead of the reference's O(|state|) JSON rewrite per
+run (``parse_data.py:131-132,217-223``). On a cluster ``n_buckets``
+scales with state size (thousands); the default 16 keeps local-mode
+file counts sane.
 
 Measured cost profile (sf0.1, local[32]): streaming machinery is
 ~100 ms/batch (offset/commit logs); ~1.5 s/batch is the foreachBatch
@@ -114,16 +124,182 @@ def _state_versions(state_path: str) -> list[str]:
     ]
 
 
-def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
-    """Latest committed state version, or None before the first fold."""
-    versions = _state_versions(state_path)
-    if not versions:
+# ---------------------------------------------------------------------------
+# Bucketed state layout
+# ---------------------------------------------------------------------------
+
+BUCKET_COL = "state_bucket"  # no leading '_': Spark's FileIndex hides _-paths
+N_STATE_BUCKETS = 16
+
+_META_NAME = "_meta.json"  # '_' prefix: invisible to Spark's file listing
+
+
+def _bucket_of(key_col: str, n_buckets: int):
+    """Deterministic bucket id for a key: ``pmod(xxhash64(key), N)``.
+    The key is hashed through its string form so the bucket survives a
+    key-type migration (long → string) within one state table."""
+    return F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+
+
+def _read_meta(state_path: str) -> dict | None:
+    import json as _json
+    import os as _os
+
+    p = f"{state_path}/{_META_NAME}"
+    if not _os.path.exists(p):
         return None
-    return spark.read.parquet(versions[-1])
+    with open(p) as f:
+        return _json.load(f)
+
+
+def _ensure_meta(state_path: str, key: str, n_buckets: int) -> dict:
+    """Bucket-layout metadata, written once at table creation; an
+    existing table's recorded ``n_buckets``/``key`` always win over the
+    caller's parameters (the bucket function must never change under a
+    live table)."""
+    import json as _json
+    import os as _os
+
+    meta = _read_meta(state_path)
+    if meta is not None:
+        return meta
+    meta = {"n_buckets": int(n_buckets), "key": key}
+    _os.makedirs(state_path, exist_ok=True)
+    tmp = f"{state_path}/{_META_NAME}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump(meta, f)
+    _os.replace(tmp, f"{state_path}/{_META_NAME}")
+    return meta
+
+
+def _version_buckets(vdir: str) -> list[int] | None:
+    """Bucket ids present in a version dir, or None for a flat
+    (non-bucketed) version."""
+    import glob as _glob
+    import os as _os
+
+    subs = _glob.glob(f"{vdir}/{BUCKET_COL}=*")
+    if not subs:
+        return None
+    return sorted(int(_os.path.basename(d).split("=")[1]) for d in subs)
+
+
+def _is_full(vdir: str) -> bool:
+    """A full-snapshot version shadows every older version entirely:
+    flat versions are full by construction; bucketed ones carry an
+    explicit ``_FULL`` marker (first write / compaction / pipeline)."""
+    import os as _os
+
+    return _os.path.exists(f"{vdir}/_FULL") or _version_buckets(vdir) is None
+
+
+def _mark_full(vdir: str) -> None:
+    with open(f"{vdir}/_FULL", "w") as f:
+        f.write("")
+
+
+def _legacy_root_files(state_path: str) -> bool:
+    """True when ``state_path`` holds the pre-versioning FLAT layout:
+    parquet part files directly at the root (no ``v_*`` chain)."""
+    import glob as _glob
+
+    return bool(_glob.glob(f"{state_path}/*.parquet")) or bool(
+        _glob.glob(f"{state_path}/part-*")
+    )
+
+
+def _bucket_sources(
+    state_path: str, buckets: list[int] | None
+) -> tuple[list[str], tuple[str, set[int]] | None]:
+    """Where each live bucket's newest committed copy lives.
+
+    Walks versions newest→oldest collecting unseen bucket dirs,
+    stopping at the first full snapshot. Returns ``(bucket_dir_paths,
+    flat_residual)``; ``flat_residual = (flat_version_dir,
+    shadowed_buckets)`` when a flat full version is the base layer —
+    its rows must be filtered to buckets NOT shadowed by newer deltas.
+    ``buckets=None`` means all buckets (full compose)."""
+    want = None if buckets is None else set(buckets)
+    paths: list[str] = []
+    seen: set[int] = set()
+    for v in reversed(_state_versions(state_path)):
+        bks = _version_buckets(v)
+        if bks is None:  # flat full snapshot: base layer
+            return paths, (v, set(seen))
+        new = [
+            b for b in bks if b not in seen and (want is None or b in want)
+        ]
+        paths += [f"{v}/{BUCKET_COL}={b}" for b in new]
+        seen.update(bks)  # a bucket present here shadows older copies
+        if _is_full(v):
+            return paths, None
+        if want is not None and want <= seen:
+            return paths, None
+    return paths, None
+
+
+def _compose(
+    spark: SparkSession,
+    state_path: str,
+    buckets: list[int] | None,
+) -> DataFrame | None:
+    """The live state (restricted to ``buckets`` when given) as a union
+    of each bucket's newest committed copy. None when no state exists."""
+    paths, flat = _bucket_sources(state_path, buckets)
+    frames: list[DataFrame] = []
+    if paths:
+        frames.append(spark.read.option("mergeSchema", "true").parquet(*paths))
+    if flat is not None:
+        vdir, shadowed = flat
+        df = spark.read.parquet(vdir)
+        meta = _read_meta(state_path)
+        if meta is not None:
+            b = _bucket_of(meta["key"], meta["n_buckets"])
+            if shadowed:
+                df = df.where(~b.isin(*shadowed))
+            if buckets is not None:
+                df = df.where(b.isin(*buckets))
+        frames.append(df)
+    if not frames:
+        return None
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
+
+
+def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """The current committed state (composed across bucketed delta
+    versions), or None before the first fold."""
+    return _compose(spark, state_path, None)
+
+
+def read_state_buckets(
+    spark: SparkSession, state_path: str, buckets: list[int]
+) -> DataFrame | None:
+    """Pruned state read: only the given buckets' newest copies — the
+    per-micro-batch merge target. Falls back to a filtered read of a
+    legacy flat root when no version chain exists yet."""
+    if not _state_versions(state_path):
+        if _legacy_root_files(state_path):
+            meta = _read_meta(state_path)
+            if meta is None:
+                try:
+                    return spark.read.parquet(state_path)
+                except Exception:
+                    return None
+            try:
+                return spark.read.parquet(state_path).where(
+                    _bucket_of(meta["key"], meta["n_buckets"]).isin(*buckets)
+                )
+            except Exception:
+                return None
+        return None
+    return _compose(spark, state_path, buckets)
 
 
 def read_state_or_legacy(spark: SparkSession, state_path: str) -> DataFrame | None:
-    """Latest committed version, else the pre-versioning flat parquet
+    """Current committed state, else the pre-versioning flat parquet
     layout (state written directly under ``state_path``), else None.
     The flat fallback keeps continuity for state tables created before
     versioning existed — both the batch pipeline's ``load_state`` and
@@ -138,6 +314,33 @@ def read_state_or_legacy(spark: SparkSession, state_path: str) -> DataFrame | No
         return None
 
 
+def _prune_versions(state_path: str, keep_versions: int) -> None:
+    """Delete committed versions whose every bucket is shadowed by a
+    newer committed version, keeping at least ``keep_versions`` newer
+    commits above anything deleted (so a reader of v_{n-1} started
+    before this commit never loses its files). Un-shadowed deltas are
+    never deleted — a cold bucket's only copy stays live until a full
+    snapshot (compaction) covers it."""
+    import shutil as _shutil
+
+    committed = _state_versions(state_path)
+    for i, v in enumerate(committed):
+        newer = committed[i + 1:]
+        if len(newer) < keep_versions:
+            break
+        if any(_is_full(nv) for nv in newer):
+            _shutil.rmtree(v, ignore_errors=True)
+            continue
+        vb = _version_buckets(v)
+        if vb is None:
+            continue  # flat base with no newer full: still live
+        covered: set[int] = set()
+        for nv in newer:
+            covered.update(_version_buckets(nv) or ())
+        if set(vb) <= covered:
+            _shutil.rmtree(v, ignore_errors=True)
+
+
 def incremental_merge_stream(
     snapshots: DataFrame,
     state_path: str,
@@ -146,27 +349,37 @@ def incremental_merge_stream(
     order_cols: list[str] | None = None,
     available_now: bool = True,
     keep_versions: int = 2,
+    n_buckets: int = N_STATE_BUCKETS,
+    compact_every: int = 8,
     **merge_kwargs,
 ):
     """T3: fold each micro-batch into the persistent state table via
     the batch merge operator. Returns the started StreamingQuery.
 
-    State is read-all/rewrite-all per batch (the reference's exact
-    persistence model, parse_data.py:131-132,217-223) but VERSIONED:
-    each fold reads the latest COMMITTED ``v_*`` directory (``_SUCCESS``
-    marker — a crashed write is invisible) and writes a new one with a
-    monotonic counter plus the batch id in its name
-    (``v_{counter}_b{batch}``). The write never replaces files being
-    read — no whole-state materialization barrier per batch (the
-    earlier in-place overwrite needed an eager localCheckpoint of the
-    full state, doubling state I/O) and no corruptible half-written
-    state. A replayed batch whose version already committed (crash
-    after commit, before the offset log) is skipped — idempotent — and
-    the counter is independent of the batch id, so a fresh checkpoint
-    over existing state (including versions the batch pipeline wrote)
-    keeps folding on top instead of shadowing it. ``keep_versions``
-    committed snapshots are retained, older ones pruned. Read the
-    result with :func:`read_state`.
+    The state table is VERSIONED and HASH-BUCKETED. Each fold:
+
+    1. computes the batch's touched buckets
+       (``pmod(xxhash64(key), n_buckets)`` — ≤ n_buckets scalars to the
+       driver, never rows);
+    2. reads ONLY those buckets' newest committed copies as the merge
+       target (:func:`read_state_buckets`) — keys in untouched buckets
+       are identity under the merge, so the bucket-local merge equals
+       the global one;
+    3. writes a DELTA version ``v_{counter}_b{batch}`` containing only
+       the touched ``state_bucket=K`` partitions (``_SUCCESS``-gated; a
+       crashed write is invisible, a replayed committed batch is a
+       no-op — idempotent exactly as before).
+
+    Untouched buckets stay live in older versions; the composed read
+    picks each bucket's newest copy. Every ``compact_every`` commits
+    the fold reads the FULL state and writes a ``_FULL`` snapshot so
+    shadowed deltas can be pruned (``keep_versions`` newer commits are
+    always left above anything deleted). Per-batch I/O is therefore
+    O(touched buckets) + amortized O(|state|/compact_every), replacing
+    the previous O(|state|) rewrite per batch. A legacy pre-versioning
+    flat layout (or a fresh checkpoint over pipeline-written versions)
+    is migrated by an immediate full snapshot. Read the result with
+    :func:`read_state`.
     """
     order_cols = order_cols or ["updated_date", "event_id"]
 
@@ -182,19 +395,54 @@ def incremental_merge_stream(
             if d.endswith(suffix) and d not in committed:
                 _shutil.rmtree(d, ignore_errors=True)
         sess = batch.sparkSession
-        target = read_state_or_legacy(sess, state_path)
+        meta = _ensure_meta(state_path, key, n_buckets)
+        n_bk = int(meta["n_buckets"])
+        touched = sorted(
+            r[0]
+            for r in batch.select(_bucket_of(key, n_bk).alias("b"))
+            .where(F.col("b").isNotNull())
+            .distinct()
+            .collect()
+        )
+        if not touched:
+            return  # empty batch: nothing to fold, nothing to commit
+        # Full snapshot when: first write (which also migrates a legacy
+        # flat root, folded in via read_state_or_legacy), the delta
+        # chain is due for compaction, or the batch can adopt keys via
+        # offer_url (J5): adoption looks keys up in TARGET state, so a
+        # bucket-pruned target could silently miss the adopting row's
+        # true key — url batches must merge against full state.
+        url_col = merge_kwargs.get("url_col", "offer_url")
+        full = (
+            not committed
+            or (len(committed) + 1) % compact_every == 0
+            or url_col in batch.columns
+        )
+        if full:
+            target = read_state_or_legacy(sess, state_path)
+        else:
+            target = read_state_buckets(sess, state_path, touched)
         if target is None:
             target = batch.limit(0).drop("updated_date")
         merged = merge_listings(
             target, batch, key=key, order_cols=order_cols, **merge_kwargs
         )
+        out = merged.withColumn(BUCKET_COL, _bucket_of(key, n_bk))
         all_dirs = _all_version_dirs(state_path)
         n = _version_counter(all_dirs[-1]) + 1 if all_dirs else 0
-        merged.write.mode("overwrite").parquet(
-            f"{state_path}/v_{n:09d}{suffix}"
-        )
-        for old in _state_versions(state_path)[:-keep_versions]:
-            _shutil.rmtree(old, ignore_errors=True)
+        vdir = f"{state_path}/v_{n:09d}{suffix}"
+        # repartition by bucket so each bucket lands in ~one file (the
+        # merge's key-partitioned output would otherwise scatter every
+        # bucket across every task → buckets x tasks tiny files); full
+        # snapshots keep the session's parallelism
+        dp = sess.sparkContext.defaultParallelism
+        n_parts = dp if full else max(1, min(len(touched), dp))
+        out.repartition(n_parts, F.col(BUCKET_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_COL).parquet(vdir)
+        if full:
+            _mark_full(vdir)
+        _prune_versions(state_path, keep_versions)
 
     writer = (
         snapshots.writeStream.foreachBatch(fold)

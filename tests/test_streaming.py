@@ -292,6 +292,112 @@ def test_state_dir_tolerates_stray_entries(spark, tmpdirs):
     assert sorted(map(tuple, read_state(spark, state).collect())) == first
 
 
+def test_bucket_pruned_fold_rewrites_only_touched_buckets(spark, tmpdirs):
+    """The 100 TB property: a micro-batch touching k keys writes a
+    DELTA version containing only those keys' hash buckets — not all
+    n_buckets — and the composed read still equals the full fold."""
+    import glob
+    import os
+
+    from rental_data_pipeline_spark.streaming.incremental import (
+        BUCKET_COL,
+        _bucket_of,
+    )
+
+    landing, state, ckpt = tmpdirs
+    snaps = _snapshots(spark)
+
+    # batch 1: all keys (seeds the state, full snapshot); batch 2: key 2
+    # only (one key -> exactly one touched bucket)
+    snaps.where(F.dayofmonth("updated_date") == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    snaps.where(F.col("offer_id") == 2).coalesce(1).write.mode("append").parquet(
+        landing
+    )
+
+    q = incremental_merge_stream(
+        read_snapshot_stream(spark, landing, SNAPSHOT_SCHEMA, max_files_per_trigger=1),
+        state, ckpt, n_buckets=8,
+    )
+    q.awaitTermination(120)
+
+    versions = sorted(glob.glob(f"{state}/v_*"))
+    assert len(versions) == 2
+    full_v, delta_v = versions
+    assert os.path.exists(f"{full_v}/_FULL")
+    assert not os.path.exists(f"{delta_v}/_FULL")
+    delta_buckets = {
+        os.path.basename(d) for d in glob.glob(f"{delta_v}/{BUCKET_COL}=*")
+    }
+    # the delta carries exactly key 2's bucket, not all 8
+    want_bucket = (
+        spark.range(1).select(F.lit(2).cast("long").alias("offer_id"))
+        .select(_bucket_of("offer_id", 8).alias("b")).collect()[0].b
+    )
+    assert delta_buckets == {f"{BUCKET_COL}={want_bucket}"}
+
+    # composed read == one-shot batch fold over the same arrival order
+    got = {r.offer_id: r for r in read_state(spark, state).collect()}
+    arrived = snaps.where(
+        (F.dayofmonth("updated_date") == 1) | (F.col("offer_id") == 2)
+    )
+    want = {
+        r.offer_id: r
+        for r in merge_snapshots(
+            arrived, key="offer_id", order_cols=["updated_date", "event_id"]
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        for col in ("price_value", "is_unpublished", "publication_date",
+                    "last_active", "total_price_changes", "price_changes"):
+            assert getattr(got[k], col) == getattr(want[k], col), (k, col)
+    assert BUCKET_COL not in read_state(spark, state).columns
+
+
+def test_bucketed_compaction_prunes_shadowed_deltas(spark, tmpdirs):
+    """Every compact_every commits the fold writes a _FULL snapshot and
+    shadowed deltas are pruned; state stays equal to the batch fold."""
+    import glob
+    import os
+    import time as _t
+
+    landing, state, ckpt = tmpdirs
+    snaps = _snapshots(spark)
+    for day in (1, 2, 3):
+        snaps.where(F.dayofmonth("updated_date") == day).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+        _t.sleep(1.1)  # distinct mtimes: deterministic replay order
+
+    q = incremental_merge_stream(
+        read_snapshot_stream(spark, landing, SNAPSHOT_SCHEMA, max_files_per_trigger=1),
+        state, ckpt, n_buckets=8, compact_every=3, keep_versions=1,
+    )
+    q.awaitTermination(120)
+
+    versions = sorted(glob.glob(f"{state}/v_*"))
+    # commits: v0 full, v1 delta, v2 full (3rd commit compacts); with
+    # keep_versions=1 the shadowed v0 and v1 are pruned
+    assert len(versions) == 1, versions
+    assert os.path.exists(f"{versions[0]}/_FULL")
+
+    got = {r.offer_id: r for r in read_state(spark, state).collect()}
+    want = {
+        r.offer_id: r
+        for r in merge_snapshots(
+            snaps, key="offer_id", order_cols=["updated_date", "event_id"]
+        ).collect()
+    }
+    assert set(got) == set(want) == {1, 2, 3}
+    for k in want:
+        for col in ("price_value", "is_unpublished", "publication_date",
+                    "last_active", "unpublished_date", "total_price_changes",
+                    "price_changes", "price_changes_dates"):
+            assert getattr(got[k], col) == getattr(want[k], col), (k, col)
+
+
 def test_fold_continues_from_legacy_flat_state(spark, tmpdirs):
     """A state_path holding the pre-versioning FLAT parquet layout must
     seed the first fold (not silently start from empty): the fold's
