@@ -50,7 +50,17 @@ def _write_time_chunks(snaps: DataFrame, landing: str) -> None:
     processes events in the same global order the batch fold (and its
     oracle) uses. Out-of-order chunks would be processed too (T5: the
     reference has no ordering guard) but would legitimately produce
-    different CDC history than the oracle."""
+    different CDC history than the oracle. A frame carrying an explicit
+    ``__chunk`` column (the late-data fixture) chunks by it instead."""
+    if "__chunk" in snaps.columns:
+        chunked = snaps
+        for i in sorted(
+            r[0] for r in chunked.select("__chunk").distinct().collect()
+        ):
+            chunked.where(F.col("__chunk") == i).drop("__chunk").coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+        return
     dates = sorted(
         r[0] for r in snaps.select(F.to_date("updated_date")).distinct().collect()
     )
@@ -131,11 +141,74 @@ _WINDOW_STREAM_SCHEMA = T.StructType(
     ]
 )
 
+# Late-data fixture for the WATERMARKED append-mode branch: (chunk,
+# offer_id, event_time, price). One file per chunk → one micro-batch
+# per chunk, so the watermark advances deterministically. Spark ≥3.4
+# keeps TWO watermarks per batch (empirically confirmed on this
+# engine, and what the oracle below replays):
+#
+#   wm_evict(i) = max(event time over chunks < i)  - delay
+#                 (evicts + emits closed windows at batch i)
+#   wm_late(i)  = wm_evict(i-1)
+#                 (filters incoming late rows — one batch BEHIND
+#                  eviction, so a window can never be resurrected)
+#
+# Chunk 3's 10:50 row arrives when wm_late = 11:30 has passed its
+# [10:00,11:00) window (already emitted at chunk 2) → the engine MUST
+# drop it: price 999 appears nowhere in the output. Chunk 1's 10:40 row
+# is late but within tolerance → kept. After the last file, the engine
+# runs one final no-data batch whose wm_evict = max(all) - delay
+# flushes every closed window; still-open windows are never emitted.
+_LATE_FIXTURE = [
+    (0, 1, "2024-03-01 10:00:00", 100.0),
+    (0, 2, "2024-03-01 10:10:00", 200.0),
+    (1, 1, "2024-03-01 10:40:00", 110.0),  # late, window still open: kept
+    (1, 1, "2024-03-01 12:00:00", 130.0),
+    (2, 1, "2024-03-01 13:00:00", 140.0),  # advances wm; [10,11) emits here
+    (3, 2, "2024-03-01 10:50:00", 999.0),  # TOO late (wm_late 11:30): DROPPED
+    (3, 2, "2024-03-01 13:40:00", 150.0),
+    (4, 1, "2024-03-01 15:00:00", 160.0),  # [15,16) stays open: never emitted
+]
+
+_LATE_VALUES_SQL = ",\n  ".join(
+    f"({c}, {k}, TIMESTAMP '{ts}', {p})" for c, k, ts, p in _LATE_FIXTURE
+)
+
+# The oracle REPLAYS the engine's two-watermark rule over the same
+# literals: a row is kept iff its window end is above wm_late of its
+# chunk; a window is emitted iff the final no-data batch's wm_evict
+# (= max event time - delay) closed it.
+_LATE_APPEND_ORACLE = f"""
+WITH raw(chunk, offer_id, ts, price) AS (VALUES
+  {_LATE_VALUES_SQL}),
+wm AS (
+  SELECT *,
+         max(ts) OVER (ORDER BY chunk RANGE BETWEEN UNBOUNDED PRECEDING
+                       AND 2 PRECEDING) - INTERVAL '30 minutes' AS wm_late
+  FROM raw),
+kept AS (
+  SELECT *, time_bucket(INTERVAL '1 hour', ts) AS w
+  FROM wm
+  WHERE wm_late IS NULL
+     OR time_bucket(INTERVAL '1 hour', ts) + INTERVAL '1 hour' > wm_late)
+SELECT w AS window_start,
+       count(*) AS n_snapshots,
+       count(DISTINCT offer_id) AS n_offers,
+       CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
+       CAST(sum(CAST(price AS DECIMAL(18,6))) AS DOUBLE) / count(price) AS avg_price,
+       min(price) AS min_price,
+       max(price) AS max_price
+FROM kept
+GROUP BY w
+HAVING w + INTERVAL '1 hour' <= (SELECT max(ts) - INTERVAL '30 minutes' FROM raw)
+"""
+
 
 @register(
     "streaming_window_stats",
-    oracle="""
-SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+    oracle=f"""
+SELECT 'complete_exact' AS mode,
+       time_bucket(INTERVAL '1 hour', ts) AS window_start,
        count(*) AS n_snapshots,
        count(DISTINCT user_id) AS n_offers,
        CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_price,
@@ -143,18 +216,28 @@ SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
        min(value) AS min_price,
        max(value) AS max_price
 FROM events
-GROUP BY 1
+GROUP BY 2
+UNION ALL
+SELECT 'append_watermarked' AS mode, * FROM ({_LATE_APPEND_ORACLE})
 """,
 )
 def streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T4 on the REAL streaming engine: events replayed as micro-batch
-    files through readStream → tumbling-window aggregation → complete
-    output mode → memory sink. Every aggregate is micro-batch
-    deterministic (exact distinct via collect_set size, DECIMAL price
-    sum, avg derived from that sum), so a DuckDB time_bucket oracle
-    value-hash-checks an actual StreamingQuery execution. The
-    watermarked production variant (bounded state, late-data eviction)
-    is ``windowed_price_stats``, pytest-proven batch≡stream."""
+    """T4 on the REAL streaming engine, both output modes:
+
+    - ``complete_exact``: the full events table replayed as micro-batch
+      files through readStream → tumbling-window aggregation → complete
+      mode → memory sink. Every aggregate is micro-batch deterministic
+      (exact distinct via collect_set size, DECIMAL price sum, avg
+      derived from that sum), so a DuckDB time_bucket oracle
+      value-hash-checks an actual StreamingQuery execution.
+    - ``append_watermarked``: the BOUNDED-STATE production path — the
+      same aggregation behind ``withWatermark`` in append mode, over a
+      chunked replay where one row arrives after the watermark has
+      closed its window. The engine must DROP that row and emit only
+      watermark-finalized windows; the oracle replays the
+      watermark/eviction rule in SQL over the same fixture literals
+      (``_LATE_FIXTURE``), so late-data eviction is value-hash-OBSERVED
+      on a real ``StreamingQuery``, not just pytest-equivalence."""
     ev = load_table(spark, "events", sf_dir)
     snaps = ev.select(
         F.col("user_id").alias("offer_id"),
@@ -181,9 +264,61 @@ def streaming_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination(600)
+
+        # the append fixture's state is 5 windows; 2 state partitions —
+        # 6 micro-batches x 8 near-empty state stores is pure overhead
+        spark.conf.set("spark.sql.shuffle.partitions", "2")
+        late_landing = _landing_for(sf_dir, "late", _late_fixture_frame(spark))
+        stream2 = read_snapshot_stream(
+            spark, late_landing, schema=_LATE_STREAM_SCHEMA, max_files_per_trigger=1
+        )
+        q2 = (
+            windowed_price_stats_stream_exact(
+                stream2.withWatermark("updated_date", "30 minutes"), "1 hour"
+            )
+            .writeStream.format("memory")
+            .queryName("window_stats_append")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination(600)
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
-    return spark.table("window_stats_stream").localCheckpoint(eager=True)
+    complete = spark.table("window_stats_stream").select(
+        F.lit("complete_exact").alias("mode"), "*"
+    )
+    append = spark.table("window_stats_append").select(
+        F.lit("append_watermarked").alias("mode"), "*"
+    )
+    return complete.unionByName(append).localCheckpoint(eager=True)
+
+
+# withWatermark demands TIMESTAMP (LTZ); the session timezone is
+# pinned, so LTZ fixture values collect as the same naive datetimes the
+# oracle's TIMESTAMP literals produce.
+_LATE_STREAM_SCHEMA = T.StructType(
+    [
+        T.StructField("offer_id", T.LongType()),
+        T.StructField("updated_date", T.TimestampType()),
+        T.StructField("price_value", T.DoubleType()),
+    ]
+)
+
+
+def _late_fixture_frame(spark: SparkSession) -> DataFrame:
+    """The late-data fixture as a (chunked) snapshot frame; `__chunk`
+    drives the one-file-per-chunk landing write."""
+    df = spark.createDataFrame(
+        [(c, k, ts, p) for c, k, ts, p in _LATE_FIXTURE],
+        "chunk int, offer_id long, updated_date string, price_value double",
+    )
+    return df.select(
+        "offer_id",
+        F.to_timestamp("updated_date").alias("updated_date"),
+        "price_value",
+        F.col("chunk").alias("__chunk"),
+    )
 
 
 @register(
