@@ -43,6 +43,27 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 8 bits per band → candidates within Hamming radius
 
 
+def _materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+    """Run the one consuming action INSIDE the operator: eagerly
+    materialize ``result`` through its persisted intermediates
+    (``localCheckpoint`` — executor-resident blocks of the SMALL pair
+    output, auto-released by Spark's ContextCleaner when the returned
+    frame is dropped), then unpersist every intermediate. Callers get a
+    frame with ZERO net CacheManager entries — no reliance on a
+    session-level ``clearCache`` between queries (the round-4 cache
+    accumulation finding). At cluster scale the checkpoint becomes a
+    pairs-table write; the lifecycle is the same: index caches live
+    only for the duration of pair generation."""
+    out = result.localCheckpoint(eager=True)
+    for f in cached:
+        f.unpersist()
+    # the checkpoint truncates lineage; keep the executed pre-checkpoint
+    # frame reachable so the physical-plan gate (tests/test_plans.py)
+    # still asserts on the REAL join/shuffle structure
+    out._lineage = result
+    return out
+
+
 def shingles_of(toks: Column, k: int = 3) -> Column:
     """Distinct k-token shingles from an already-materialized token
     array column.
@@ -196,13 +217,15 @@ def _intersection_counts(
 
     The index is persisted because it feeds both sides of the
     self-join (at cluster scale it is the materialized doc↔shingle
-    index table); the job-scoped cache is released by the session's
-    ``clearCache`` between queries.
+    index table); the cached handle is returned so the entry point can
+    release it after materializing its result
+    (:func:`_materialize_release`).
     """
     sizes, exploded = _shingle_pairs(df, text_col, id_col, k)
     if max_doc_freq is not None:
         exploded = _cap_hot_shingles(exploded, max_doc_freq)
-    return _pair_counts(exploded.persist(), sizes)
+    index = exploded.persist()
+    return _pair_counts(index, sizes), index
 
 
 def jaccard_pairs(
@@ -218,10 +241,11 @@ def jaccard_pairs(
     See :func:`_intersection_counts` for the plan and the
     ``max_doc_freq`` hot-shingle cap (the configuration to run at
     100 TB)."""
-    counts = _intersection_counts(df, k, text_col, id_col, max_doc_freq)
-    return (
+    counts, index = _intersection_counts(df, k, text_col, id_col, max_doc_freq)
+    return _materialize_release(
         counts.select("doc_a", "doc_b", F.round(_jaccard_score(), 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
+        .where(F.col("jaccard") >= threshold),
+        index,
     )
 
 
@@ -243,10 +267,11 @@ def overlap_pairs(
     counts are shared via :func:`_intersection_counts`); only the
     normalizer differs, so the scale analysis — and the
     ``max_doc_freq`` hot-shingle cap — carry over unchanged."""
-    counts = _intersection_counts(df, k, text_col, id_col, max_doc_freq)
-    return (
+    counts, index = _intersection_counts(df, k, text_col, id_col, max_doc_freq)
+    return _materialize_release(
         counts.select("doc_a", "doc_b", F.round(_overlap_score(), 6).alias("score"))
-        .where(F.col("score") >= threshold)
+        .where(F.col("score") >= threshold),
+        index,
     )
 
 
@@ -298,20 +323,23 @@ def near_pair_suite(
     # persist the capped index: it feeds both sides of its self-join,
     # same as the uncapped path (without this the hot-shingle window
     # count — a full shuffle of the index — would run once per side)
-    capped_counts = _pair_counts(
-        _cap_hot_shingles(exploded, capped_doc_freq).persist(), sizes
-    )
+    capped = _cap_hot_shingles(exploded, capped_doc_freq).persist()
+    capped_counts = _pair_counts(capped, sizes)
     jac_capped = capped_counts.select(
         F.lit("ngram_jaccard_capped").alias("method"), "doc_a", "doc_b",
         F.round(_jaccard_score(), 6).alias("score"),
     ).where(F.col("score") >= jaccard_threshold)
 
     # MinHash+LSH from the same index; verify against the cached arrays
-    mh = _minhash_pairs_from_index(exploded, sh, jaccard_threshold).select(
+    mh, bk = _minhash_pairs_from_index(exploded, sh, jaccard_threshold)
+    mh = mh.select(
         F.lit("minhash_lsh").alias("method"), "doc_a", "doc_b",
         F.col("jaccard").alias("score"),
     )
-    return jac.unionByName(jac_capped).unionByName(mh).unionByName(ov)
+    return _materialize_release(
+        jac.unionByName(jac_capped).unionByName(mh).unionByName(ov),
+        sh, exploded, counts, capped, bk,
+    )
 
 
 def lsh_band_keys(sig: DataFrame) -> DataFrame:
@@ -337,14 +365,16 @@ def lsh_band_keys(sig: DataFrame) -> DataFrame:
 
 def _minhash_pairs_from_index(
     exploded: DataFrame, sh: DataFrame, threshold: float
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """MinHash+LSH core over a prebuilt index: ``exploded`` =
     (doc, shingle) rows, ``sh`` = (doc, sh array). Signature → bands →
     candidate pairs (any shared band) → exact-Jaccard verify against
     the shingle arrays. The single implementation behind both
     :func:`minhash_lsh_pairs` and :func:`near_pair_suite` — hash
     domain, permutation count, and banding must never diverge between
-    them."""
+    them. Returns ``(pairs, banded_signatures)``; the second element
+    is the internally persisted band-key frame, handed back so the
+    entry point can release it after materialization."""
     hashed = exploded.select(
         "doc", (portable_hash64(F.col("shingle")) % F.lit(2_147_483_647)).alias("h")
     )
@@ -371,12 +401,13 @@ def _minhash_pairs_from_index(
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     jac = inter.cast("double") / union
-    return (
+    pairs = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
+    return pairs, bk
 
 
 def minhash_lsh_pairs(
@@ -393,7 +424,8 @@ def minhash_lsh_pairs(
     sh = _tokenized(df, text_col, id_col).select(
         "doc", shingles_of(F.col("toks"), k).alias("sh")
     ).persist()
-    return _minhash_pairs_from_index(exploded, sh, threshold)
+    pairs, bk = _minhash_pairs_from_index(exploded, sh, threshold)
+    return _materialize_release(pairs, sh, bk)
 
 
 def simhash_signatures(
@@ -449,7 +481,7 @@ def simhash_near_pairs(
     ).persist()
     a, b = bk.alias("a"), bk.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (
+    return _materialize_release(
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -462,7 +494,8 @@ def simhash_near_pairs(
             ham.alias("hamming"),
         )
         .distinct()
-        .where(F.col("hamming") <= max_hamming)
+        .where(F.col("hamming") <= max_hamming),
+        bk,
     )
 
 
@@ -520,7 +553,7 @@ def connected_components(
             break
         total = new_total
     edges.unpersist()
-    return labels
+    return _materialize_release(labels, labels)
 
 
 def contamination_report(

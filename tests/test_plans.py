@@ -23,6 +23,10 @@ def _plan(spark, sf_dir, name: str) -> str:
     df = _QS[name](spark, sf_dir)
     df.write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
+    # operators that materialize-and-release (dedup entry points) hand
+    # back a checkpointed frame; assert on the executed pre-checkpoint
+    # lineage they expose, not the truncated scan
+    df = getattr(df, "_lineage", df)
     return df._jdf.queryExecution().executedPlan().toString()
 
 

@@ -329,3 +329,30 @@ def test_near_pair_suite_matches_standalone_ops(spark, docs):
     for r in D.overlap_pairs(docs, threshold=0.9).collect():
         expect.add(("overlap", r.doc_a, r.doc_b, r.score))
     assert suite == expect
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "dedup_near_pairs",       # near_pair_suite: 5 internal persists
+        "dedup_simhash",          # banded signature persist
+        "dedup_components",       # jaccard_pairs + CC edges/labels
+        "dedup_canonical_corpus", # pairs -> components -> anti-join
+        "kmeans_cells",           # corpus persist across iterations
+    ],
+)
+def test_dedup_queries_leave_no_net_cache(spark, sf_dir, name):
+    """The round-4 finding: dedup/similarity entry points persisted
+    index frames that were never released, relying on the session's
+    clearCache between queries. Every entry point now materializes its
+    result and unpersists its intermediates, so after a registered
+    query's consuming action the CacheManager must be EMPTY — with no
+    clearCache anywhere in the path."""
+    import __spark_entry__ as entrymod
+
+    spark.catalog.clearCache()  # isolate from other tests' session state
+    qs = entrymod.queries()
+    qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
+        f"{name} left persisted frames in the CacheManager"
+    )
