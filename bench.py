@@ -25,7 +25,7 @@ from rental_data_pipeline_spark import queries as registry  # noqa: E402
 # Headline set == the full 50-entry driver registry (round 4): every
 # oracle-checked query is timed, so BENCH queries match CORRECTNESS
 # keys one-for-one. Totals are not comparable to rounds 1-2 (suite
-# consolidation in round 3) or to round 3 (9 queries added, extraction
+# consolidation in round 3) or to round 3 (10 queries added, extraction
 # fixtures are now page-size-realistic); use calib_sec to normalize
 # per-query times across rounds.
 HEADLINE = [
@@ -130,16 +130,30 @@ def main() -> None:
     # ran ~2x slower than round 2 on an otherwise idle VM).
     from pyspark.sql import functions as F  # local import keeps module light
 
-    calib = None
-    for _rep in range(2):
-        t0 = time.perf_counter()
-        (
-            spark.range(0, 200_000_000, 1, 32)
-            .select(F.xxhash64("id").alias("h"))
-            .agg(F.expr("bit_xor(h)")).collect()
-        )
-        dt = round(time.perf_counter() - t0, 3)
-        calib = dt if calib is None else min(calib, dt)
+    # Three samples, median: the normalizer is load-bearing for every
+    # cross-round comparison, so one GC pause or cron wakeup must not
+    # be able to skew a whole round's normalization (a min-of-2 can be
+    # dragged by a single clean sample landing next to a dirty one).
+    # Two probe sizes: the 200M probe matches rounds 3-4 (comparable
+    # across all instrumented rounds) but finishes in ~0.1-0.3 s, where
+    # scheduling jitter is a large relative error (observed 3x spread
+    # between its own samples); the 1G probe amortizes that jitter and
+    # is the preferred normalizer from round 5 on.
+    def probe(n_rows: int) -> list[float]:
+        samples = []
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.range(0, n_rows, 1, 32)
+                .select(F.xxhash64("id").alias("h"))
+                .agg(F.expr("bit_xor(h)")).collect()
+            )
+            samples.append(round(time.perf_counter() - t0, 3))
+        return samples
+
+    calib_samples = probe(200_000_000)
+    calib_long_samples = probe(1_000_000_000)
+    calib = sorted(calib_samples)[1]
 
     out = {
         "metric": "headline_queries_total_runtime",
@@ -147,6 +161,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "calib_sec": calib,
+        "calib_samples": calib_samples,
+        "calib_long_sec": sorted(calib_long_samples)[1],
+        "calib_long_samples": calib_long_samples,
         "sf": sf,
     }
     # tear down streams + session BEFORE emitting the JSON line so a

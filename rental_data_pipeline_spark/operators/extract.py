@@ -497,7 +497,16 @@ def sniff_error_pages(
     # doesn't quarantine a page the DOM path would keep; still an
     # over-match for single-quoted/whitespace-variant attributes, which
     # the sources never emit (same contract as the strainer).
-    present = F.col(html_col).rlike('<[a-zA-Z][^>]*class="error-code"')
+    # The cheap substring `contains` guards the regex: Catalyst pushes
+    # this predicate below the caller's repartition (pruning error
+    # pages before the exchange — the shape you want at 100 TB), and
+    # down there it runs at the SOURCE's parallelism, not the fan-out's.
+    # `contains` is a memchr-speed scan that short-circuits the ~1 ms
+    # regex for the ~98% of pages without the marker; measured 6.8 s →
+    # 0.9 s on the sf0.1 quarantine query (5000 x 83 KB pages).
+    present = F.col(html_col).contains('class="error-code"') & F.col(
+        html_col
+    ).rlike('<[a-zA-Z][^>]*class="error-code"')
     # capture = runs of text or OPEN tags (never a closing tag), then
     # strip the tags: the marker element's leading text content
     region = F.regexp_extract(

@@ -132,31 +132,16 @@ N_IVF_CELLS = 8
 IVF_NPROBE = 2
 
 
-def ivf_topk(
-    df: DataFrame,
+def _ivf_probe(
+    corpus: DataFrame,
+    centroids: DataFrame,
     query_ids: list[int],
-    n_cells: int = N_IVF_CELLS,
-    nprobe: int = IVF_NPROBE,
-    top_k: int = 5,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    nprobe: int,
+    top_k: int,
 ) -> DataFrame:
-    """IVF (inverted-file) ANN: partition the corpus into ``n_cells``
-    Voronoi cells around centroid vectors; a query probes only its
-    ``nprobe`` nearest cells.
-
-    Centroids here are the embeddings of the ``n_cells`` smallest ids —
-    a deterministic stand-in for the offline k-means a production IVF
-    trains; the *index structure and query path* are the real thing.
-    At 100 TB the cell id is the table's partition key: assignment is a
-    map-side argmin against broadcast centroids (no shuffle), and a
-    query scans nprobe/n_cells of the data (partition pruning).
-    Recall < 1 by design; brute-force cosine_topk is the baseline."""
-    corpus = _corpus(df, id_col, vec_col)
-    centroids = (
-        corpus.orderBy("vec_id").limit(n_cells)
-        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
-    )
+    """Shared IVF query path: Voronoi-assign the corpus to broadcast
+    ``centroids (cid, cv)``, prune each query to its ``nprobe`` nearest
+    cells, exact cosine + top-k within the probed cells only."""
     scored = corpus.crossJoin(F.broadcast(centroids)).select(
         "vec_id", "v", "cid",
         F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim"),
@@ -177,6 +162,65 @@ def ivf_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
     )
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    n_cells: int = N_IVF_CELLS,
+    nprobe: int = IVF_NPROBE,
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: partition the corpus into ``n_cells``
+    Voronoi cells around centroid vectors; a query probes only its
+    ``nprobe`` nearest cells.
+
+    Centroids here are the embeddings of the ``n_cells`` smallest ids —
+    a deterministic stand-in isolating the *index structure and query
+    path*; :func:`ivf_topk_trained` is the production composition that
+    trains them with :func:`kmeans_fit` instead.
+    At 100 TB the cell id is the table's partition key: assignment is a
+    map-side argmin against broadcast centroids (no shuffle), and a
+    query scans nprobe/n_cells of the data (partition pruning).
+    Recall < 1 by design; brute-force cosine_topk is the baseline."""
+    corpus = _corpus(df, id_col, vec_col)
+    centroids = (
+        corpus.orderBy("vec_id").limit(n_cells)
+        .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+    )
+    return _ivf_probe(corpus, centroids, query_ids, nprobe, top_k)
+
+
+def ivf_topk_trained(
+    df: DataFrame,
+    query_ids: list[int],
+    n_cells: int = N_IVF_CELLS,
+    n_iter: int = 3,
+    nprobe: int = IVF_NPROBE,
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production IVF composition: train → index → probe.
+
+    Centroids come from :func:`kmeans_train` (Lloyd's, cosine metric,
+    fixed-point 6 dp), land on the driver as k·dim doubles — the same
+    topology the training loop itself uses — and feed the identical
+    :func:`_ivf_probe` query path as the stand-in variant. At 100 TB
+    training runs offline on a sample, the final assignment becomes the
+    table's partition key, and this probe prunes to nprobe cells."""
+    centroids, _ = kmeans_train(df, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    corpus = _corpus(df, id_col, vec_col)
+    spark = df.sparkSession
+    # single-slice literal frame: k rows must not fan out into a
+    # defaultParallelism-task broadcast build (see _centroid_frame)
+    cent_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(list(enumerate(centroids)), 1),
+        "cid int, cv array<double>",
+    )
+    return _ivf_probe(corpus, cent_df, query_ids, nprobe, top_k)
 
 
 def embedding_near_dup_pairs(
@@ -268,16 +312,18 @@ def _assign_to_centroids(corpus: DataFrame, centroids: list[list[float]]) -> Dat
     )
 
 
-def kmeans_fit(
+def kmeans_train(
     df: DataFrame,
     k: int = 8,
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-) -> DataFrame:
+) -> tuple[list[list[float]], DataFrame]:
     """Lloyd's k-means (cosine metric) as an iterative DataFrame
     algorithm — the offline training step behind :func:`ivf_topk`'s
-    index. Returns the final hard assignment ``(vec_id, cid, sim)``.
+    index. Returns ``(centroids, assignment)``: the final k centroid
+    vectors (driver-side, they ARE the trained index definition) and
+    the final hard assignment ``(vec_id, cid, sim)``.
 
     Per iteration: one corpus scan with a map-side argmax against a
     broadcast centroid row (zero corpus shuffle), then one partial-agg
@@ -326,7 +372,18 @@ def kmeans_fit(
 
     final = _assign_to_centroids(corpus, centroids).select("vec_id", "cid", "sim")
     corpus.unpersist()
-    return final
+    return centroids, final
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """:func:`kmeans_train`'s final hard assignment only."""
+    return kmeans_train(df, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)[1]
 
 
 def quantize_embeddings(

@@ -15,16 +15,33 @@ import json
 import sys
 
 
-def load(path: str) -> tuple[dict, float]:
+def load(path: str) -> tuple[dict, dict]:
     d = json.load(open(path))
     d = d.get("parsed", d)
-    return d["queries"], d.get("calib_sec") or 1.0
+    calibs = {}
+    for key in ("calib_sec", "calib_long_sec"):
+        samples = d.get(key.replace("_sec", "_samples"))
+        if samples:  # round >= 5: median of 3 probes (GC-pause robust)
+            calibs[key] = sorted(samples)[len(samples) // 2]
+        elif d.get(key):
+            calibs[key] = d[key]
+    return d["queries"], calibs
+
+
+def pick_calib(ca: dict, cb: dict) -> tuple[float, float]:
+    """Prefer the 1G probe (low relative jitter) when both rounds have
+    it; fall back to the 200M probe comparable back to round 3."""
+    for key in ("calib_long_sec", "calib_sec"):
+        if key in ca and key in cb:
+            return ca[key], cb[key]
+    return 1.0, 1.0
 
 
 def main() -> None:
     if len(sys.argv) != 3:
         sys.exit(__doc__)
-    (qa, ca), (qb, cb) = load(sys.argv[1]), load(sys.argv[2])
+    (qa, cas), (qb, cbs) = load(sys.argv[1]), load(sys.argv[2])
+    ca, cb = pick_calib(cas, cbs)
     common = sorted(set(qa) & set(qb))
     print(f"calib: {ca} -> {cb}   common queries: {len(common)} "
           f"(+{len(set(qb)-set(qa))} new, -{len(set(qa)-set(qb))} gone)")
