@@ -92,12 +92,28 @@ def merge_listings(
     url_col: str = "offer_url",
     protected: tuple[str, ...] = PROTECTED_COLUMNS,
     derive_status_col: bool = False,
+    guard_out_of_order: bool = False,
 ) -> DataFrame:
     """J1: upsert ``source`` into ``target`` with CDC; returns new state.
 
     ``order_cols`` makes J12's arrival order explicit (default:
     ``[upd_col]`` — callers should add a unique tiebreak column when
     updated_date can collide within a key).
+
+    ``guard_out_of_order`` adds the T5 ordering guard the reference
+    deliberately lacks (SURVEY §2.8 T5: in ``data_process/merge.py:
+    37-47,73-95`` an older ``updated_date`` still overwrites; the
+    suggested guard is ``src.updated_date >= tgt.last_active``).
+    When enabled, a source row whose ``updated_date`` is strictly
+    older than the last-active watermark *at its position in the
+    fold* — the stored target ``last_active`` plus every earlier
+    source row's ``updated_date``, exactly the evolving
+    ``tgt.last_active`` a sequential fold would compare against — is
+    a complete no-op: no field merge, no CDC. Rows without
+    ``updated_date`` cannot be ordered and keep their W4 semantics
+    (fields merge, zero CDC). The guard is one running-max window on
+    the same key partitioning — no extra shuffle. Default off =
+    reference parity (pinned by tests/test_streaming.py T5 replay).
     """
     order_cols = order_cols or [upd_col]
 
@@ -158,6 +174,33 @@ def merge_listings(
         "*", F.lit(0).alias(_SEQ), F.lit(False).alias(_IS_SRC)
     )
     events = tgt_events.unionByName(src_events)
+
+    # ---- T5 ordering guard: drop stale source rows ------------------
+    if guard_out_of_order:
+        has_la = any(n == "last_active" for n, _ in columns)
+        seed_la = (
+            F.col("last_active").cast(upd_type)
+            if has_la
+            else F.lit(None).cast(upd_type)
+        )
+        event_la = F.when(F.col(_IS_SRC), F.col(upd_col)).otherwise(seed_la)
+        w_guard = (
+            Window.partitionBy(key)
+            .orderBy(_SEQ)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        stale = (
+            F.col(_IS_SRC)
+            & F.col(upd_col).isNotNull()
+            & (F.col(upd_col) < F.max(event_la).over(w_guard))
+        )
+        # a dropped row is by definition <= the running max, so its
+        # absence cannot change the watermark later rows compare to
+        events = (
+            events.select("*", F.coalesce(stale, F.lit(False)).alias("__stale"))
+            .where(~F.col("__stale"))
+            .drop("__stale")
+        )
 
     # ---- W1/W2 row flags against evolving state (window, same key) ---
     w_prev = (

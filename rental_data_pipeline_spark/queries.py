@@ -211,6 +211,134 @@ fx_state AS (
 """
 
 
+# T5 ordering-guard fixture (SURVEY §2.8 T5): an arrival-order replay
+# containing two STALE rows (updated_date older than the evolving
+# last-active watermark). Both guard variants run through the real
+# merge operator; guarded ≠ unguarded shows up as value differences
+# the oracle independently reproduces. Key 9101: a stale price rewind
+# (guarded keeps 120/1 change, unguarded rewinds to 90/2 changes).
+# Key 9102: a stale row arriving after an unpublish transition
+# (guarded keeps is_unpublished=true, unguarded resurrects the listing
+# and books a price change off the stale price).
+_GUARD_FIX_SRC = [
+    (9101, 1, "2024-06-01 10:00:00", 100.0, False),
+    (9101, 2, "2024-06-03 10:00:00", 120.0, False),
+    (9101, 3, "2024-06-02 10:00:00", 90.0, False),
+    (9102, 1, "2024-06-01 10:00:00", 200.0, False),
+    (9102, 2, "2024-06-02 10:00:00", 200.0, True),
+    (9102, 3, "2024-06-01 09:00:00", 210.0, False),
+]
+
+# SQL replay over the same literals: running-max watermark → stale
+# filter for the guarded variant, then the identical evolving-state
+# window + per-key aggregation for both variants.
+_GUARD_FIX_ORACLE = """
+g_src AS (
+  SELECT * FROM (VALUES
+    (9101, 1, TIMESTAMP '2024-06-01 10:00:00', 100.0, false),
+    (9101, 2, TIMESTAMP '2024-06-03 10:00:00', 120.0, false),
+    (9101, 3, TIMESTAMP '2024-06-02 10:00:00', 90.0, false),
+    (9102, 1, TIMESTAMP '2024-06-01 10:00:00', 200.0, false),
+    (9102, 2, TIMESTAMP '2024-06-02 10:00:00', 200.0, true),
+    (9102, 3, TIMESTAMP '2024-06-01 09:00:00', 210.0, false)
+  ) t(offer_id, arrival, updated_date, price_value, is_unpublished)),
+g_run AS (
+  SELECT *, max(updated_date) OVER (PARTITION BY offer_id ORDER BY arrival
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_la
+  FROM g_src),
+g_both AS (
+  SELECT 'guarded' AS variant, offer_id, arrival, updated_date,
+         price_value, is_unpublished
+  FROM g_run WHERE NOT coalesce(updated_date < prev_la, false)
+  UNION ALL
+  SELECT 'unguarded', offer_id, arrival, updated_date,
+         price_value, is_unpublished
+  FROM g_src),
+g_flag AS (
+  SELECT *,
+         last_value(price_value IGNORE NULLS) OVER w AS prev_price,
+         last_value(is_unpublished IGNORE NULLS) OVER w AS prev_unpub
+  FROM g_both
+  WINDOW w AS (PARTITION BY variant, offer_id ORDER BY arrival
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+g_ev AS (
+  SELECT *,
+         coalesce(updated_date IS NOT NULL AND is_unpublished
+                  AND prev_unpub = false, false) AS unpub_tr,
+         coalesce(updated_date IS NOT NULL
+                  AND NOT coalesce(updated_date IS NOT NULL AND is_unpublished
+                                   AND prev_unpub = false, false)
+                  AND price_value IS NOT NULL AND prev_price IS NOT NULL
+                  AND price_value <> prev_price, false) AS price_chg,
+         CAST(trunc(price_value) AS BIGINT)
+           - CAST(trunc(prev_price) AS BIGINT) AS diff
+  FROM g_flag),
+g_state AS (
+  SELECT variant, offer_id,
+         arg_max(price_value, CASE WHEN price_value IS NOT NULL THEN arrival END)
+           AS price_value,
+         arg_max(is_unpublished, CASE WHEN is_unpublished IS NOT NULL THEN arrival END)
+           AS is_unpublished,
+         arg_max(updated_date, CASE WHEN updated_date IS NOT NULL THEN arrival END)
+           AS last_active,
+         arg_max(updated_date, CASE WHEN unpub_tr THEN arrival END)
+           AS unpublished_date,
+         arg_max(diff, CASE WHEN price_chg THEN arrival END) AS price_change_value,
+         arg_max(updated_date, CASE WHEN price_chg THEN arrival END)
+           AS price_change_date,
+         CASE WHEN count(*) FILTER (WHERE price_chg) > 0
+              THEN count(*) FILTER (WHERE price_chg) END AS total_price_changes
+  FROM g_ev GROUP BY variant, offer_id)
+"""
+
+
+def _guard_fixture_feed(spark: SparkSession, ts_type: str) -> DataFrame:
+    """T5 guard fixture through the REAL merge operator, both variants.
+    Emits per variant: a '<variant>_state' row (price_diff carries
+    total_price_changes, old_price carries is_unpublished as 0.0/1.0),
+    a '<variant>_cdc' row for the surviving latest price change, and a
+    '<variant>_unpub' row when an unpublish transition was booked."""
+    from rental_data_pipeline_spark.operators.merge import merge_snapshots as _ms
+
+    src = literal_frame(
+        spark, _GUARD_FIX_SRC,
+        "offer_id bigint, arrival int, updated_date string, "
+        "price_value double, is_unpublished boolean",
+    ).withColumn("updated_date", F.col("updated_date").cast(ts_type))
+    feeds = []
+    for variant, guard in (("guarded", True), ("unguarded", False)):
+        state = _ms(src, key="offer_id", order_cols=["arrival"],
+                    guard_out_of_order=guard)
+        feeds.append(state.select(
+            "offer_id",
+            F.col("last_active").cast(ts_type).alias("change_date"),
+            F.lit(f"{variant}_state").alias("kind"),
+            F.col("total_price_changes").cast("long").alias("price_diff"),
+            F.col("price_value").alias("new_price"),
+            F.col("is_unpublished").cast("double").alias("old_price"),
+        ))
+        feeds.append(state.where(F.col("price_change_value").isNotNull()).select(
+            "offer_id",
+            F.col("price_change_date").cast(ts_type).alias("change_date"),
+            F.lit(f"{variant}_cdc").alias("kind"),
+            F.col("price_change_value").cast("long").alias("price_diff"),
+            F.lit(None).cast("double").alias("new_price"),
+            F.lit(None).cast("double").alias("old_price"),
+        ))
+        feeds.append(state.where(F.col("unpublished_date").isNotNull()).select(
+            "offer_id",
+            F.col("unpublished_date").cast(ts_type).alias("change_date"),
+            F.lit(f"{variant}_unpub").alias("kind"),
+            F.lit(None).cast("long").alias("price_diff"),
+            F.lit(None).cast("double").alias("new_price"),
+            F.lit(None).cast("double").alias("old_price"),
+        ))
+    out = feeds[0]
+    for f in feeds[1:]:
+        out = out.unionByName(f)
+    return out
+
+
 def _merge_edge_fixture_feed(spark: SparkSession, ts_type: str) -> DataFrame:
     """W4/J5 fixture run through the REAL merge operator: final state
     projected as labelled feed rows — 'fixture_state' (price_diff
@@ -253,7 +381,8 @@ def _merge_edge_fixture_feed(spark: SparkSession, ts_type: str) -> DataFrame:
     "cdc_change_feed",
     oracle=f"""
 WITH {_SNAPSHOT_CTE},
-{_MERGE_FIX_ORACLE}
+{_MERGE_FIX_ORACLE},
+{_GUARD_FIX_ORACLE}
 SELECT offer_id,
        updated_date AS change_date,
        'price_change' AS kind,
@@ -278,6 +407,19 @@ UNION ALL
 SELECT offer_id, unpublished_date AS change_date, 'fixture_unpublish' AS kind,
        NULL AS price_diff, NULL AS new_price, NULL AS old_price
 FROM fx_state WHERE unpublished_date IS NOT NULL
+UNION ALL
+SELECT offer_id, last_active AS change_date, variant || '_state' AS kind,
+       total_price_changes AS price_diff, price_value AS new_price,
+       CAST(is_unpublished AS DOUBLE) AS old_price
+FROM g_state
+UNION ALL
+SELECT offer_id, price_change_date AS change_date, variant || '_cdc' AS kind,
+       price_change_value AS price_diff, NULL AS new_price, NULL AS old_price
+FROM g_state WHERE price_change_value IS NOT NULL
+UNION ALL
+SELECT offer_id, unpublished_date AS change_date, variant || '_unpub' AS kind,
+       NULL AS price_diff, NULL AS new_price, NULL AS old_price
+FROM g_state WHERE unpublished_date IS NOT NULL
 """,
 )
 def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -287,7 +429,12 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-key ordered window pass — plus the W4/J5 edge-case fixture
     ('fixture_*' rows): the no-updated_date and url-adoption merge
     branches the events table never exercises, run through the real
-    merge operator against a SQL replay oracle."""
+    merge operator against a SQL replay oracle — plus the T5
+    ordering-guard fixture ('guarded_*' / 'unguarded_*' rows): an
+    out-of-order replay folded through the merge with
+    guard_out_of_order on and off, where stale updates are no-ops
+    under the guard and overwrite without it (SURVEY §2.8 T5), both
+    variants independently replayed by the oracle."""
     price = cdc_price_changes(spark, sf_dir).select(
         "offer_id", "change_date",
         F.lit("price_change").alias("kind"),
@@ -301,10 +448,10 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("double").alias("new_price"),
         F.lit(None).cast("double").alias("old_price"),
     )
-    fixture = _merge_edge_fixture_feed(
-        spark, dict(price.dtypes)["change_date"]
-    )
-    return price.unionByName(unpub).unionByName(fixture)
+    ts_type = dict(price.dtypes)["change_date"]
+    fixture = _merge_edge_fixture_feed(spark, ts_type)
+    guard = _guard_fixture_feed(spark, ts_type)
+    return price.unionByName(unpub).unionByName(fixture).unionByName(guard)
 
 
 def cdc_price_changes(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -69,7 +69,7 @@ def batch_row(offer_id, seq, **kw):
     return base
 
 
-def run_merge(spark, state_rows, batch_rows):
+def run_merge(spark, state_rows, batch_rows, **kwargs):
     target = spark.createDataFrame(
         [tuple(r[f.name] for f in STATE_SCHEMA.fields) for r in state_rows],
         STATE_SCHEMA,
@@ -78,7 +78,7 @@ def run_merge(spark, state_rows, batch_rows):
         [tuple(r[f.name] for f in BATCH_SCHEMA.fields) for r in batch_rows],
         BATCH_SCHEMA,
     )
-    out = merge_listings(target, source, order_cols=["seq"])
+    out = merge_listings(target, source, order_cols=["seq"], **kwargs)
     return {r["offer_id"]: r.asDict() for r in out.collect()}
 
 
@@ -240,6 +240,59 @@ def test_no_updated_date_merges_fields_only(spark):
     assert r["price_value"] == 200.0
     assert r["total_price_changes"] is None
     assert r["last_active"] == ts("2026-01-01T00:00:00")
+
+
+def test_guard_drops_update_older_than_stored_last_active(spark):
+    """T5 guard on: a source row older than the stored last_active is a
+    complete no-op (no field merge, no CDC); off: reference parity —
+    the stale row overwrites (pinned by the T5 replay test)."""
+    state = [state_row("1", price_value=100.0, is_unpublished=False,
+                       last_active=ts("2026-01-05T10:00:00"))]
+    batch = [batch_row("1", 1, price_value=90.0,
+                       updated_date=ts("2026-01-03T10:00:00"))]
+    guarded = run_merge(spark, state, batch, guard_out_of_order=True)["1"]
+    assert guarded["price_value"] == 100.0
+    assert guarded["last_active"] == ts("2026-01-05T10:00:00")
+    assert guarded["total_price_changes"] is None
+    unguarded = run_merge(spark, state, batch)["1"]
+    assert unguarded["price_value"] == 90.0
+    assert unguarded["last_active"] == ts("2026-01-03T10:00:00")
+    assert unguarded["total_price_changes"] == 1
+
+
+def test_guard_evolving_watermark_within_batch(spark):
+    """The guard compares against the EVOLVING last_active (a fresh
+    in-batch row raises the bar for later arrivals), matching what a
+    sequential fold with `src.updated_date >= tgt.last_active` does."""
+    state = [state_row("1", price_value=100.0, is_unpublished=False,
+                       last_active=ts("2026-01-01T10:00:00"))]
+    batch = [
+        batch_row("1", 1, price_value=120.0,
+                  updated_date=ts("2026-01-04T10:00:00")),
+        # newer than stored last_active but older than the row above
+        batch_row("1", 2, price_value=90.0,
+                  updated_date=ts("2026-01-02T10:00:00")),
+    ]
+    guarded = run_merge(spark, state, batch, guard_out_of_order=True)["1"]
+    assert guarded["price_value"] == 120.0
+    assert guarded["total_price_changes"] == 1
+    assert guarded["price_changes"] == "20"
+    unguarded = run_merge(spark, state, batch)["1"]
+    assert unguarded["price_value"] == 90.0
+    assert unguarded["total_price_changes"] == 2
+    assert unguarded["price_changes"] == "20, -30"
+
+
+def test_guard_keeps_w4_rows_without_updated_date(spark):
+    """Rows without updated_date cannot be ordered: the guard leaves
+    their W4 semantics alone (fields merge, zero CDC)."""
+    state = [state_row("1", price_value=100.0, is_unpublished=False,
+                       last_active=ts("2026-01-05T10:00:00"))]
+    batch = [batch_row("1", 1, price_value=95.0, updated_date=None)]
+    guarded = run_merge(spark, state, batch, guard_out_of_order=True)["1"]
+    assert guarded["price_value"] == 95.0
+    assert guarded["total_price_changes"] is None
+    assert guarded["last_active"] == ts("2026-01-05T10:00:00")
 
 
 def test_untouched_state_rows_pass_through(spark):
