@@ -564,6 +564,8 @@ def contamination_report(
     k: int = 3,
     min_overlap: int = 1,
     broadcast_index: bool = True,
+    hash_prefilter: bool = False,
+    prefilter_mod: int | None = None,
 ) -> DataFrame:
     """Train/eval decontamination: flag training docs whose k-gram
     shingles collide with a held-out eval set, with overlap counts —
@@ -575,16 +577,38 @@ def contamination_report(
     |train| x |holdout|. Eval sets are tiny next to a 100 TB corpus,
     so the index broadcasts by default (``broadcast_index``) and the
     train side never shuffles for the probe; the per-doc aggregation
-    reuses the doc partitioning from tokenization. Returns
+    reuses the doc partitioning from tokenization.
+
+    ``hash_prefilter`` is the configuration for eval sets too large to
+    broadcast as STRINGS: the broadcast side becomes the distinct
+    64-bit ``xxhash64`` values of the eval shingles (8 bytes/item
+    instead of a ~30-byte string — and with ``prefilter_mod=M`` the
+    hashes fold to ``pmod`` buckets, a one-hash Bloom filter with
+    false-positive rate ≈ n/M and NO false negatives, so the filter
+    stays broadcastable at any eval size). The train side is pruned
+    MAP-SIDE by a broadcast semi-join on the hash; only the surviving
+    rows (true overlaps + hash false positives) proceed to the exact
+    string-equality verify join, which restores exact semantics.
+    Spark's own ``bloom_filter_agg`` is internal-only (not in the
+    public FunctionRegistry), so the hash set IS the portable
+    equivalent. Output is identical for every configuration:
     ``(doc_id, n_overlap, n_sh, contamination)`` for docs with
     ``n_overlap >= min_overlap``.
     """
     sizes, exploded = _shingle_pairs(train, text_col, id_col, k)
-    hold_index = (
-        _shingle_pairs(holdout, text_col, id_col, k)[1]
-        .select("shingle")
-        .distinct()
-    )
+    hold_shingles = _shingle_pairs(holdout, text_col, id_col, k)[1]
+    hold_index = hold_shingles.select("shingle").distinct()
+    if hash_prefilter:
+        hk = F.xxhash64(F.col("shingle"))
+        if prefilter_mod is not None:
+            hk = F.pmod(hk, F.lit(prefilter_mod))
+        probe = F.broadcast(hold_shingles.select(hk.alias("hk")).distinct())
+        exploded = exploded.join(
+            probe, F.pmod(F.xxhash64(F.col("shingle")), F.lit(prefilter_mod)).eqNullSafe(F.col("hk"))
+            if prefilter_mod is not None
+            else F.xxhash64(F.col("shingle")).eqNullSafe(F.col("hk")),
+            "left_semi",
+        )
     if broadcast_index:
         hold_index = F.broadcast(hold_index)
     overlap = (

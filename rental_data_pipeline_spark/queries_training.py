@@ -883,26 +883,41 @@ b AS (SELECT doc, sh, {_BUCKET_SQL} AS bk FROM shingled),
 hold AS (SELECT DISTINCT unnest(sh) AS shingle FROM b WHERE bk < 2000),
 tr AS (SELECT doc, unnest(sh) AS shingle FROM b WHERE bk >= 2000),
 ov AS (SELECT doc, count(*) AS n_overlap FROM tr JOIN hold USING (shingle) GROUP BY doc),
-sz AS (SELECT doc, len(sh) AS n_sh FROM b WHERE bk >= 2000)
-SELECT ov.doc AS doc_id, n_overlap, CAST(n_sh AS BIGINT) AS n_sh,
-       round(CAST(n_overlap AS DOUBLE) / n_sh, 6) AS contamination
-FROM ov JOIN sz ON ov.doc = sz.doc
-WHERE n_overlap >= 1
+sz AS (SELECT doc, len(sh) AS n_sh FROM b WHERE bk >= 2000),
+rep AS (SELECT ov.doc AS doc_id, n_overlap, CAST(n_sh AS BIGINT) AS n_sh,
+               round(CAST(n_overlap AS DOUBLE) / n_sh, 6) AS contamination
+        FROM ov JOIN sz ON ov.doc = sz.doc
+        WHERE n_overlap >= 1)
+SELECT 'exact_broadcast' AS method, * FROM rep
+UNION ALL
+SELECT 'hash_prefilter' AS method, * FROM rep
 """,
 )
 def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval decontamination: the deterministic 20% hash-mod
     sample is the held-out eval set; training docs sharing any 3-gram
-    shingle with it are reported with overlap counts. The eval shingle
-    index broadcasts — the training corpus never shuffles for the
-    probe (`dedup.contamination_report`)."""
+    shingle with it are reported with overlap counts. Two
+    oracle-identical configurations of `dedup.contamination_report`:
+    'exact_broadcast' (eval shingle strings broadcast — the training
+    corpus never shuffles for the probe) and 'hash_prefilter' (the
+    100 TB shape for LARGE eval sets: a broadcast one-hash Bloom set of
+    pmod'ed xxhash64 buckets prunes the train side map-side — the
+    deliberately small modulus forces hash false positives through the
+    exact verify join, which the matching hashes prove are removed)."""
     from rental_data_pipeline_spark.operators.sampling import sample_bucket
 
     docs = load_table(spark, "documents", sf_dir)
     bucket = sample_bucket("doc_id")
     holdout = docs.where(bucket < 2000)
     train = docs.where(bucket >= 2000)
-    return D.contamination_report(train, holdout)
+    exact = D.contamination_report(train, holdout)
+    pref = D.contamination_report(
+        train, holdout, broadcast_index=False, hash_prefilter=True,
+        prefilter_mod=4096,
+    )
+    return exact.select(F.lit("exact_broadcast").alias("method"), "*").unionByName(
+        pref.select(F.lit("hash_prefilter").alias("method"), "*")
+    )
 
 
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"

@@ -98,9 +98,34 @@ def test_asof_join_free_bounded_shuffles(spark, sf_dir):
 
 
 def test_decontaminate_probe_is_broadcast(spark, sf_dir):
-    plan = _plan(spark, sf_dir, "decontaminate_ngram")
-    assert "BroadcastHashJoin" in plan, "eval shingle index must broadcast"
-    assert "SortMergeJoin" not in plan, "train side must never shuffle for the probe"
+    # gate each configuration's own plan, not the registered union (the
+    # prefilter branch legitimately shuffles its few SURVIVORS for the
+    # exact verify — the exact-broadcast branch must not shuffle at all)
+    from rental_data_pipeline_spark.operators.dedup import contamination_report
+    from rental_data_pipeline_spark.operators.sampling import sample_bucket
+    from rental_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = sample_bucket("doc_id")
+    holdout, train = docs.where(bucket < 2000), docs.where(bucket >= 2000)
+
+    def plan_of(df):
+        df.write.format("noop").mode("overwrite").save()
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    exact = plan_of(contamination_report(train, holdout))
+    assert "BroadcastHashJoin" in exact, "eval shingle index must broadcast"
+    assert "SortMergeJoin" not in exact, "train side must never shuffle for the probe"
+
+    pref = plan_of(
+        contamination_report(
+            train, holdout, broadcast_index=False, hash_prefilter=True,
+            prefilter_mod=4096,
+        )
+    )
+    assert re.search(r"BroadcastHashJoin .*LeftSemi", pref), (
+        "the hash prefilter must prune the train side map-side (broadcast semi-join)"
+    )
 
 
 @pytest.mark.parametrize("name", ["pii_scrub", "text_repetition"])

@@ -241,6 +241,24 @@ def test_contamination_report_flags_overlap(spark):
     assert "BroadcastHashJoin" in out._jdf.queryExecution().executedPlan().toString()
 
 
+def test_contamination_hash_prefilter_exact_despite_collisions(spark, sf_dir):
+    # a DELIBERATELY tiny modulus (16 buckets over thousands of distinct
+    # shingles) floods the prefilter with hash false positives; the
+    # exact verify join must strip every one — byte-identical output to
+    # the exact broadcast path
+    docs = load_table(spark, "documents", sf_dir)
+    holdout = docs.where(F.col("doc_id") % 5 == 0)
+    train = docs.where(F.col("doc_id") % 5 != 0)
+    exact = D.contamination_report(train, holdout)
+    pref = D.contamination_report(
+        train, holdout, broadcast_index=False, hash_prefilter=True,
+        prefilter_mod=16,
+    )
+    a = {tuple(r) for r in exact.collect()}
+    b = {tuple(r) for r in pref.collect()}
+    assert a == b and a, "prefilter must be lossless after exact verify"
+
+
 def test_scrub_pii_counts_and_order(spark):
     df = spark.createDataFrame(
         [(1, "mail a@b.co and c.d@e.org, server 192.168.0.1, call +7 (916) 555-0199 now"),
