@@ -1,7 +1,9 @@
 from rental_data_pipeline_spark.streaming.incremental import (  # noqa: F401
+    StateVersionUnavailable,
     incremental_merge_stream,
     read_snapshot_stream,
     read_state,
+    state_version_log,
     windowed_price_stats,
     windowed_price_stats_stream_exact,
 )

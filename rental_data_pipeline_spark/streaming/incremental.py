@@ -208,8 +208,19 @@ def _legacy_root_files(state_path: str) -> bool:
     )
 
 
+class StateVersionUnavailable(ValueError):
+    """A time-travel read asked for a version whose reconstruction is
+    incomplete: some bucket's newest copy at-or-below that version has
+    been pruned (shadowed deltas and compacted-over snapshots are
+    deleted by ``_prune_versions``). Raise rather than silently return
+    partial state."""
+
+
 def _bucket_sources(
-    state_path: str, buckets: list[int] | None
+    state_path: str,
+    buckets: list[int] | None,
+    versions: list[str] | None = None,
+    strict: bool = False,
 ) -> tuple[list[str], tuple[str, set[int]] | None]:
     """Where each live bucket's newest committed copy lives.
 
@@ -218,11 +229,16 @@ def _bucket_sources(
     flat_residual)``; ``flat_residual = (flat_version_dir,
     shadowed_buckets)`` when a flat full version is the base layer —
     its rows must be filtered to buckets NOT shadowed by newer deltas.
-    ``buckets=None`` means all buckets (full compose)."""
+    ``buckets=None`` means all buckets (full compose). ``versions``
+    restricts the walk (time travel); ``strict`` raises
+    :class:`StateVersionUnavailable` when the walk exhausts without
+    reaching a full base (a pruned chain would otherwise read as a
+    silently partial state)."""
     want = None if buckets is None else set(buckets)
     paths: list[str] = []
     seen: set[int] = set()
-    for v in reversed(_state_versions(state_path)):
+    vs = _state_versions(state_path) if versions is None else versions
+    for v in reversed(vs):
         bks = _version_buckets(v)
         if bks is None:  # flat full snapshot: base layer
             return paths, (v, set(seen))
@@ -235,6 +251,12 @@ def _bucket_sources(
             return paths, None
         if want is not None and want <= seen:
             return paths, None
+    if strict:
+        raise StateVersionUnavailable(
+            f"state at {state_path} cannot be reconstructed from versions "
+            f"{[_version_counter(v) for v in vs]}: no full snapshot at or "
+            "below the requested version (older versions were pruned)"
+        )
     return paths, None
 
 
@@ -242,10 +264,12 @@ def _compose(
     spark: SparkSession,
     state_path: str,
     buckets: list[int] | None,
+    versions: list[str] | None = None,
+    strict: bool = False,
 ) -> DataFrame | None:
     """The live state (restricted to ``buckets`` when given) as a union
     of each bucket's newest committed copy. None when no state exists."""
-    paths, flat = _bucket_sources(state_path, buckets)
+    paths, flat = _bucket_sources(state_path, buckets, versions, strict)
     frames: list[DataFrame] = []
     if paths:
         frames.append(spark.read.option("mergeSchema", "true").parquet(*paths))
@@ -268,10 +292,57 @@ def _compose(
     return out
 
 
-def read_state(spark: SparkSession, state_path: str) -> DataFrame | None:
-    """The current committed state (composed across bucketed delta
-    versions), or None before the first fold."""
-    return _compose(spark, state_path, None)
+def read_state(
+    spark: SparkSession,
+    state_path: str,
+    as_of_version: int | None = None,
+) -> DataFrame | None:
+    """The committed state (composed across bucketed delta versions),
+    or None before the first fold.
+
+    ``as_of_version`` time-travels: reconstruct the table exactly as it
+    stood after commit ``v_{as_of_version:09d}`` — the same
+    newest-copy-per-bucket compose, restricted to versions at or below
+    the target. History is bounded by retention: a version is readable
+    while every bucket's newest at-or-below copy survives pruning
+    (``keep_versions`` + full-snapshot compaction govern that);
+    otherwise :class:`StateVersionUnavailable` is raised rather than
+    returning silently partial state. At 100 TB this is the audit /
+    reproducibility read — "the corpus as the run that trained model X
+    saw it" — for free out of the layout the fold already writes."""
+    if as_of_version is None:
+        return _compose(spark, state_path, None)
+    vers = [
+        v
+        for v in _state_versions(state_path)
+        if _version_counter(v) <= as_of_version
+    ]
+    if not vers:
+        raise StateVersionUnavailable(
+            f"no committed version <= {as_of_version} under {state_path}"
+        )
+    return _compose(spark, state_path, None, versions=vers, strict=True)
+
+
+def state_version_log(state_path: str) -> list[dict]:
+    """The commit log: one entry per committed version, oldest→newest —
+    ``{version, batch_id, full, buckets}``. ``batch_id`` is the
+    streaming micro-batch that wrote it (None for batch-pipeline
+    commits); ``buckets`` is None for flat (pre-bucketing) versions."""
+    import os as _os
+
+    out = []
+    for v in _state_versions(state_path):
+        name = _os.path.basename(v)
+        out.append(
+            {
+                "version": _version_counter(v),
+                "batch_id": int(name.split("_b")[1]) if "_b" in name else None,
+                "full": _is_full(v),
+                "buckets": _version_buckets(v),
+            }
+        )
+    return out
 
 
 def read_state_buckets(

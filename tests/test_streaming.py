@@ -434,3 +434,65 @@ def test_fold_continues_from_legacy_flat_state(spark, tmpdirs):
     assert got[1].price_changes == want[1].price_changes == "20"
     assert got[1].publication_date == want[1].publication_date
     assert got[3].total_price_changes is None
+
+
+def test_time_travel_reads_each_committed_version(spark, tmpdirs):
+    """as_of_version reconstructs the state exactly as it stood after
+    each commit — the audit/reproducibility read the versioned layout
+    gives for free."""
+    import shutil as sh
+
+    import pytest as pt
+
+    from rental_data_pipeline_spark.streaming.incremental import (
+        StateVersionUnavailable,
+        state_version_log,
+    )
+
+    landing, state, ckpt = tmpdirs
+    snaps = _snapshots(spark)
+    for day in (1, 2, 3):
+        snaps.where(F.dayofmonth("updated_date") == day).coalesce(1).write.mode(
+            "append"
+        ).parquet(landing)
+    q = incremental_merge_stream(
+        read_snapshot_stream(spark, landing, SNAPSHOT_SCHEMA, max_files_per_trigger=1),
+        state, ckpt, keep_versions=100, compact_every=100,
+    )
+    q.awaitTermination(120)
+
+    log = state_version_log(state)
+    assert [e["version"] for e in log] == sorted(e["version"] for e in log)
+    assert len(log) == 3 and log[0]["full"] and not log[1]["full"]
+    assert all(e["batch_id"] is not None for e in log)
+
+    for entry, day in zip(log, (1, 2, 3)):
+        arrived = snaps.where(F.dayofmonth("updated_date") <= day)
+        want = {
+            r.offer_id: r
+            for r in merge_snapshots(
+                arrived, key="offer_id", order_cols=["updated_date", "event_id"]
+            ).collect()
+        }
+        got = {
+            r.offer_id: r
+            for r in read_state(
+                spark, state, as_of_version=entry["version"]
+            ).collect()
+        }
+        assert set(got) == set(want), (day, entry)
+        for k in want:
+            for col in ("price_value", "is_unpublished", "total_price_changes",
+                        "price_changes", "last_active"):
+                assert getattr(got[k], col) == getattr(want[k], col), (day, k, col)
+
+    # below the first commit: nothing to read
+    with pt.raises(StateVersionUnavailable):
+        read_state(spark, state, as_of_version=log[0]["version"] - 1)
+
+    # retention loss: drop the base full snapshot; a time-travel read of
+    # the delta-only prefix must REFUSE rather than return partial state
+    base = f"{state}/v_{log[0]['version']:09d}_b{log[0]['batch_id']:09d}"
+    sh.rmtree(base)
+    with pt.raises(StateVersionUnavailable):
+        read_state(spark, state, as_of_version=log[1]["version"])
