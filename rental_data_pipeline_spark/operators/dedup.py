@@ -363,6 +363,58 @@ def lsh_band_keys(sig: DataFrame) -> DataFrame:
     )
 
 
+def banded_signatures(exploded: DataFrame) -> DataFrame:
+    """(doc, band, bkey) LSH band keys from (doc, shingle) rows — the
+    ONE implementation of hash domain, permutation count, and banding.
+    Both the batch pair generator (:func:`_minhash_pairs_from_index`)
+    and the incremental index maintainer
+    (``streaming/dedup_index.py``) call this, so an index built
+    incrementally is band-compatible with one built in batch."""
+    hashed = exploded.select(
+        "doc", (portable_hash64(F.col("shingle")) % F.lit(2_147_483_647)).alias("h")
+    )
+    sig = hashed.groupBy("doc").agg(
+        *[F.min(minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(NUM_PERM)]
+    )
+    return lsh_band_keys(sig)
+
+
+def minhash_index_frames(
+    df: DataFrame, k: int = 3, text_col: str = "text", id_col: str = "doc_id"
+) -> tuple[DataFrame, DataFrame]:
+    """The two persisted-index building blocks for a corpus slice:
+    ``(bands, shingles)`` = ((doc, band, bkey), (doc, sh array)) —
+    what the incremental maintainer appends per batch."""
+    _, exploded = _shingle_pairs(df, text_col, id_col, k)
+    sh = _tokenized(df, text_col, id_col).select(
+        "doc", shingles_of(F.col("toks"), k).alias("sh")
+    )
+    return banded_signatures(exploded), sh
+
+
+def verify_jaccard_pairs(
+    cand: DataFrame, sh: DataFrame, threshold: float
+) -> DataFrame:
+    """Exact-Jaccard verification of candidate pairs against shingle
+    arrays: ``cand`` = (doc_a, doc_b), ``sh`` = (doc, sh). The shared
+    verify stage of batch LSH and the incremental index. The candidate
+    side is broadcast — at scale candidates are tiny next to the
+    corpus-wide shingle table, which must never shuffle for a verify."""
+    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    # two broadcast probes: each streams the shingle table map-side;
+    # the second broadcasts (candidate, sh_a) — still candidate-sized
+    with_a = sa.join(F.broadcast(cand), "doc_a")
+    return (
+        sb.join(F.broadcast(with_a), "doc_b")
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def _minhash_pairs_from_index(
     exploded: DataFrame, sh: DataFrame, threshold: float
 ) -> tuple[DataFrame, DataFrame]:
@@ -375,16 +427,10 @@ def _minhash_pairs_from_index(
     them. Returns ``(pairs, banded_signatures)``; the second element
     is the internally persisted band-key frame, handed back so the
     entry point can release it after materialization."""
-    hashed = exploded.select(
-        "doc", (portable_hash64(F.col("shingle")) % F.lit(2_147_483_647)).alias("h")
-    )
-    sig = hashed.groupBy("doc").agg(
-        *[F.min(minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(NUM_PERM)]
-    )
     # signatures are tiny (|docs| x 64 ints) but expensive to compute:
     # persist before the banded self-join so the signature aggregation
     # runs once (the scale design materializes signatures as a table)
-    bk = lsh_band_keys(sig).persist()
+    bk = banded_signatures(exploded).persist()
     a, b = bk.alias("a"), bk.alias("b")
     cand = (
         a.join(

@@ -1,3 +1,9 @@
+from rental_data_pipeline_spark.streaming.dedup_index import (  # noqa: F401
+    incremental_minhash_index_stream,
+    read_emitted_pairs,
+    read_index_bands,
+    read_index_shingles,
+)
 from rental_data_pipeline_spark.streaming.incremental import (  # noqa: F401
     StateVersionUnavailable,
     incremental_merge_stream,

@@ -1,0 +1,204 @@
+"""Incrementally-maintained MinHash/LSH near-duplicate index.
+
+The batch dedup operators (``operators/dedup.py``) recompute the whole
+corpus index per run. At crawl scale the corpus is append-mostly: each
+arriving batch should be checked against everything already ingested
+WITHOUT touching the existing index — O(|batch| + |candidates|) per
+batch, not O(|corpus|).
+
+This module maintains exactly that: an append-only banded-signature
+index plus per-doc shingle arrays, folded via ``foreachBatch``. Per
+micro-batch:
+
+1. compute the batch's band keys and shingle arrays with the SAME
+   banding core the batch operator uses (``dedup.banded_signatures`` —
+   one implementation, so incremental and batch indexes are
+   band-compatible);
+2. candidate pairs = batch×batch (new-vs-new self-join) plus
+   batch×index (new-vs-old): the batch band keys BROADCAST against the
+   stored index — the corpus-sized side streams map-side and never
+   shuffles;
+3. exact-Jaccard verify against the union of stored + batch shingle
+   arrays (``dedup.verify_jaccard_pairs``, candidate side broadcast);
+4. append the batch's band/shingle slices and write the emitted pairs,
+   ``_SUCCESS``-gated with the pairs commit LAST — a crash mid-fold
+   leaves a replayable batch (overwrite-per-batch-dir makes replay
+   idempotent), and a replayed committed batch is a no-op.
+
+Every pair (a, b) of the full corpus is emitted exactly once: at the
+batch where the LATER of the two docs arrives (new-vs-old) or where
+both arrive (new-vs-new). The equivalence test
+(``tests/test_streaming_dedup_index.py``) asserts the union of emitted
+pairs over a chunked stream equals ``minhash_lsh_pairs`` over the full
+corpus.
+
+At 100 TB the band index would additionally be hash-partitioned by
+``bkey`` so the new-vs-old probe prunes partitions; the append-only
+layout here is the same either way. Reference has no such operator —
+this is part of the beyond-reference training-data layer (round-5
+scope).
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import os as _os
+import shutil as _shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.operators.dedup import (
+    minhash_index_frames,
+    verify_jaccard_pairs,
+)
+
+_BANDS = "bands"
+_SHINGLES = "shingles"
+_PAIRS = "pairs"
+
+
+def _batch_dir(root: str, sub: str, batch_id: int) -> str:
+    return f"{root}/{sub}/b_{batch_id:09d}"
+
+
+def _committed(root: str, sub: str) -> list[str]:
+    return sorted(
+        d
+        for d in _glob.glob(f"{root}/{sub}/b_*")
+        if _os.path.exists(f"{d}/_SUCCESS")
+    )
+
+
+def _read_union(spark: SparkSession, root: str, sub: str) -> DataFrame | None:
+    dirs = _committed(root, sub)
+    if not dirs:
+        return None
+    return spark.read.parquet(*dirs)
+
+
+def read_index_bands(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """The accumulated (doc, band, bkey) index, or None before the
+    first fold."""
+    return _read_union(spark, index_path, _BANDS)
+
+
+def read_index_shingles(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """The accumulated (doc, sh) shingle arrays."""
+    return _read_union(spark, index_path, _SHINGLES)
+
+
+def read_emitted_pairs(spark: SparkSession, index_path: str) -> DataFrame | None:
+    """Every near-dup pair emitted so far: (doc_a, doc_b, jaccard,
+    batch_id)."""
+    return _read_union(spark, index_path, _PAIRS)
+
+
+def incremental_minhash_index_stream(
+    docs: DataFrame,
+    index_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+):
+    """Fold a document stream into the incremental near-dup index;
+    returns the started StreamingQuery. ``docs`` must be a streaming
+    DataFrame with ``id_col`` unique across the whole stream (an
+    append-only corpus — re-ingesting an id is the caller's bug, same
+    contract as the batch operator's distinct doc ids)."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        pairs_dir = _batch_dir(index_path, _PAIRS, batch_id)
+        if _os.path.exists(f"{pairs_dir}/_SUCCESS"):
+            return  # committed replay: no-op
+        # clear garbage from a crashed attempt of this batch (pairs
+        # commit is LAST, so bands/shingles of an uncommitted attempt
+        # are rewritten wholesale)
+        for sub in (_BANDS, _SHINGLES, _PAIRS):
+            d = _batch_dir(index_path, sub, batch_id)
+            if _os.path.exists(d):
+                _shutil.rmtree(d, ignore_errors=True)
+        if batch.isEmpty():
+            _os.makedirs(pairs_dir, exist_ok=True)
+            with open(f"{pairs_dir}/_SUCCESS", "w") as f:
+                f.write("")
+            return
+
+        bands, sh = minhash_index_frames(
+            batch, k=k, text_col=text_col, id_col=id_col
+        )
+        # the batch slices feed the candidate join, the verify, AND the
+        # index append: write them FIRST (cheapest materialization — at
+        # scale they are the index-table append), then read the written
+        # copies back so nothing below recomputes the signatures
+        bands.write.parquet(_batch_dir(index_path, _BANDS, batch_id))
+        sh.write.parquet(_batch_dir(index_path, _SHINGLES, batch_id))
+        new_bands = spark.read.parquet(_batch_dir(index_path, _BANDS, batch_id))
+        new_sh = spark.read.parquet(_batch_dir(index_path, _SHINGLES, batch_id))
+
+        # new-vs-new: banded self-join within the batch
+        a, b = new_bands.alias("a"), new_bands.alias("b")
+        cand_new = (
+            a.join(
+                b,
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.bkey") == F.col("b.bkey"))
+                & (F.col("a.doc") < F.col("b.doc")),
+            )
+            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        )
+        # new-vs-old: the small batch band set broadcasts; the stored
+        # index streams map-side (never shuffles for the probe). Older
+        # doc on the left, canonical a < b holds because ids are unique
+        # and ordering is by id either way.
+        old_dirs = [
+            d
+            for d in _committed(index_path, _BANDS)
+            if d != _batch_dir(index_path, _BANDS, batch_id)
+        ]
+        cands = [cand_new]
+        if old_dirs:
+            old_bands = spark.read.parquet(*old_dirs).alias("o")
+            n = new_bands.alias("n")
+            cands.append(
+                old_bands.join(
+                    F.broadcast(n),
+                    (F.col("o.band") == F.col("n.band"))
+                    & (F.col("o.bkey") == F.col("n.bkey"))
+                    & (F.col("o.doc") != F.col("n.doc")),
+                ).select(
+                    F.least(F.col("o.doc"), F.col("n.doc")).alias("doc_a"),
+                    F.greatest(F.col("o.doc"), F.col("n.doc")).alias("doc_b"),
+                )
+            )
+        cand = cands[0]
+        for c in cands[1:]:
+            cand = cand.unionByName(c)
+        cand = cand.distinct()
+
+        sh_all = new_sh
+        old_sh_dirs = [
+            d
+            for d in _committed(index_path, _SHINGLES)
+            if d != _batch_dir(index_path, _SHINGLES, batch_id)
+        ]
+        if old_sh_dirs:
+            sh_all = sh_all.unionByName(spark.read.parquet(*old_sh_dirs))
+        pairs = verify_jaccard_pairs(cand, sh_all, threshold).withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        # pairs commit marks the whole batch done (Spark writes _SUCCESS)
+        pairs.write.parquet(pairs_dir)
+
+    writer = (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
