@@ -151,8 +151,33 @@ def main() -> None:
             samples.append(round(time.perf_counter() - t0, 3))
         return samples
 
+    # Scheduling probe: the CPU probes above are single-stage pure
+    # compute, but most registry queries at sf0.1 are OVERHEAD-bound —
+    # multi-stage plans of 32 tiny tasks each, where task launch +
+    # shuffle machinery dominates. Round-5 observation: a host ran the
+    # CPU probe 2x FASTER than round 4's while untouched queries ran
+    # ~1.3x slower — pure-CPU normalization alone inverts the story for
+    # overhead-bound queries. This probe times a fixed 3-stage
+    # shuffle-heavy job (2 exchanges x 32 tasks on 1M rows: negligible
+    # compute, all machinery) so cross-round comparisons can bracket a
+    # query between the compute-bound and overhead-bound normalizers.
+    def probe_sched() -> list[float]:
+        samples = []
+        for _rep in range(3):
+            t0 = time.perf_counter()
+            (
+                spark.range(0, 1_000_000, 1, 32)
+                .repartition(32, F.pmod("id", F.lit(997)))
+                .groupBy(F.pmod("id", F.lit(1009)).alias("g"))
+                .agg(F.count(F.lit(1)).alias("n"))
+                .agg(F.sum("n")).collect()
+            )
+            samples.append(round(time.perf_counter() - t0, 3))
+        return samples
+
     calib_samples = probe(200_000_000)
     calib_long_samples = probe(1_000_000_000)
+    calib_sched_samples = probe_sched()
     calib = sorted(calib_samples)[1]
 
     out = {
@@ -164,6 +189,8 @@ def main() -> None:
         "calib_samples": calib_samples,
         "calib_long_sec": sorted(calib_long_samples)[1],
         "calib_long_samples": calib_long_samples,
+        "calib_sched_sec": sorted(calib_sched_samples)[1],
+        "calib_sched_samples": calib_sched_samples,
         "sf": sf,
     }
     # tear down streams + session BEFORE emitting the JSON line so a

@@ -19,7 +19,7 @@ def load(path: str) -> tuple[dict, dict]:
     d = json.load(open(path))
     d = d.get("parsed", d)
     calibs = {}
-    for key in ("calib_sec", "calib_long_sec"):
+    for key in ("calib_sec", "calib_long_sec", "calib_sched_sec"):
         samples = d.get(key.replace("_sec", "_samples"))
         if samples:  # round >= 5: median of 3 probes (GC-pause robust)
             calibs[key] = sorted(samples)[len(samples) // 2]
@@ -45,6 +45,13 @@ def main() -> None:
     common = sorted(set(qa) & set(qb))
     print(f"calib: {ca} -> {cb}   common queries: {len(common)} "
           f"(+{len(set(qb)-set(qa))} new, -{len(set(qa)-set(qb))} gone)")
+    # when both rounds carry the scheduling probe, print its drift too:
+    # most sf0.1 queries are overhead-bound, so the honest normalized
+    # ratio sits BETWEEN the compute-probe and sched-probe columns
+    if "calib_sched_sec" in cas and "calib_sched_sec" in cbs:
+        sa, sb = cas["calib_sched_sec"], cbs["calib_sched_sec"]
+        print(f"sched calib: {sa} -> {sb} "
+              f"(overhead-bound normalizer: x{(sa / sb):.2f} on norm column)")
     print(f"{'query':34} {'t_a':>7} {'t_b':>7} {'raw':>6} {'norm':>6}")
     tot_a = tot_b = 0.0
     rows = []
