@@ -51,30 +51,73 @@ def _write_time_chunks(snaps: DataFrame, landing: str) -> None:
     oracle) uses. Out-of-order chunks would be processed too (T5: the
     reference has no ordering guard) but would legitimately produce
     different CDC history than the oracle. A frame carrying an explicit
-    ``__chunk`` column (the late-data fixture) chunks by it instead."""
+    ``__chunk`` column (the late-data fixture) chunks by it instead.
+
+    The chunk FILES are written driver-side with pyarrow after one
+    Spark collect: the landing simulates externally-arriving crawl
+    drops (pure fixture input, never the measured operator), and the
+    per-chunk Spark write jobs this replaces each carried a distinct
+    filter literal — a fresh whole-stage-codegen compile per chunk,
+    measured ~3 s/chunk on a cold session, i.e. ~20 s of landing-setup
+    noise polluting every streaming slot's cold time. mtimes are set
+    strictly increasing so FileStreamSource's (modificationTime, path)
+    ordering replays chunks deterministically in chunk order."""
+    import os as _os
+    import time as _time
+
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pyspark.sql import types as T
+
     if "__chunk" in snaps.columns:
-        chunked = snaps
-        for i in sorted(
-            r[0] for r in chunked.select("__chunk").distinct().collect()
-        ):
-            chunked.where(F.col("__chunk") == i).drop("__chunk").coalesce(
-                1
-            ).write.mode("append").parquet(landing)
-        return
-    dates = sorted(
-        r[0] for r in snaps.select(F.to_date("updated_date")).distinct().collect()
-    )
-    n = len(dates)
-    cuts = {d: (i * _STREAM_CHUNKS) // n for i, d in enumerate(dates)}
-    chunk_expr = F.coalesce(
-        *[F.when(F.to_date("updated_date") == F.lit(d), F.lit(c)) for d, c in cuts.items()],
-        F.lit(0),
-    )
-    chunked = snaps.withColumn("__chunk", chunk_expr)
-    for i in sorted(set(cuts.values())):
-        chunked.where(F.col("__chunk") == i).drop("__chunk").coalesce(1).write.mode(
-            "append"
-        ).parquet(landing)
+        chunked = snaps.withColumnRenamed("__chunk", "__c")
+    else:
+        dates = sorted(
+            r[0] for r in snaps.select(F.to_date("updated_date")).distinct().collect()
+        )
+        n = len(dates)
+        cuts = {d: (i * _STREAM_CHUNKS) // n for i, d in enumerate(dates)}
+        chunk_expr = F.coalesce(
+            *[F.when(F.to_date("updated_date") == F.lit(d), F.lit(c)) for d, c in cuts.items()],
+            F.lit(0),
+        )
+        chunked = snaps.withColumn("__c", chunk_expr)
+
+    fields = [f for f in chunked.schema.fields if f.name != "__c"]
+    _PA = {
+        T.LongType: _pa.int64(),
+        T.IntegerType: _pa.int32(),
+        T.DoubleType: _pa.float64(),
+        T.FloatType: _pa.float32(),
+        T.BooleanType: _pa.bool_(),
+        T.StringType: _pa.string(),
+        # session timezone is pinned UTC, so collected naive datetimes
+        # ARE UTC wall-clock; write adjusted-to-UTC micros (the standard
+        # TIMESTAMP_MICROS Spark maps back to TimestampType)
+        T.TimestampType: _pa.timestamp("us", tz="UTC"),
+        # NTZ columns (the nanosAsLong-converted events table) write as
+        # naive micros — isAdjustedToUTC=false, exactly what Spark's own
+        # writer produces for TIMESTAMP_NTZ
+        T.TimestampNTZType: _pa.timestamp("us"),
+    }
+    by_chunk: dict[int, list] = {}
+    for r in chunked.collect():
+        by_chunk.setdefault(r["__c"], []).append(r)
+    _os.makedirs(landing, exist_ok=True)
+    base = _time.time()
+    for seq, c in enumerate(sorted(by_chunk)):
+        rows = by_chunk[c]
+        tbl = _pa.Table.from_arrays(
+            [
+                _pa.array([r[f.name] for r in rows], type=_PA[type(f.dataType)])
+                for f in fields
+            ],
+            names=[f.name for f in fields],
+        )
+        path = f"{landing}/chunk-{seq:05d}.parquet"
+        _pq.write_table(tbl, path)
+        _os.utime(path, (base + seq, base + seq))
 
 
 @register(
