@@ -16,10 +16,14 @@ micro-batch:
    band-compatible);
 2. candidate pairs = batch×batch (new-vs-new self-join) plus
    batch×index (new-vs-old): the batch band keys BROADCAST against the
-   stored index — the corpus-sized side streams map-side and never
-   shuffles;
-3. exact-Jaccard verify against the union of stored + batch shingle
-   arrays (``dedup.verify_jaccard_pairs``, candidate side broadcast);
+   stored index, which is hash-partitioned by bucket-of-band-key so the
+   probe reads ONLY the buckets the batch touches (≤ 16 band keys per
+   batch doc — a function of batch size, never corpus size) and streams
+   them map-side without shuffling;
+3. exact-Jaccard verify against the candidate docs' shingle arrays —
+   the stored shingle table is hash-partitioned by bucket-of-doc and
+   pruned to the candidates' buckets (``dedup.verify_jaccard_pairs``,
+   candidate side broadcast);
 4. append the batch's band/shingle slices and write the emitted pairs,
    ``_SUCCESS``-gated with the pairs commit LAST — a crash mid-fold
    leaves a replayable batch (overwrite-per-batch-dir makes replay
@@ -32,11 +36,8 @@ both arrive (new-vs-new). The equivalence test
 pairs over a chunked stream equals ``minhash_lsh_pairs`` over the full
 corpus.
 
-At 100 TB the band index would additionally be hash-partitioned by
-``bkey`` so the new-vs-old probe prunes partitions; the append-only
-layout here is the same either way. Reference has no such operator —
-this is part of the beyond-reference training-data layer (round-5
-scope).
+Reference has no such operator — this is part of the beyond-reference
+training-data layer (round-5 scope).
 """
 
 from __future__ import annotations
@@ -57,6 +58,23 @@ _BANDS = "bands"
 _SHINGLES = "shingles"
 _PAIRS = "pairs"
 
+# Stored slices are hash-partitioned so per-batch probes read only the
+# buckets the batch touches (same pruning story as the CDC state
+# table): bands by bucket-of-band-key, shingles by bucket-of-doc. A
+# batch of b docs emits <= 16*b band keys, so for small batches the
+# probe reads ~min(16*b, N)/N of the stored index instead of all of it.
+N_INDEX_BUCKETS = 64
+_BB = "band_bucket"
+_DB = "doc_bucket"
+
+
+def _bucket_of_bkey():
+    return F.pmod(F.xxhash64(F.col("bkey")), F.lit(N_INDEX_BUCKETS))
+
+
+def _bucket_of_doc(col: str = "doc"):
+    return F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(N_INDEX_BUCKETS))
+
 
 def _batch_dir(root: str, sub: str, batch_id: int) -> str:
     return f"{root}/{sub}/b_{batch_id:09d}"
@@ -70,22 +88,45 @@ def _committed(root: str, sub: str) -> list[str]:
     )
 
 
+def _pruned_subdirs(dirs: list[str], part_col: str, touched: list[int]) -> list[str]:
+    """The bucket partition dirs under each committed batch dir that
+    intersect ``touched`` — the pruned read set for a probe. Buckets a
+    batch does not touch cannot share a join key with it (the bucket is
+    a pure function of the key), so pruning is lossless."""
+    want = set(touched)
+    out = []
+    for d in dirs:
+        for sub in _glob.glob(f"{d}/{part_col}=*"):
+            if int(_os.path.basename(sub).split("=")[1]) in want:
+                out.append(sub)
+    return out
+
+
 def _read_union(spark: SparkSession, root: str, sub: str) -> DataFrame | None:
     dirs = _committed(root, sub)
     if not dirs:
         return None
-    return spark.read.parquet(*dirs)
+    # per-dir reads: each batch dir is its own partitioned table (the
+    # b_* path fragment between a shared basePath and the bucket dirs
+    # would break partition discovery in a single multi-path read)
+    frames = [spark.read.parquet(d) for d in dirs]
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f, allowMissingColumns=True)
+    return out
 
 
 def read_index_bands(spark: SparkSession, index_path: str) -> DataFrame | None:
     """The accumulated (doc, band, bkey) index, or None before the
     first fold."""
-    return _read_union(spark, index_path, _BANDS)
+    df = _read_union(spark, index_path, _BANDS)
+    return df.drop(_BB) if df is not None else None
 
 
 def read_index_shingles(spark: SparkSession, index_path: str) -> DataFrame | None:
     """The accumulated (doc, sh) shingle arrays."""
-    return _read_union(spark, index_path, _SHINGLES)
+    df = _read_union(spark, index_path, _SHINGLES)
+    return df.drop(_DB) if df is not None else None
 
 
 def read_emitted_pairs(spark: SparkSession, index_path: str) -> DataFrame | None:
@@ -133,12 +174,20 @@ def incremental_minhash_index_stream(
         )
         # the batch slices feed the candidate join, the verify, AND the
         # index append: write them FIRST (cheapest materialization — at
-        # scale they are the index-table append), then read the written
-        # copies back so nothing below recomputes the signatures
-        bands.write.parquet(_batch_dir(index_path, _BANDS, batch_id))
-        sh.write.parquet(_batch_dir(index_path, _SHINGLES, batch_id))
+        # scale they are the index-table append), hash-partitioned by
+        # bucket so later probes prune, then read the written copies
+        # back so nothing below recomputes the signatures
+        dp = spark.sparkContext.defaultParallelism
+        bands.withColumn(_BB, _bucket_of_bkey()).repartition(
+            dp, F.col(_BB)
+        ).write.partitionBy(_BB).parquet(_batch_dir(index_path, _BANDS, batch_id))
+        sh.withColumn(_DB, _bucket_of_doc()).repartition(
+            dp, F.col(_DB)
+        ).write.partitionBy(_DB).parquet(_batch_dir(index_path, _SHINGLES, batch_id))
         new_bands = spark.read.parquet(_batch_dir(index_path, _BANDS, batch_id))
-        new_sh = spark.read.parquet(_batch_dir(index_path, _SHINGLES, batch_id))
+        new_sh = spark.read.parquet(
+            _batch_dir(index_path, _SHINGLES, batch_id)
+        ).drop(_DB)
 
         # new-vs-new: banded self-join within the batch
         a, b = new_bands.alias("a"), new_bands.alias("b")
@@ -152,18 +201,23 @@ def incremental_minhash_index_stream(
             .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         )
         # new-vs-old: the small batch band set broadcasts; the stored
-        # index streams map-side (never shuffles for the probe). Older
-        # doc on the left, canonical a < b holds because ids are unique
-        # and ordering is by id either way.
+        # index reads ONLY the band buckets the batch touches (<= 16
+        # band keys per batch doc → a pure function of the batch, never
+        # of corpus size) and streams them map-side — no shuffle, no
+        # full-index scan. Canonical a < b via least/greatest.
         old_dirs = [
             d
             for d in _committed(index_path, _BANDS)
             if d != _batch_dir(index_path, _BANDS, batch_id)
         ]
+        touched_bb = [
+            r[0] for r in new_bands.select(_BB).distinct().collect()
+        ]
         cands = [cand_new]
-        if old_dirs:
-            old_bands = spark.read.parquet(*old_dirs).alias("o")
-            n = new_bands.alias("n")
+        old_band_paths = _pruned_subdirs(old_dirs, _BB, touched_bb)
+        if old_band_paths:
+            old_bands = spark.read.parquet(*old_band_paths).alias("o")
+            n = new_bands.drop(_BB).alias("n")
             cands.append(
                 old_bands.join(
                     F.broadcast(n),
@@ -178,16 +232,32 @@ def incremental_minhash_index_stream(
         cand = cands[0]
         for c in cands[1:]:
             cand = cand.unionByName(c)
-        cand = cand.distinct()
+        # materialize candidates once: they drive the doc-bucket pruning
+        # (a bounded distinct-collect) AND the verify join
+        cand = cand.distinct().localCheckpoint(eager=True)
 
-        sh_all = new_sh
+        # verify reads only the shingle buckets holding candidate docs
         old_sh_dirs = [
             d
             for d in _committed(index_path, _SHINGLES)
             if d != _batch_dir(index_path, _SHINGLES, batch_id)
         ]
-        if old_sh_dirs:
-            sh_all = sh_all.unionByName(spark.read.parquet(*old_sh_dirs))
+        touched_db = [
+            r[0]
+            for r in cand.select(
+                F.explode(
+                    F.array(
+                        _bucket_of_doc("doc_a"), _bucket_of_doc("doc_b")
+                    )
+                ).alias("db")
+            )
+            .distinct()
+            .collect()
+        ]
+        sh_all = new_sh
+        old_sh_paths = _pruned_subdirs(old_sh_dirs, _DB, touched_db)
+        if old_sh_paths:
+            sh_all = sh_all.unionByName(spark.read.parquet(*old_sh_paths))
         pairs = verify_jaccard_pairs(cand, sh_all, threshold).withColumn(
             "batch_id", F.lit(batch_id).cast("long")
         )

@@ -113,3 +113,58 @@ def test_incremental_index_new_batch_only_touches_index_reads(spark, sf_dir, tmp
     assert len(second) == 2
     for p in first:  # prior commits untouched byte-for-byte
         assert os.path.getmtime(p + "/_SUCCESS") == mtimes[p]
+
+
+def test_small_batch_probe_prunes_index_buckets(spark, sf_dir, tmpdirs):
+    """A 1-doc batch touches <= 16 band buckets; the new-vs-old probe
+    must read only those stored partitions, not the whole index."""
+    import glob
+
+    from rental_data_pipeline_spark.streaming.dedup_index import (
+        _BB,
+        _bucket_of_bkey,
+        _pruned_subdirs,
+    )
+
+    landing, index, ckpt = tmpdirs
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    one_doc_id = docs.agg(F.min("doc_id")).collect()[0][0]
+    twin = docs.where(F.col("doc_id") == one_doc_id).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+
+    docs.coalesce(1).write.mode("append").parquet(landing)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = incremental_minhash_index_stream(stream, index, ckpt, threshold=0.8)
+        q.awaitTermination(180)
+
+    run()
+    batch0 = sorted(glob.glob(f"{index}/bands/b_*"))[0]
+    all_subdirs = glob.glob(f"{batch0}/{_BB}=*")
+    assert len(all_subdirs) > 16, "corpus batch should populate most buckets"
+
+    twin.coalesce(1).write.mode("append").parquet(landing)
+    run()
+
+    # replicate the fold's pruning for the 1-doc batch: its band keys
+    # hash to <= 16 buckets, so the probe read set is a strict subset
+    from rental_data_pipeline_spark.operators.dedup import minhash_index_frames
+
+    bands, _ = minhash_index_frames(twin)
+    touched = [
+        r[0] for r in bands.select(_bucket_of_bkey().alias("bb")).distinct().collect()
+    ]
+    assert len(touched) <= 16
+    pruned = _pruned_subdirs([batch0], _BB, touched)
+    assert 0 < len(pruned) <= 16 < len(all_subdirs)
+
+    # and the twin's cross-batch pair was still found through the
+    # pruned probe
+    pairs = {(r.doc_a, r.doc_b) for r in read_emitted_pairs(spark, index).collect()}
+    assert (one_doc_id, one_doc_id + 100000) in pairs
