@@ -404,3 +404,28 @@ def test_dedup_queries_leave_no_net_cache(spark, sf_dir, name):
     assert spark._jsparkSession.sharedState().cacheManager().isEmpty(), (
         f"{name} left persisted frames in the CacheManager"
     )
+
+
+def test_table_profile_one_pass_values(spark):
+    from rental_data_pipeline_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, 10.0, "aa"), (2, None, "bbbb"), (3, 30.0, None), (3, 10.0, "aa")],
+        "id long, x double, s string",
+    )
+    prof = {r.column: r for r in table_profile(df).collect()}
+    assert set(prof) == {"id", "x", "s"}
+    assert all(r.n_rows == 4 for r in prof.values())
+    assert prof["x"].n_null == 1 and prof["x"].null_frac == 0.25
+    assert prof["id"].approx_distinct == 3  # exact at tiny cardinality
+    assert prof["id"].min == "1" and prof["id"].max == "3"
+    assert prof["x"].mean == pytest.approx(50.0 / 3)
+    assert prof["s"].avg_len == pytest.approx((2 + 4 + 2) / 3)
+    assert prof["s"].mean is None and prof["id"].avg_len is None
+
+    # ONE aggregation pass: a single pair of exchanges (partial->final),
+    # no per-column jobs
+    plan = table_profile(df)._jdf.queryExecution().executedPlan().toString()
+    import re as _re
+
+    assert len(_re.findall(r"\bHashAggregate|\bSortAggregate|\bObjectHashAggregate", plan)) <= 2, plan
