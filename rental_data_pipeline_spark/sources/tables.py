@@ -72,6 +72,40 @@ def read_json_state(spark: SparkSession, path: str, schema: T.StructType) -> Dat
         return spark.createDataFrame([], schema)
 
 
+def read_json_state_quarantined(
+    spark: SparkSession, path: str, schema: T.StructType
+) -> tuple[DataFrame, DataFrame]:
+    """S1 with corrupt-record quarantine: ``(clean, quarantined)``.
+
+    :func:`read_json_state` silently turns a damaged LINE (truncated
+    write, encoding damage, log interleaving) into an all-null row —
+    at crawl scale that is data loss you never see. PERMISSIVE mode
+    with ``columnNameOfCorruptRecord`` keeps the raw unparseable line;
+    clean rows drop the marker column, quarantined rows carry it as
+    ``raw`` for replay/debugging. Missing path → both frames empty
+    (the reference's ``None`` → ``[]`` fallback, ref
+    ``parse_data.py:206-211``)."""
+    corrupt = "_corrupt_record"
+    full = T.StructType(list(schema.fields) + [T.StructField(corrupt, T.StringType())])
+    try:
+        # one eager materialization of the full-row scan: Spark forbids
+        # a scan whose referenced columns are ONLY the corrupt-record
+        # marker (the quarantine side would be exactly that after column
+        # pruning), and state files are modest — both splits then read
+        # executor-resident blocks instead of re-parsing
+        df = spark.read.schema(full).option("mode", "PERMISSIVE").option(
+            "columnNameOfCorruptRecord", corrupt
+        ).json(path).localCheckpoint(eager=True)
+    except Exception:
+        empty = spark.createDataFrame([], schema)
+        return empty, empty.select(F.lit(None).cast("string").alias("raw"))
+    clean = df.where(F.col(corrupt).isNull()).drop(corrupt)
+    bad = df.where(F.col(corrupt).isNotNull()).select(
+        F.col(corrupt).alias("raw")
+    )
+    return clean, bad
+
+
 def write_json_state(df: DataFrame, path: str) -> None:
     """K1: JSON sink with NaN scrub (ref ``parse_data.py:187-204``).
 

@@ -113,3 +113,45 @@ def test_salt_is_stable_across_partitionings(spark):
         )
     )
     assert phase1(a) == phase1(b)
+
+
+def test_json_state_quarantine_roundtrip(spark, outdir):
+    import glob
+    import os
+
+    from pyspark.sql import types as T
+
+    from rental_data_pipeline_spark.sources.tables import (
+        read_json_state_quarantined,
+        write_json_state,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("offer_id", T.StringType()),
+            T.StructField("price_value", T.DoubleType()),
+            T.StructField("status", T.StringType()),
+            T.StructField("last_active", T.StringType()),
+        ]
+    )
+    p = f"{outdir}/state_json"
+    write_json_state(_state(spark), p)
+    # damage the landing the way a crashed writer / log interleave does:
+    # a partial part file with a truncated record and a stray log line
+    # (a NEW file — appending to a committed part would only trip the
+    # local-FS .crc sidecar, a different failure)
+    assert glob.glob(f"{p}/part-*.json")
+    with open(f"{p}/part-junk.json", "w") as f:
+        f.write('{"offer_id": "5", "price_value": 50.0, "status": "ac\n')
+        f.write("WARN totally not json\n")
+    clean, bad = read_json_state_quarantined(spark, p, schema)
+    assert {r.offer_id for r in clean.collect()} == {"1", "2", "3", "4"}
+    raws = [r.raw for r in bad.collect()]
+    assert len(raws) == 2 and any("not json" in r for r in raws)
+    # NaN scrub survived the round trip
+    assert clean.where(F.col("offer_id") == "2").first().price_value is None
+
+    # missing path: tolerant empty, same as read_json_state
+    clean2, bad2 = read_json_state_quarantined(spark, f"{outdir}/nope", schema)
+    assert clean2.count() == 0 and bad2.count() == 0
+    assert os.path.isdir(p)
