@@ -80,12 +80,38 @@ def _batch_dir(root: str, sub: str, batch_id: int) -> str:
     return f"{root}/{sub}/b_{batch_id:09d}"
 
 
+def _covered(root: str, sub: str) -> set[str]:
+    """Slice dirs shadowed by a committed compaction: every dir listed
+    in a ``c_*`` manifest. A crash after the consolidated write but
+    before source deletion leaves both on disk — the manifest keeps
+    readers from double-counting."""
+    import json as _json
+
+    out: set[str] = set()
+    for c in _glob.glob(f"{root}/{sub}/c_*"):
+        manifest = f"{c}/_covered.json"
+        if _os.path.exists(f"{c}/_SUCCESS") and _os.path.exists(manifest):
+            with open(manifest) as f:
+                out.update(_json.load(f))
+    return out
+
+
 def _committed(root: str, sub: str) -> list[str]:
-    return sorted(
-        d
-        for d in _glob.glob(f"{root}/{sub}/b_*")
-        if _os.path.exists(f"{d}/_SUCCESS")
-    )
+    covered = _covered(root, sub)
+    out = []
+    for pat in ("b_*", "c_*"):
+        for d in _glob.glob(f"{root}/{sub}/{pat}"):
+            if not _os.path.exists(f"{d}/_SUCCESS"):
+                continue
+            # a compaction is committed by its MANIFEST, not the parquet
+            # _SUCCESS: in the window between the two (or after a crash
+            # there) the sources are still the live copies and the
+            # manifest-less c_* dir must be invisible
+            if pat == "c_*" and not _os.path.exists(f"{d}/_covered.json"):
+                continue
+            if _os.path.basename(d) not in covered:
+                out.append(d)
+    return sorted(out)
 
 
 def _pruned_subdirs(dirs: list[str], part_col: str, touched: list[int]) -> list[str]:
@@ -272,3 +298,49 @@ def incremental_minhash_index_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def compact_index(spark: SparkSession, index_path: str, min_slices: int = 2) -> bool:
+    """Merge the committed per-batch band/shingle slices into one
+    consolidated slice each (same bucket partitioning, so probe pruning
+    is unchanged) and drop the originals — the maintenance job that
+    keeps the append-only layout from accreting small files: after
+    compaction a probe opens O(touched buckets) files instead of
+    O(batches x touched buckets).
+
+    Crash-safe: the consolidated slice commits under ``c_{n}`` with a
+    ``_covered.json`` manifest naming the source dirs; readers skip any
+    dir listed in a committed manifest, so a crash between the
+    consolidated write and the source deletion never double-counts.
+    Emitted pairs are history, not index — never compacted here.
+    Returns True when a compaction ran."""
+    import json as _json
+
+    ran = False
+    for sub in (_BANDS, _SHINGLES):
+        # clear garbage from a compaction that crashed between the
+        # parquet write and the manifest (invisible to readers)
+        for c in _glob.glob(f"{index_path}/{sub}/c_*"):
+            if not _os.path.exists(f"{c}/_covered.json"):
+                _shutil.rmtree(c, ignore_errors=True)
+        dirs = _committed(index_path, sub)
+        if len(dirs) < min_slices:
+            continue
+        n = max(
+            (
+                int(_os.path.basename(d)[2:])
+                for d in _glob.glob(f"{index_path}/{sub}/c_*")
+            ),
+            default=-1,
+        ) + 1
+        cdir = f"{index_path}/{sub}/c_{n:09d}"
+        part_col = _BB if sub == _BANDS else _DB
+        df = _read_union(spark, index_path, sub)
+        dp = spark.sparkContext.defaultParallelism
+        df.repartition(dp, F.col(part_col)).write.partitionBy(part_col).parquet(cdir)
+        with open(f"{cdir}/_covered.json", "w") as f:
+            _json.dump(sorted(_os.path.basename(d) for d in dirs), f)
+        for d in dirs:  # now shadowed by the manifest; best-effort delete
+            _shutil.rmtree(d, ignore_errors=True)
+        ran = True
+    return ran

@@ -168,3 +168,73 @@ def test_small_batch_probe_prunes_index_buckets(spark, sf_dir, tmpdirs):
     # pruned probe
     pairs = {(r.doc_a, r.doc_b) for r in read_emitted_pairs(spark, index).collect()}
     assert (one_doc_id, one_doc_id + 100000) in pairs
+
+
+def test_compaction_consolidates_without_changing_reads(spark, sf_dir, tmpdirs):
+    import glob
+    import json
+    import os
+    import shutil as sh
+
+    from rental_data_pipeline_spark.streaming.dedup_index import compact_index
+
+    landing, index, ckpt = tmpdirs
+    corpus = _corpus(spark, sf_dir)
+    for c in range(3):
+        corpus.where(F.pmod(F.col("doc_id"), F.lit(3)) == c).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+
+    def run():
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = incremental_minhash_index_stream(stream, index, ckpt, threshold=0.8)
+        q.awaitTermination(180)
+
+    run()
+    bands_before = sorted(
+        tuple(r) for r in read_index_bands(spark, index).collect()
+    )
+    sh_before = read_index_shingles(spark, index).count()
+    pairs_before = {
+        (r.doc_a, r.doc_b) for r in read_emitted_pairs(spark, index).collect()
+    }
+    assert len(glob.glob(f"{index}/bands/b_*")) == 3
+
+    assert compact_index(spark, index)
+    # originals gone, one consolidated slice per table, reads unchanged
+    assert glob.glob(f"{index}/bands/b_*") == []
+    assert len(glob.glob(f"{index}/bands/c_*")) == 1
+    assert sorted(tuple(r) for r in read_index_bands(spark, index).collect()) == bands_before
+    assert read_index_shingles(spark, index).count() == sh_before
+    # pairs are history: never compacted
+    assert len(glob.glob(f"{index}/pairs/b_*")) == 3
+
+    # a later batch folds against the compacted index: plant a twin of
+    # a doc that lives only in the compacted slices
+    probe_doc = corpus.agg(F.max("doc_id")).collect()[0][0] + 1000
+    src = corpus.where(F.col("doc_id") % 7 == 1).limit(1)
+    src.withColumn("doc_id", F.lit(probe_doc)).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    run()
+    new_pairs = {
+        (r.doc_a, r.doc_b) for r in read_emitted_pairs(spark, index).collect()
+    } - pairs_before
+    assert any(b == probe_doc for _, b in new_pairs)
+
+    # crash simulations: (a) a manifest-less c_* dir is invisible;
+    # (b) when manifest AND sources coexist, sources are skipped
+    cdir = glob.glob(f"{index}/bands/c_*")[0]
+    ghost = f"{index}/bands/c_999999999"
+    sh.copytree(cdir, ghost)
+    os.remove(f"{ghost}/_covered.json")
+    n = read_index_bands(spark, index).count()
+    manifest = json.load(open(f"{cdir}/_covered.json"))
+    resurrected = f"{index}/bands/{manifest[0]}"
+    os.makedirs(resurrected)
+    open(f"{resurrected}/_SUCCESS", "w").close()
+    assert read_index_bands(spark, index).count() == n
