@@ -421,3 +421,232 @@ def quantize_embeddings(
         .select("vec_id", "scale", "q", mae.alias("mae"), "v")
         .drop("v")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) — the memory-bound ANN path
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_K = 16  # centroids per subspace codebook
+
+
+def _l2(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _unit_corpus(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
+    """(vec_id, u) with u L2-normalized: cosine ordering becomes
+    inner-product ordering, the form PQ's additive decomposition
+    approximates. Zero vectors are dropped (undefined direction)."""
+    corpus = _corpus(df, id_col, vec_col).withColumn("vn", norm(F.col("v")))
+    return corpus.where(F.col("vn") > 0).select(
+        "vec_id",
+        F.transform(F.col("v"), lambda x: x / F.col("vn")).alias("u"),
+    )
+
+
+def _pq_codebook_frame(spark, codebooks: list[list[list[float]]]) -> DataFrame:
+    """Codebooks as broadcast DATA (one row, nested array) — same
+    rationale as :func:`_centroid_frame`: literals would recompile
+    codegen per call; a broadcast row compiles once."""
+    cb = [
+        [(cid, c) for cid, c in enumerate(book)] for book in codebooks
+    ]
+    return spark.createDataFrame(
+        spark.sparkContext.parallelize([(cb,)], 1),
+        "cb array<array<struct<cid:int, cv:array<double>>>>",
+    )
+
+
+def pq_train(
+    df: DataFrame,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[list[float]]]:
+    """Train per-subspace codebooks: Lloyd's k-means on each of the
+    ``m`` contiguous subvector blocks, ALL subspaces per iteration in
+    ONE corpus pass (rows explode x m, assignment is a map-side argmin
+    against the broadcast codebook row, update is a (m, cid, pos)
+    partial agg — k*dim scalars to the driver per iteration, the same
+    topology as :func:`kmeans_train`). Deterministic: init = subvectors
+    of the k lowest-id unit vectors, fixed-point 6 dp per update,
+    lowest-cid tiebreak. Returns ``codebooks[m][k] = subvector``."""
+    unit = _unit_corpus(df, id_col, vec_col).persist()
+    dim = len(unit.select("u").head()[0])
+    assert dim % m == 0, f"dim {dim} not divisible by m={m}"
+    sub = dim // m
+
+    init = unit.orderBy("vec_id").limit(k).collect()
+    codebooks = [
+        [[round(x, 6) for x in r.u[mi * sub:(mi + 1) * sub]] for r in init]
+        for mi in range(m)
+    ]
+
+    subrows = unit.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda mi: F.slice(F.col("u"), mi * sub + 1, sub),
+            )
+        ).alias("m", "sv"),
+    )
+    spark = df.sparkSession
+    for _ in range(n_iter):
+        cb_df = _pq_codebook_frame(spark, codebooks)
+        cents_m = F.element_at(F.col("cb"), F.col("m") + 1)
+        best = F.array_min(
+            F.transform(
+                cents_m,
+                lambda c: F.struct(
+                    F.round(_l2(F.col("sv"), c["cv"]), 6).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )
+        assigned = subrows.crossJoin(F.broadcast(cb_df)).select(
+            "m", best["cid"].alias("cid"), "sv"
+        )
+        rows = (
+            assigned.select("m", "cid", F.posexplode("sv").alias("pos", "x"))
+            .groupBy("m", "cid", "pos")
+            .agg(F.sum("x").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        acc: dict[tuple[int, int], dict[int, float]] = {}
+        for r in rows:
+            acc.setdefault((r["m"], r["cid"]), {})[r["pos"]] = round(r["s"] / r["n"], 6)
+        codebooks = [
+            [
+                [acc[(mi, cid)][p] for p in range(sub)]
+                if (mi, cid) in acc
+                else codebooks[mi][cid]
+                for cid in range(k)
+            ]
+            for mi in range(m)
+        ]
+    unit.unpersist()
+    return codebooks
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, codes int[m]): per subspace, the nearest codebook
+    centroid — map-side argmin against the broadcast codebook row, no
+    shuffle, no UDF. At 100 TB the codes table is the resident index:
+    m bytes a vector (m=8, k<=256) against 8*dim for raw doubles —
+    64x on this corpus's 64-dim embeddings."""
+    m, sub = len(codebooks), len(codebooks[0][0])
+    unit = _unit_corpus(df, id_col, vec_col)
+    cb_df = _pq_codebook_frame(df.sparkSession, codebooks)
+    codes = F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda mi: F.array_min(
+            F.transform(
+                F.element_at(F.col("cb"), mi + 1),
+                lambda c: F.struct(
+                    F.round(_l2(F.slice(F.col("u"), mi * sub + 1, sub), c["cv"]), 6).alias("d"),
+                    c["cid"].alias("cid"),
+                ),
+            )
+        )["cid"],
+    )
+    return unit.crossJoin(F.broadcast(cb_df)).select("vec_id", codes.alias("codes"))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_ids: list[int],
+    top_k: int = 5,
+    shortlist: int = 50,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    n_iter: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN: train → encode → ADC shortlist → exact re-rank.
+
+    Asymmetric distance computation: each query precomputes a lookup
+    table ``lut[mi*k + j] = <q_mi, codebook[mi][j]>`` (driver-side —
+    |queries| x m x k doubles, the same bounded shape as the trained
+    centroids); the approximate inner product of a corpus vector is a
+    pure table lookup per subspace over its m-byte code — the scan
+    never touches raw vectors. The ``shortlist`` best ADC candidates
+    per query are then re-ranked with EXACT cosine over their raw
+    vectors (a broadcast semi-join back to the corpus), so reported
+    sims are exact and recall loss comes only from shortlist pruning.
+    At 100 TB the codes table is memory-resident where raw vectors
+    cannot be; this train → encode → ADC → re-rank composition is the
+    standard IVF-PQ query path with nprobe = all cells."""
+    codebooks = pq_train(df, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    sub = len(codebooks[0][0])
+    unit = _unit_corpus(df, id_col, vec_col)
+    codes = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)
+
+    qvecs = {
+        r.vec_id: r.u
+        for r in unit.where(F.col("vec_id").isin(query_ids)).collect()
+    }
+    spark = df.sparkSession
+    luts = [
+        (
+            int(qid),
+            [
+                round(sum(q[mi * sub + p] * c[p] for p in range(sub)), 6)
+                for mi in range(m)
+                for c in codebooks[mi]
+            ],
+        )
+        for qid, q in sorted(qvecs.items())
+    ]
+    lut_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(luts, 1),
+        "query_id long, lut array<double>",
+    )
+    adc = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, mi: acc
+            + F.element_at(
+                F.col("lut"), mi * k + F.element_at(F.col("codes"), mi + 1) + 1
+            ),
+        ),
+        6,
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("vec_id")
+    )
+    short = (
+        codes.crossJoin(F.broadcast(lut_df))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("adc"))
+        .withColumn("srank", F.row_number().over(w_short))
+        .where(F.col("srank") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    qframe = unit.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    )
+    sim = F.round(dot(F.col("qu"), F.col("u")), 6)  # unit vectors: dot == cosine
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        unit.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qframe), "query_id")
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )

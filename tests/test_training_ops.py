@@ -429,3 +429,39 @@ def test_table_profile_one_pass_values(spark):
     import re as _re
 
     assert len(_re.findall(r"\bHashAggregate|\bSortAggregate|\bObjectHashAggregate", plan)) <= 2, plan
+
+
+def test_pq_codes_shape_and_determinism(embs):
+    books = S.pq_train(embs, n_iter=1)
+    assert len(books) == S.PQ_M and all(len(b) == S.PQ_K for b in books)
+    sub = len(books[0][0])
+    assert S.PQ_M * sub == 64  # full dim covered, contiguous blocks
+    codes = {r.vec_id: r.codes for r in S.pq_encode(embs, books).collect()}
+    assert all(len(c) == S.PQ_M for c in codes.values())
+    assert all(0 <= x < S.PQ_K for c in codes.values() for x in c)
+    codes2 = {r.vec_id: r.codes for r in S.pq_encode(embs, books).collect()}
+    assert codes == codes2
+    # the compression claim: m small ints a vector vs 8 bytes x dim
+    assert S.PQ_M < 64
+
+
+def test_pq_topk_recall_and_exact_rerank(embs):
+    qids = [0, 1, 2, 3, 4]
+    out = S.pq_topk(embs, qids, top_k=5, shortlist=50).collect()
+    assert len(out) == 25
+    brute = {
+        (r.query_id, r.vec_id): r.sim
+        for r in S.cosine_topk(embs, qids, top_k=10_000).collect()
+    }
+    top5: dict = {}
+    for (q, v), s in brute.items():
+        top5.setdefault(q, []).append((-s, v))
+    top5 = {q: {v for _, v in sorted(c)[:5]} for q, c in top5.items()}
+    hits = 0
+    for r in out:
+        assert r.vec_id != r.query_id
+        # re-rank is EXACT cosine (unit-dot); only 6-dp rounding of two
+        # algebraically equal forms can differ
+        assert brute[(r.query_id, r.vec_id)] == pytest.approx(r.sim, abs=2e-6)
+        hits += r.vec_id in top5[r.query_id]
+    assert hits / 25 >= 0.6  # measured 0.80 at sf0.01, shortlist=50
