@@ -638,13 +638,18 @@ def pq_topk(
         .where(F.col("srank") <= shortlist)
         .select("query_id", "vec_id")
     )
-    qframe = unit.where(F.col("vec_id").isin(query_ids)).select(
-        F.col("vec_id").alias("query_id"), F.col("u").alias("qu")
+    # re-rank over RAW vectors with the same cosine expression form as
+    # cosine_topk — bit-identical 6-dp rounding, so with a full-corpus
+    # shortlist the result is byte-equal to brute force (the oracle
+    # configuration); unit vectors were only ever for encode/ADC
+    corpus = _corpus(df, id_col, vec_col)
+    qframe = corpus.where(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
     )
-    sim = F.round(dot(F.col("qu"), F.col("u")), 6)  # unit vectors: dot == cosine
+    sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
-        unit.join(F.broadcast(short), "vec_id")
+        corpus.join(F.broadcast(short), "vec_id")
         .join(F.broadcast(qframe), "query_id")
         .select("query_id", "vec_id", sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w))

@@ -1246,16 +1246,27 @@ FROM ({_ANN_IVF_TOPK_ORACLE})
 UNION ALL
 SELECT 'ivf_trained' AS method, query_id, vec_id, sim, rank
 FROM ({_ivf_trained_oracle_sql()})
+UNION ALL
+SELECT 'pq_rerank' AS method, query_id, vec_id, sim, rank
+FROM (SELECT query_id, vec_id, sim, rank
+      FROM ({_ANN_BRUTEFORCE_TOPK_ORACLE}) WHERE rank <= 5)
 """,
 )
 def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k per query vector by all four strategies in one feed:
+    """ANN top-k per query vector by all five strategies in one feed:
     exact brute-force cosine (k=10 baseline), sign-LSH bucket probe
     (k=5), IVF with stand-in centroids + nprobe cell pruning (k=5),
-    and the production train→index→probe composition where the IVF
+    the production train→index→probe composition where the IVF
     centroids come from the proven k-means trainer ('ivf_trained',
     k=5; oracle = the unrolled fixed-point Lloyd's chain feeding the
-    identical probe SQL). Methods labelled so recall against the exact
+    identical probe SQL), and product quantization ('pq_rerank', k=5):
+    train per-subspace codebooks → m-byte codes → ADC lookup-table
+    scan → exact cosine re-rank. The PQ branch runs with a
+    full-corpus shortlist, so ADC pruning drops nothing and the result
+    must be byte-equal to exact top-5 — the oracle proves the whole
+    train/encode/ADC/re-rank plumbing is lossless; recall under REAL
+    shortlist pruning is pinned by pytest (0.80 at sf0.01,
+    shortlist=50). Methods labelled so recall against the exact
     baseline is a direct group-compare (measured at sf0.01, top-5 hits
     vs bruteforce: ivf_trained 23/25 = 0.92, stand-in ivf 0.92,
     sign_lsh 0.08 — the single-probe bucket path trades recall for a
@@ -1269,10 +1280,14 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = ann_ivf_topk(spark, sf_dir).select(
         F.lit("ivf").alias("method"), "query_id", "vec_id", "sim", "rank"
     )
-    ivt = S.ivf_topk_trained(
-        load_table(spark, "embeddings", sf_dir), ANN_QUERY_IDS, top_k=5
-    ).select(F.lit("ivf_trained").alias("method"), "query_id", "vec_id", "sim", "rank")
-    return bf.unionByName(sl).unionByName(ivf).unionByName(ivt)
+    embs = load_table(spark, "embeddings", sf_dir)
+    ivt = S.ivf_topk_trained(embs, ANN_QUERY_IDS, top_k=5).select(
+        F.lit("ivf_trained").alias("method"), "query_id", "vec_id", "sim", "rank"
+    )
+    pq = S.pq_topk(
+        embs, ANN_QUERY_IDS, top_k=5, shortlist=1_000_000_000, n_iter=1
+    ).select(F.lit("pq_rerank").alias("method"), "query_id", "vec_id", "sim", "rank")
+    return bf.unionByName(sl).unionByName(ivf).unionByName(ivt).unionByName(pq)
 
 
 # ---------------------------------------------------------------------------
