@@ -135,9 +135,12 @@ def _parse_russian_date_ts(c: Column, now) -> Column:
     month = _month_from_word(word)
     year = F.year(nowc)
 
-    # make_timestamp yields null on impossible dates (ref: exception→NaT)
-    this_year = F.make_timestamp(year, month, day, h, m, F.lit(0))
-    rolled = F.make_timestamp(year - 1, month, day, h, m, F.lit(0))
+    # try_make_timestamp yields null on impossible dates (ref:
+    # exception→NaT); plain make_timestamp THROWS under ANSI mode
+    # (Spark 4 default) — caught by the reference differential test on
+    # "31 фев"
+    this_year = F.try_make_timestamp(year, month, day, h, m, F.lit(0))
+    rolled = F.try_make_timestamp(year - 1, month, day, h, m, F.lit(0))
     day_month_ts = F.when(this_year > nowc, rolled).otherwise(this_year)
 
     return (
