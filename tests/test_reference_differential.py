@@ -137,3 +137,49 @@ def test_parse_russian_date_differential(spark, ref_normalize):
             assert got[i] is None, (s, got[i], want)
         else:
             assert got[i] == want, (s, got[i], want)
+
+
+def test_search_url_params_match_reference():
+    """S6 structural parity: the predicate-bearing query params our
+    compiler emits must match the reference's construct_search_url for
+    the same config (modulo percent-encoding of brackets and each
+    side's fixed preamble — the base host is synthetic by design)."""
+    import urllib.parse
+
+    os.environ.setdefault("BASE_URL", "https://example.test")
+    ref = _load(
+        "/root/reference/search_configs/construct_url.py", "ref_construct_url"
+    )
+    from rental_data_pipeline_spark.jobs.pipeline import (
+        SearchConfig,
+        construct_search_url,
+    )
+
+    cfg = SearchConfig(
+        maxprice=80000, districts=[21, 22, 151], metros=[4, 8], rooms=[1, 2, 4]
+    )
+    ours = construct_search_url(cfg)
+    theirs = ref.construct_search_url(
+        {
+            "maxprice": 80000,
+            "district": [21, 22, 151],
+            "metro": [4, 8],
+            "rooms": [1, 2, 4],
+        }
+    )
+
+    def predicate_params(url: str) -> set[tuple[str, str]]:
+        q = urllib.parse.urlparse(url).query
+        pairs = urllib.parse.parse_qsl(urllib.parse.unquote(q))
+        keep = ("maxprice", "district[", "metro[", "room")
+        return {
+            (k, v)
+            for k, v in pairs
+            if any(k.startswith(p) for p in keep) and k != "deal_type"
+        }
+
+    assert predicate_params(ours) == predicate_params(theirs)
+
+    # repeated-param indexing must be positional on BOTH sides
+    assert "district[0]=21" in urllib.parse.unquote(ours)
+    assert "district[2]=151" in urllib.parse.unquote(theirs)
