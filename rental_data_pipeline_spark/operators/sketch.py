@@ -58,20 +58,20 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1.0 + 1.079 / m)
 
 
-def hll_distinct(
+def hll_registers(
     df: DataFrame,
     group_cols: list[str],
     value_col: str,
     p: int = 8,
 ) -> DataFrame:
-    """Per-group HLL cardinality estimate with 2^p registers.
-
-    Returns (group_cols..., hll_estimate double). The estimate is the
-    Flajolet HLL bias-corrected form with linear counting below 2.5m;
-    rounded to 4 digits (the raw expression is evaluated in the same
-    operation order by the oracle, but rounding removes any residual
-    decimal→double conversion risk).
-    """
+    """The HLL sketch STATE: per-(group, register) max rho —
+    ``(group_cols..., __reg, __M)``. This is the mergeable form:
+    register-wise MAX is the sketch union, so states from disjoint
+    slices (micro-batches, table shards) merge by
+    ``groupBy(group, __reg).max(__M)`` and the merged estimate is
+    EXACTLY the estimate of the concatenated input. Persist this frame
+    (2^p rows per group, bounded) for incremental maintenance
+    (``streaming/sketch_stream.py``)."""
     m = 1 << p
     L = 60 - p  # width of the rho word
     h = hash60(F.col(value_col))
@@ -92,7 +92,15 @@ def hll_distinct(
             F.length(F.bin(F.col("__w")))
         ),
     )
-    per_reg = regs.groupBy(*group_cols, "__reg").agg(F.max("__rho").alias("__M"))
+    return regs.groupBy(*group_cols, "__reg").agg(F.max("__rho").alias("__M"))
+
+
+def hll_estimate_from_registers(
+    per_reg: DataFrame, group_cols: list[str], p: int = 8
+) -> DataFrame:
+    """Fold sketch state (:func:`hll_registers`, possibly merged across
+    slices) into the per-group estimate."""
+    m = 1 << p
     folded = per_reg.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("__present"),
         # SQL form: the Python shiftleft() wrapper only takes a literal
@@ -123,6 +131,27 @@ def hll_distinct(
     return folded.select(
         *group_cols,
         F.round(estimate, 4).alias("hll_estimate"),
+    )
+
+
+def hll_distinct(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HLL cardinality estimate with 2^p registers.
+
+    Returns (group_cols..., hll_estimate double). The estimate is the
+    Flajolet HLL bias-corrected form with linear counting below 2.5m;
+    rounded to 4 digits (the raw expression is evaluated in the same
+    operation order by the oracle, but rounding removes any residual
+    decimal→double conversion risk). Composition of
+    :func:`hll_registers` (the mergeable state) and
+    :func:`hll_estimate_from_registers` (the fold).
+    """
+    return hll_estimate_from_registers(
+        hll_registers(df, group_cols, value_col, p), group_cols, p
     )
 
 

@@ -1,0 +1,71 @@
+"""Incremental HLL == batch HLL over the concatenated stream."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.operators.sketch import hll_distinct
+from rental_data_pipeline_spark.sources.tables import load_table
+from rental_data_pipeline_spark.streaming.sketch_stream import (
+    incremental_hll_stream,
+    read_hll_estimate,
+    read_hll_registers,
+)
+
+
+@pytest.fixture()
+def tmpdirs():
+    d = tempfile.mkdtemp(prefix="sketch_stream_test_")
+    yield f"{d}/landing", f"{d}/state", f"{d}/ckpt"
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_incremental_hll_equals_batch(spark, sf_dir, tmpdirs):
+    landing, state, ckpt = tmpdirs
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("user_id")
+    )
+    # overlapping chunks: the same user appears in several micro-batches,
+    # so the merge must be idempotent, not just additive
+    for c in range(3):
+        ev.where(F.pmod(F.xxhash64("user_id") + c, F.lit(4)) < 2).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+    arrived = spark.read.parquet(landing)
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = incremental_hll_stream(
+        stream, state, ckpt, group_cols=["event_type"], value_col="user_id"
+    )
+    q.awaitTermination(120)
+
+    got = {
+        r.event_type: r.hll_estimate
+        for r in read_hll_estimate(spark, state).collect()
+    }
+    want = {
+        r.event_type: r.hll_estimate
+        for r in hll_distinct(arrived, ["event_type"], "user_id").collect()
+    }
+    assert got == want and got  # exact equality: register max is a union
+
+    # bounded state: <= 2^8 registers per group per batch slice
+    regs = read_hll_registers(spark, state)
+    per_group = regs.groupBy("event_type").count().collect()
+    assert all(r["count"] <= 256 for r in per_group)
+
+    # estimates are in a sane band around exact distinct counts
+    exact = {
+        r.event_type: r.n
+        for r in arrived.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for k, est in got.items():
+        assert abs(est - exact[k]) / exact[k] < 0.25, (k, est, exact[k])
