@@ -4,6 +4,11 @@ from rental_data_pipeline_spark.streaming.dedup_index import (  # noqa: F401
     read_index_bands,
     read_index_shingles,
 )
+from rental_data_pipeline_spark.streaming.sketch_stream import (  # noqa: F401
+    incremental_hll_stream,
+    read_hll_estimate,
+    read_hll_registers,
+)
 from rental_data_pipeline_spark.streaming.incremental import (  # noqa: F401
     StateVersionUnavailable,
     incremental_merge_stream,
