@@ -117,6 +117,73 @@ def decode_features(df: DataFrame) -> DataFrame:
     return df.select("doc_id", "payload").mapInPandas(run, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("payload", T.BinaryType()),
+        T.StructField(
+            "media_meta",
+            T.StructType(
+                [
+                    T.StructField("n_bytes", T.LongType()),
+                    T.StructField("content_type", T.StringType()),
+                    T.StructField("width", T.LongType()),
+                    T.StructField("height", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+
+def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
+    """STUB for the real image resampler (no codecs in this
+    container). Deterministic: stride-sample or cycle-pad the raw
+    bytes to exactly ``width*height``. Replace with
+    ``PIL.Image.resize`` in production — the Spark-side contract
+    (binary in → binary out, one row per row, updated metadata) is
+    identical."""
+    target = width * height
+    if not payload:
+        return bytes(target)
+    if len(payload) >= target:
+        step = len(payload) / target
+        return bytes(payload[int(i * step)] for i in range(target))
+    reps = -(-target // len(payload))
+    return (payload * reps)[:target]
+
+
+def resize_media(df: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize/resample each payload to a fixed geometry — binary in,
+    binary out through one Arrow-batched mapInPandas stage, with the
+    metadata struct rewritten to the new geometry. The
+    transform-in-place shape of every media normalization pass
+    (resize, re-encode, loudness-normalize): at 100 TB the output
+    payload column is the dominant write, and the fixed geometry makes
+    output partition sizing exact (rows x width x height bytes)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = [_stub_resize(p, width, height) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype("int64"),
+                    "payload": resized,
+                    "media_meta": [
+                        {
+                            "n_bytes": len(p),
+                            "content_type": "application/octet-stream",
+                            "width": width,
+                            "height": height,
+                        }
+                        for p in resized
+                    ],
+                }
+            )
+
+    return df.select("doc_id", "payload").mapInPandas(run, RESIZE_SCHEMA)
+
+
 def sample_frames(df: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     """Frame-sampling UDTF shape: each payload ("video") emits one row
     per ``stride`` bytes — a multi-row mapInPandas emit, the same plan

@@ -465,3 +465,24 @@ def test_pq_topk_recall_and_exact_rerank(embs):
         assert brute[(r.query_id, r.vec_id)] == pytest.approx(r.sim, abs=2e-6)
         hits += r.vec_id in top5[r.query_id]
     assert hits / 25 >= 0.6  # measured 0.80 at sf0.01, shortlist=50
+
+
+def test_multimodal_resize_fixed_geometry(docs):
+    packed = M.pack_binary(docs)
+    out = M.resize_media(packed, width=16, height=8)
+    rows = out.limit(30).collect()
+    assert rows
+    for r in rows:
+        assert len(r.payload) == 16 * 8
+        assert r.media_meta.n_bytes == 16 * 8
+        assert (r.media_meta.width, r.media_meta.height) == (16, 8)
+    # deterministic: same payload -> same resized bytes
+    again = {r.doc_id: bytes(r.payload) for r in M.resize_media(packed, 16, 8).limit(30).collect()}
+    for r in rows:
+        assert bytes(r.payload) == again[r.doc_id]
+    # downsample keeps first/last byte anchors when shrinking
+    src = {r.doc_id: bytes(r.payload) for r in packed.limit(30).collect()}
+    for r in rows:
+        s = src[r.doc_id]
+        if len(s) >= 16 * 8:
+            assert bytes(r.payload)[0] == s[0]
