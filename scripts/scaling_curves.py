@@ -25,7 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from rental_data_pipeline_spark.session import get_spark  # noqa: E402
 from rental_data_pipeline_spark.sources.tables import load_table  # noqa: E402
 
-SFS = ["0.001", "0.01", "0.1"]
+# "1x10" = ten id-shifted sf0.1 replicas (synthetic 10x tier; see _x10)
+SFS = ["0.001", "0.01", "0.1", "1x10"]
 
 
 def _ops():
@@ -35,10 +36,30 @@ def _ops():
     from rental_data_pipeline_spark.operators import similarity as S
     from rental_data_pipeline_spark.operators import textstats as TS
 
+    def _x10(df, id_col):
+        """Synthetic 10x tier: ten id-shifted replicas with a per-copy
+        token salt appended to text (distinct docs, preserved overlap
+        structure within each replica) — extends the measured curve one
+        decade past the largest generated table."""
+        reps = df.sparkSession.range(10).select(F.col("id").alias("__rep"))
+        out = df.crossJoin(reps).withColumn(
+            id_col, F.col(id_col) + F.col("__rep") * 10_000_000
+        )
+        if "text" in out.columns:
+            out = out.withColumn(
+                "text",
+                F.concat(F.col("text"), F.lit(" uniq"), F.col("__rep")),
+            )
+        return out.drop("__rep")
+
     def docs(spark, sf):
+        if sf == "1x10":
+            return _x10(load_table(spark, "documents", "/root/testdata/sf0.1"), "doc_id")
         return load_table(spark, "documents", f"/root/testdata/sf{sf}")
 
     def embs(spark, sf):
+        if sf == "1x10":
+            return _x10(load_table(spark, "embeddings", "/root/testdata/sf0.1"), "vec_id")
         return load_table(spark, "embeddings", f"/root/testdata/sf{sf}")
 
     return {
