@@ -58,8 +58,11 @@ def expectation_metrics(df: DataFrame, rules: dict[str, Column]) -> dict[str, in
     |rules|+1 scalars."""
     tagged = validate(df, rules)
     aggs = [F.count(F.lit(1)).alias("_rows")] + [
-        F.sum(
-            F.array_contains(F.col(VIOLATIONS_COL), name).cast("long")
+        # coalesce: sum over ZERO rows is NULL, and an empty ingest is
+        # exactly when the report must say 0, not crash
+        F.coalesce(
+            F.sum(F.array_contains(F.col(VIOLATIONS_COL), name).cast("long")),
+            F.lit(0),
         ).alias(name)
         for name in sorted(rules)
     ]

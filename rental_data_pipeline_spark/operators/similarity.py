@@ -480,11 +480,20 @@ def pq_train(
     of the k lowest-id unit vectors, fixed-point 6 dp per update,
     lowest-cid tiebreak. Returns ``codebooks[m][k] = subvector``."""
     unit = _unit_corpus(df, id_col, vec_col).persist()
-    dim = len(unit.select("u").head()[0])
+    head = unit.select("u").head()
+    if head is None:
+        unit.unpersist()
+        raise ValueError("pq_train: corpus has no nonzero vectors")
+    dim = len(head[0])
     assert dim % m == 0, f"dim {dim} not divisible by m={m}"
     sub = dim // m
 
     init = unit.orderBy("vec_id").limit(k).collect()
+    # fewer than k vectors: cycle the init set so every codebook still
+    # carries exactly k entries (pq_topk's ADC lookup table is strided
+    # by k; duplicate centroids are harmless — the argmin's lowest-cid
+    # tiebreak picks the first copy and empty cells keep their value)
+    init = [init[i % len(init)] for i in range(k)]
     codebooks = [
         [[round(x, 6) for x in r.u[mi * sub:(mi + 1) * sub]] for r in init]
         for mi in range(m)

@@ -101,6 +101,18 @@ def _write_time_chunks(snaps: DataFrame, landing: str) -> None:
         # writer produces for TIMESTAMP_NTZ
         T.TimestampNTZType: _pa.timestamp("us"),
     }
+    if any(type(f.dataType) not in _PA for f in fields):
+        # type not in the mapping (date, decimal, array, ...): fall back
+        # to per-chunk Spark writes — slower (a codegen compile per
+        # chunk literal) but type-complete
+        for i in sorted(r[0] for r in chunked.select("__c").distinct().collect()):
+            chunked.where(F.col("__c") == i).drop("__c").coalesce(1).write.mode(
+                "append"
+            ).parquet(landing)
+        return
+    # fixture tables only (bounded): the collect trades a driver pass
+    # for N+1 Spark write jobs, each of which pays a fresh codegen
+    # compile for its chunk-filter literal
     by_chunk: dict[int, list] = {}
     for r in chunked.collect():
         by_chunk.setdefault(r["__c"], []).append(r)

@@ -53,6 +53,10 @@ from rental_data_pipeline_spark.operators.dedup import (
     minhash_index_frames,
     verify_jaccard_pairs,
 )
+from rental_data_pipeline_spark.streaming.incremental import (
+    _bucket_of,
+    success_dirs,
+)
 
 _BANDS = "bands"
 _SHINGLES = "shingles"
@@ -69,11 +73,13 @@ _DB = "doc_bucket"
 
 
 def _bucket_of_bkey():
-    return F.pmod(F.xxhash64(F.col("bkey")), F.lit(N_INDEX_BUCKETS))
+    # bkey is an md5 string, so the shared cast-to-string bucket
+    # function is a no-op cast — one bucket contract everywhere
+    return _bucket_of("bkey", N_INDEX_BUCKETS)
 
 
 def _bucket_of_doc(col: str = "doc"):
-    return F.pmod(F.xxhash64(F.col(col).cast("string")), F.lit(N_INDEX_BUCKETS))
+    return _bucket_of(col, N_INDEX_BUCKETS)
 
 
 def _batch_dir(root: str, sub: str, batch_id: int) -> str:
@@ -100,9 +106,7 @@ def _committed(root: str, sub: str) -> list[str]:
     covered = _covered(root, sub)
     out = []
     for pat in ("b_*", "c_*"):
-        for d in _glob.glob(f"{root}/{sub}/{pat}"):
-            if not _os.path.exists(f"{d}/_SUCCESS"):
-                continue
+        for d in success_dirs(f"{root}/{sub}/{pat}"):
             # a compaction is committed by its MANIFEST, not the parquet
             # _SUCCESS: in the window between the two (or after a crash
             # there) the sources are still the live copies and the
@@ -190,9 +194,14 @@ def incremental_minhash_index_stream(
             if _os.path.exists(d):
                 _shutil.rmtree(d, ignore_errors=True)
         if batch.isEmpty():
-            _os.makedirs(pairs_dir, exist_ok=True)
-            with open(f"{pairs_dir}/_SUCCESS", "w") as f:
-                f.write("")
+            # commit an empty batch through Spark so the pairs dir
+            # carries a schema-bearing part file — a bare hand-written
+            # _SUCCESS would make every later multi-dir parquet read of
+            # the pairs history fail schema inference
+            idt = batch.schema[id_col].dataType.simpleString()
+            spark.createDataFrame(
+                [], f"doc_a {idt}, doc_b {idt}, jaccard double, batch_id long"
+            ).write.parquet(pairs_dir)
             return
 
         bands, sh = minhash_index_frames(

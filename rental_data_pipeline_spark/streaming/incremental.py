@@ -137,8 +137,23 @@ _META_NAME = "_meta.json"  # '_' prefix: invisible to Spark's file listing
 def _bucket_of(key_col: str, n_buckets: int):
     """Deterministic bucket id for a key: ``pmod(xxhash64(key), N)``.
     The key is hashed through its string form so the bucket survives a
-    key-type migration (long → string) within one state table."""
+    key-type migration (long → string) within one state table. The ONE
+    bucket function for every hash-partitioned streaming state layout
+    (this state table, the dedup index's band/shingle slices)."""
     return F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(n_buckets))
+
+
+def success_dirs(pattern: str) -> list[str]:
+    """Committed (``_SUCCESS``-gated) directories matching a glob —
+    the shared commit-listing for every append-only per-batch state
+    layout (``dedup_index``, ``sketch_stream``; this module's version
+    chain layers the ``v_*`` name check on top)."""
+    import glob as _glob
+    import os as _os
+
+    return sorted(
+        d for d in _glob.glob(pattern) if _os.path.exists(f"{d}/_SUCCESS")
+    )
 
 
 def _read_meta(state_path: str) -> dict | None:
@@ -484,9 +499,15 @@ def incremental_merge_stream(
         # bucket-pruned target could silently miss the adopting row's
         # true key — url batches must merge against full state.
         url_col = merge_kwargs.get("url_col", "offer_url")
+        # this commit's version counter — monotonic across prunes, so
+        # the compaction cadence is exactly every compact_every-th
+        # commit (counting surviving versions instead would fire early:
+        # pruning shrinks the committed list after every full snapshot)
+        all_dirs = _all_version_dirs(state_path)
+        n = _version_counter(all_dirs[-1]) + 1 if all_dirs else 0
         full = (
             not committed
-            or (len(committed) + 1) % compact_every == 0
+            or n % compact_every == 0
             or url_col in batch.columns
         )
         if full:
@@ -499,8 +520,6 @@ def incremental_merge_stream(
             target, batch, key=key, order_cols=order_cols, **merge_kwargs
         )
         out = merged.withColumn(BUCKET_COL, _bucket_of(key, n_bk))
-        all_dirs = _all_version_dirs(state_path)
-        n = _version_counter(all_dirs[-1]) + 1 if all_dirs else 0
         vdir = f"{state_path}/v_{n:09d}{suffix}"
         # repartition by bucket so each bucket lands in ~one file (the
         # merge's key-partitioned output would otherwise scatter every

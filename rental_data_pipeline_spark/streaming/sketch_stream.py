@@ -20,7 +20,6 @@ O(groups x 2^p), never O(distinct values).
 
 from __future__ import annotations
 
-import glob as _glob
 import os as _os
 import shutil as _shutil
 
@@ -31,12 +30,11 @@ from rental_data_pipeline_spark.operators.sketch import (
     hll_estimate_from_registers,
     hll_registers,
 )
+from rental_data_pipeline_spark.streaming.incremental import success_dirs
 
 
 def _committed(root: str) -> list[str]:
-    return sorted(
-        d for d in _glob.glob(f"{root}/b_*") if _os.path.exists(f"{d}/_SUCCESS")
-    )
+    return success_dirs(f"{root}/b_*")
 
 
 def read_hll_registers(spark: SparkSession, path: str) -> DataFrame | None:

@@ -93,7 +93,9 @@ def main() -> None:
             continue
         times, rows = [], []
         for sf in SFS:
-            # warm the operator's codegen at the smallest scale only
+            # every tier is timed cold: the smallest tier absorbs
+            # session/codegen warmup, which is why exponent_top_decade
+            # (largest two tiers) is the reported slope
             t0 = time.perf_counter()
             n = fn(spark, sf).count()
             times.append(round(time.perf_counter() - t0, 3))

@@ -64,3 +64,10 @@ def test_null_strictness_opt_out(spark):
     }
     clean, bad = quarantine_invalid(_df(spark), rules)
     assert {r.offer_id for r in bad.collect()} == {"2"}  # null price passes
+
+
+def test_metrics_on_empty_frame(spark):
+    m = expectation_metrics(_df(spark).limit(0), _rules())
+    assert m == {
+        "_rows": 0, "positive_price": 0, "key_present": 0, "known_status": 0
+    }

@@ -373,12 +373,13 @@ def test_bucketed_compaction_prunes_shadowed_deltas(spark, tmpdirs):
 
     q = incremental_merge_stream(
         read_snapshot_stream(spark, landing, SNAPSHOT_SCHEMA, max_files_per_trigger=1),
-        state, ckpt, n_buckets=8, compact_every=3, keep_versions=1,
+        state, ckpt, n_buckets=8, compact_every=2, keep_versions=1,
     )
     q.awaitTermination(120)
 
     versions = sorted(glob.glob(f"{state}/v_*"))
-    # commits: v0 full, v1 delta, v2 full (3rd commit compacts); with
+    # fulls land at version counters 0, 2, 4... (n % compact_every == 0,
+    # monotonic across prunes): v0 full, v1 delta, v2 full; with
     # keep_versions=1 the shadowed v0 and v1 are pruned
     assert len(versions) == 1, versions
     assert os.path.exists(f"{versions[0]}/_FULL")

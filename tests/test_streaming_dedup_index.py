@@ -238,3 +238,28 @@ def test_compaction_consolidates_without_changing_reads(spark, sf_dir, tmpdirs):
     os.makedirs(resurrected)
     open(f"{resurrected}/_SUCCESS", "w").close()
     assert read_index_bands(spark, index).count() == n
+
+
+def test_empty_batch_commits_readable_pairs(spark, sf_dir, tmpdirs):
+    """An empty micro-batch must commit a schema-bearing pairs slice —
+    a bare _SUCCESS would poison every later multi-dir pairs read."""
+    landing, index, ckpt = tmpdirs
+    docs = load_table(spark, sf_dir=sf_dir, name="documents").select("doc_id", "text")
+    # file 1: real docs; file 2: zero rows (an empty crawl drop)
+    docs.coalesce(1).write.mode("append").parquet(landing)
+    docs.limit(0).coalesce(1).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = incremental_minhash_index_stream(stream, index, ckpt, threshold=0.8)
+    q.awaitTermination(180)
+
+    import glob
+
+    assert len(glob.glob(f"{index}/pairs/b_*")) == 2  # both batches committed
+    pairs = read_emitted_pairs(spark, index)  # must not fail schema inference
+    assert pairs.count() >= 0
+    assert set(pairs.columns) == {"doc_a", "doc_b", "jaccard", "batch_id"}

@@ -486,3 +486,19 @@ def test_multimodal_resize_fixed_geometry(docs):
         s = src[r.doc_id]
         if len(s) >= 16 * 8:
             assert bytes(r.payload)[0] == s[0]
+
+
+def test_pq_small_corpus_pads_codebooks(spark):
+    # 3 nonzero vectors < k=16: codebooks pad by cycling; topk still works
+    df = spark.createDataFrame(
+        [(i, [float(i + j + 1) for j in range(8)]) for i in range(3)],
+        "vec_id long, embedding array<float>",
+    )
+    books = S.pq_train(df, m=2, k=16, n_iter=1)
+    assert all(len(b) == 16 for b in books)
+    out = S.pq_topk(df, [0], top_k=2, shortlist=10, m=2, k=16, n_iter=1).collect()
+    assert {r.vec_id for r in out} == {1, 2}
+    with pytest.raises(ValueError):
+        S.pq_train(
+            spark.createDataFrame([], "vec_id long, embedding array<float>")
+        )
