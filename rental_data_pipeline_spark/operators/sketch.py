@@ -227,3 +227,78 @@ def theta_distinct(
     return kept.groupBy(*group_cols).agg(
         (F.count_distinct(F.col("__h")) * rate).alias("theta_estimate")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch — frequency estimation in bounded state
+# ---------------------------------------------------------------------------
+
+
+def _cm_bucket(col: Column, depth_idx: Column | int, width: int) -> Column:
+    """Row-``i`` bucket of a value: the shared 60-bit hash over the
+    depth-salted string form, mod width. Salt = ``i || ':' || value``
+    so the d hash rows are independent and the DuckDB twin is a literal
+    string concat."""
+    i = F.lit(depth_idx) if isinstance(depth_idx, int) else depth_idx
+    return hash60(F.concat(i.cast("string"), F.lit(":"), col.cast("string"))) % width
+
+
+def countmin_sketch(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Per-group count-min sketch: ``(group_cols..., __d, __bucket,
+    __cnt)`` — d hash rows of w counters. Bounded state (d·w counters a
+    group, regardless of distinct values), map-side partial agg, and
+    MERGEABLE by bucket-wise SUM (counter addition is the sketch
+    union), the same incremental-maintenance story as
+    :func:`hll_registers`. Estimates overcount only (never under):
+    expected error ≤ 2N/w with probability 1-(1/2)^d."""
+    rows = df.select(
+        *group_cols,
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("__d"),
+                    _cm_bucket(F.col(value_col), i, width).alias("__bucket"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("__db"),
+    ).select(*group_cols, "__db.__d", "__db.__bucket")
+    return rows.groupBy(*group_cols, "__d", "__bucket").agg(
+        F.count(F.lit(1)).alias("__cnt")
+    )
+
+
+def countmin_lookup(
+    sketch: DataFrame,
+    items: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    depth: int = 4,
+    width: int = 256,
+) -> DataFrame:
+    """Point-query the sketch for each (group, item) row: estimate =
+    MIN over the d rows' counters. ``items`` is small (the candidates
+    you care about) and broadcasts; missing counters read as 0."""
+    probes = items.select(
+        *group_cols,
+        F.col(value_col),
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(i).alias("__d"),
+                    _cm_bucket(F.col(value_col), i, width).alias("__bucket"),
+                )
+                for i in range(depth)
+            ])
+        ).alias("__db"),
+    ).select(*group_cols, value_col, "__db.__d", "__db.__bucket")
+    joined = sketch.join(F.broadcast(probes), [*group_cols, "__d", "__bucket"])
+    return joined.groupBy(*group_cols, value_col).agg(
+        F.min("__cnt").alias("cm_estimate")
+    )

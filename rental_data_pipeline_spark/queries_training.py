@@ -1301,6 +1301,36 @@ _THETA_THRESHOLD = (1 << 60) // _THETA_RATE
 from rental_data_pipeline_spark.operators.sketch import hll_oracle_sql as _hll_sql
 
 
+_CM_DEPTH, _CM_WIDTH = 4, 256
+
+_CM_SQL = f"""
+cmsk AS (
+  SELECT event_type, d, bucket, count(*) AS cnt
+  FROM (SELECT event_type, i AS d,
+               ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
+                                   CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+               % {_CM_WIDTH} AS bucket
+        FROM events CROSS JOIN (SELECT unnest(range({_CM_DEPTH})) AS i))
+  GROUP BY 1, 2, 3),
+topu AS (
+  SELECT event_type, user_id, cnt AS top_user_freq FROM (
+    SELECT event_type, user_id, count(*) AS cnt,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY count(*) DESC, user_id) AS rn
+    FROM events GROUP BY event_type, user_id) WHERE rn = 1),
+cmtop AS (
+  SELECT t.event_type, min(s.cnt) AS cm_top_user_freq
+  FROM topu t
+  CROSS JOIN (SELECT unnest(range({_CM_DEPTH})) AS i) ix
+  JOIN cmsk s
+    ON s.event_type = t.event_type AND s.d = ix.i
+   AND s.bucket = ('0x' || substr(md5(CAST(ix.i AS VARCHAR) || ':' ||
+                                      CAST(t.user_id AS VARCHAR)), 1, 15))::BIGINT
+                  % {_CM_WIDTH}
+  GROUP BY t.event_type)
+"""
+
+
 @register(
     "sketch_distinct_counts",
     oracle=f"""
@@ -1315,23 +1345,36 @@ theta AS (
   GROUP BY event_type),
 exact AS (
   SELECT event_type, count(DISTINCT user_id) AS exact_distinct
-  FROM events GROUP BY event_type)
+  FROM events GROUP BY event_type),
+{_CM_SQL}
 SELECT e.event_type AS event_type, e.exact_distinct,
-       hll.hll_estimate, theta.theta_estimate
+       hll.hll_estimate, theta.theta_estimate,
+       topu.user_id AS top_user, topu.top_user_freq,
+       cmtop.cm_top_user_freq
 FROM exact e
 LEFT JOIN hll ON hll.event_type = e.event_type
 LEFT JOIN theta ON theta.event_type = e.event_type
+LEFT JOIN topu ON topu.event_type = e.event_type
+LEFT JOIN cmtop ON cmtop.event_type = e.event_type
 """.format(hll=_hll_sql("events", ["event_type"], "user_id")),
 )
 def sketch_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct users per event type three ways: exact COUNT(DISTINCT),
+    """Distinct users per event type three ways — exact COUNT(DISTINCT),
     the deterministic HLL sketch (register-max merge — bounded state,
-    map-side combinable), and the threshold (theta/KMV) sketch (only
-    ~1/rate of distinct hashes ever shuffle). At 100 TB the sketches
-    replace the full (group, user) shuffle of the exact form; both are
-    md5-hash deterministic so the oracle replays identical arithmetic
+    map-side combinable), the threshold (theta/KMV) sketch (only
+    ~1/rate of distinct hashes ever shuffle) — plus the COUNT-MIN
+    sketch answering the frequency question the distinct sketches
+    can't: each group's top user's occurrence count estimated from
+    d x w bounded counters (bucket-wise SUM is the merge op;
+    overcounts only, never under). At 100 TB the sketches replace the
+    full (group, user) shuffle of the exact forms; all are md5-hash
+    deterministic so the oracle replays identical arithmetic
     (`operators/sketch.py`)."""
+    from pyspark.sql import Window
+
     from rental_data_pipeline_spark.operators.sketch import (
+        countmin_lookup,
+        countmin_sketch,
         hll_distinct,
         theta_distinct,
     )
@@ -1342,7 +1385,32 @@ def sketch_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hll = hll_distinct(ev, ["event_type"], "user_id")
     theta = theta_distinct(ev, ["event_type"], "user_id", rate=_THETA_RATE)
-    return exact.join(hll, "event_type", "left").join(theta, "event_type", "left")
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").desc(), F.col("user_id")
+    )
+    topu = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "event_type",
+            F.col("user_id").alias("top_user"),
+            F.col("cnt").alias("top_user_freq"),
+        )
+    )
+    cm = countmin_lookup(
+        countmin_sketch(ev, ["event_type"], "user_id", _CM_DEPTH, _CM_WIDTH),
+        topu.select("event_type", F.col("top_user").alias("user_id")),
+        ["event_type"], "user_id", _CM_DEPTH, _CM_WIDTH,
+    ).select("event_type", F.col("cm_estimate").alias("cm_top_user_freq"))
+    return (
+        exact.join(hll, "event_type", "left")
+        .join(theta, "event_type", "left")
+        .join(topu, "event_type", "left")
+        .join(cm, "event_type", "left")
+    )
 
 
 _STRATA_FRACTIONS = {"en": 0.5, "de": 1.0, "fr": 0.25, "zh": 0.1}

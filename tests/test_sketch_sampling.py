@@ -108,3 +108,41 @@ def test_salted_buckets_are_independent(spark, sf_dir):
     # 10000 buckets → expected collision fraction 1e-4; anything near
     # full correlation means the salt is ignored.
     assert same < 0.05 * docs.count()
+
+
+def test_countmin_never_undercounts_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from rental_data_pipeline_spark.operators.sketch import (
+        countmin_lookup,
+        countmin_sketch,
+    )
+
+    df = spark.createDataFrame(
+        [("a", f"u{i % 7}") for i in range(700)] + [("a", "hot")] * 300,
+        "g string, u string",
+    )
+    items = df.select("g", "u").distinct()
+    est = {
+        r.u: r.cm_estimate
+        for r in countmin_lookup(
+            countmin_sketch(df, ["g"], "u"), items, ["g"], "u"
+        ).collect()
+    }
+    exact = {r.u: r["count"] for r in df.groupBy("u").count().collect()}
+    assert all(est[k] >= exact[k] for k in exact)  # one-sided error
+    # mergeable: sketch(half1) + sketch(half2) summed bucket-wise equals
+    # sketch(whole) — counter addition is the union
+    ids = df.withColumn("i", F.monotonically_increasing_id()).localCheckpoint(
+        eager=True
+    )
+    h1 = ids.where(F.col("i") % 2 == 0).drop("i")
+    h2 = ids.where(F.col("i") % 2 == 1).drop("i")
+    merged = (
+        countmin_sketch(h1, ["g"], "u")
+        .unionByName(countmin_sketch(h2, ["g"], "u"))
+        .groupBy("g", "__d", "__bucket")
+        .agg(F.sum("__cnt").alias("__cnt"))
+    )
+    whole = countmin_sketch(df, ["g"], "u")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
