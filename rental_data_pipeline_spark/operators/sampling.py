@@ -53,3 +53,44 @@ def stratified_deterministic_sample(
         threshold = F.when(cond, lim) if threshold is None else threshold.when(cond, lim)
     threshold = F.lit(0) if threshold is None else threshold.otherwise(F.lit(0))
     return df.where(sample_bucket(key_col, salt) < threshold)
+
+
+def leakage_safe_split(
+    docs: DataFrame,
+    pairs: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+) -> DataFrame:
+    """Train/val/test assignment that keeps NEAR-DUPLICATES together.
+
+    Hashing the doc id sends two 0.95-Jaccard copies of a document to
+    different splits — eval contamination the decontamination gate
+    can't see because it happened at split time. The fix: hash the
+    near-dup CLUSTER, not the doc. ``pairs`` (doc_a, doc_b) comes from
+    any pair generator (``dedup.jaccard_pairs``, ``minhash_lsh_pairs``,
+    the incremental index's emitted pairs); docs in no pair are their
+    own singleton cluster. One iterative components pass + one
+    broadcast join — the corpus never shuffles for the assignment.
+
+    ``fractions`` maps split name → fraction, summing to ≤ 1 (the
+    remainder is dropped, e.g. for a holdout you never touch).
+    Returns ``docs`` + a ``split`` column; rows beyond the configured
+    fractions get null.
+    """
+    from rental_data_pipeline_spark.operators.dedup import connected_components
+
+    cc = connected_components(pairs)
+    labeled = docs.join(
+        F.broadcast(cc.withColumnRenamed("node", id_col)), id_col, "left"
+    ).withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    bucket = sample_bucket("component", salt)
+    expr, lo = None, 0
+    for name, frac in fractions.items():
+        hi = lo + int(frac * _BUCKETS)
+        cond = (bucket >= F.lit(lo)) & (bucket < F.lit(hi))
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo = hi
+    return labeled.withColumn(
+        "split", expr if expr is not None else F.lit(None).cast("string")
+    ).drop("component")

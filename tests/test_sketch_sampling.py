@@ -146,3 +146,43 @@ def test_countmin_never_undercounts_and_merges(spark):
     )
     whole = countmin_sketch(df, ["g"], "u")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_leakage_safe_split_keeps_near_dups_together(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from rental_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from rental_data_pipeline_spark.operators.sampling import leakage_safe_split
+    from rental_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    # plant twins so the corpus has guaranteed cross-doc near-dups
+    twins = docs.where(F.col("doc_id") % 3 == 0).withColumn(
+        "doc_id", F.col("doc_id") + 100000
+    )
+    corpus = docs.unionByName(twins)
+    pairs = minhash_lsh_pairs(corpus, threshold=0.8)
+    assert pairs.count() > 0
+
+    out = leakage_safe_split(
+        corpus, pairs, {"train": 0.7, "val": 0.2, "test": 0.1}
+    )
+    split_of = {r.doc_id: r.split for r in out.collect()}
+    # no near-dup pair straddles two splits — the leakage property
+    for r in pairs.collect():
+        assert split_of[r.doc_a] == split_of[r.doc_b], (r.doc_a, r.doc_b)
+    # every split is populated and fractions are roughly honored
+    from collections import Counter
+
+    c = Counter(split_of.values())
+    n = sum(c.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.55 < c["train"] / n < 0.85
+    # deterministic: a second run assigns identically
+    again = {
+        r.doc_id: r.split
+        for r in leakage_safe_split(
+            corpus, pairs, {"train": 0.7, "val": 0.2, "test": 0.1}
+        ).collect()
+    }
+    assert again == split_of
