@@ -61,6 +61,7 @@ def leakage_safe_split(
     fractions: dict[str, float],
     id_col: str = "doc_id",
     salt: str = "split",
+    broadcast_components: bool = True,
 ) -> DataFrame:
     """Train/val/test assignment that keeps NEAR-DUPLICATES together.
 
@@ -70,8 +71,12 @@ def leakage_safe_split(
     near-dup CLUSTER, not the doc. ``pairs`` (doc_a, doc_b) comes from
     any pair generator (``dedup.jaccard_pairs``, ``minhash_lsh_pairs``,
     the incremental index's emitted pairs); docs in no pair are their
-    own singleton cluster. One iterative components pass + one
-    broadcast join — the corpus never shuffles for the assignment.
+    own singleton cluster. One iterative components pass + one join.
+    The component map covers only PAIRED docs (the dup fraction, not
+    the corpus); while it fits a broadcast the corpus never shuffles
+    for the assignment — set ``broadcast_components=False`` when the
+    paired-node set itself is huge (the assignment then shuffles the
+    corpus on id once).
 
     ``fractions`` maps split name → fraction, summing to ≤ 1 (the
     remainder is dropped, e.g. for a holdout you never touch).
@@ -80,10 +85,12 @@ def leakage_safe_split(
     """
     from rental_data_pipeline_spark.operators.dedup import connected_components
 
-    cc = connected_components(pairs)
-    labeled = docs.join(
-        F.broadcast(cc.withColumnRenamed("node", id_col)), id_col, "left"
-    ).withColumn("component", F.coalesce(F.col("component"), F.col(id_col)))
+    cc = connected_components(pairs).withColumnRenamed("node", id_col)
+    if broadcast_components:
+        cc = F.broadcast(cc)
+    labeled = docs.join(cc, id_col, "left").withColumn(
+        "component", F.coalesce(F.col("component"), F.col(id_col))
+    )
     bucket = sample_bucket("component", salt)
     expr, lo = None, 0
     for name, frac in fractions.items():
