@@ -55,7 +55,7 @@ from rental_data_pipeline_spark.operators.dedup import (
 )
 from rental_data_pipeline_spark.streaming.incremental import (
     _bucket_of,
-    success_dirs,
+    sliced_committed,
 )
 
 _BANDS = "bands"
@@ -86,36 +86,8 @@ def _batch_dir(root: str, sub: str, batch_id: int) -> str:
     return f"{root}/{sub}/b_{batch_id:09d}"
 
 
-def _covered(root: str, sub: str) -> set[str]:
-    """Slice dirs shadowed by a committed compaction: every dir listed
-    in a ``c_*`` manifest. A crash after the consolidated write but
-    before source deletion leaves both on disk — the manifest keeps
-    readers from double-counting."""
-    import json as _json
-
-    out: set[str] = set()
-    for c in _glob.glob(f"{root}/{sub}/c_*"):
-        manifest = f"{c}/_covered.json"
-        if _os.path.exists(f"{c}/_SUCCESS") and _os.path.exists(manifest):
-            with open(manifest) as f:
-                out.update(_json.load(f))
-    return out
-
-
 def _committed(root: str, sub: str) -> list[str]:
-    covered = _covered(root, sub)
-    out = []
-    for pat in ("b_*", "c_*"):
-        for d in success_dirs(f"{root}/{sub}/{pat}"):
-            # a compaction is committed by its MANIFEST, not the parquet
-            # _SUCCESS: in the window between the two (or after a crash
-            # there) the sources are still the live copies and the
-            # manifest-less c_* dir must be invisible
-            if pat == "c_*" and not _os.path.exists(f"{d}/_covered.json"):
-                continue
-            if _os.path.basename(d) not in covered:
-                out.append(d)
-    return sorted(out)
+    return sliced_committed(f"{root}/{sub}")
 
 
 def _pruned_subdirs(dirs: list[str], part_col: str, touched: list[int]) -> list[str]:
@@ -174,12 +146,16 @@ def incremental_minhash_index_stream(
     text_col: str = "text",
     id_col: str = "doc_id",
     available_now: bool = True,
+    compact_every: int = 16,
 ):
     """Fold a document stream into the incremental near-dup index;
     returns the started StreamingQuery. ``docs`` must be a streaming
     DataFrame with ``id_col`` unique across the whole stream (an
     append-only corpus — re-ingesting an id is the caller's bug, same
-    contract as the batch operator's distinct doc ids)."""
+    contract as the batch operator's distinct doc ids). Once the
+    band/shingle tables accumulate ``compact_every`` committed slices
+    the fold runs :func:`compact_index` inline — the same amortized
+    small-file bound the CDC state table keeps."""
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -298,6 +274,8 @@ def incremental_minhash_index_stream(
         )
         # pairs commit marks the whole batch done (Spark writes _SUCCESS)
         pairs.write.parquet(pairs_dir)
+        if len(_committed(index_path, _BANDS)) >= compact_every:
+            compact_index(spark, index_path)
 
     writer = (
         docs.writeStream.foreachBatch(fold)

@@ -156,6 +156,45 @@ def success_dirs(pattern: str) -> list[str]:
     )
 
 
+def manifest_covered(root: str) -> set[str]:
+    """Slice dirs shadowed by a committed compaction under ``root``:
+    every dir listed in a ``c_*`` dir's ``_covered.json``. A compaction
+    is committed by its MANIFEST (written after the parquet
+    ``_SUCCESS``): a crash between consolidated write and source
+    deletion leaves both on disk, and the manifest keeps readers from
+    double-counting; a crash before the manifest leaves an invisible
+    ``c_*`` dir and the sources stay live."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+
+    out: set[str] = set()
+    for c in _glob.glob(f"{root}/c_*"):
+        manifest = f"{c}/_covered.json"
+        if _os.path.exists(f"{c}/_SUCCESS") and _os.path.exists(manifest):
+            with open(manifest) as f:
+                out.update(_json.load(f))
+    return out
+
+
+def sliced_committed(root: str) -> list[str]:
+    """The LIVE slice dirs of an append-only per-batch layout:
+    ``b_*`` batch slices (plain ``_SUCCESS``) plus manifest-committed
+    ``c_*`` compactions, minus anything a committed manifest covers.
+    The one listing shared by the dedup index and the sketch stream."""
+    import os as _os
+
+    covered = manifest_covered(root)
+    out = []
+    for pat in ("b_*", "c_*"):
+        for d in success_dirs(f"{root}/{pat}"):
+            if pat == "c_*" and not _os.path.exists(f"{d}/_covered.json"):
+                continue
+            if _os.path.basename(d) not in covered:
+                out.append(d)
+    return sorted(out)
+
+
 def _read_meta(state_path: str) -> dict | None:
     import json as _json
     import os as _os

@@ -30,11 +30,11 @@ from rental_data_pipeline_spark.operators.sketch import (
     hll_estimate_from_registers,
     hll_registers,
 )
-from rental_data_pipeline_spark.streaming.incremental import success_dirs
+from rental_data_pipeline_spark.streaming.incremental import sliced_committed
 
 
 def _committed(root: str) -> list[str]:
-    return success_dirs(f"{root}/b_*")
+    return sliced_committed(root)
 
 
 def read_hll_registers(spark: SparkSession, path: str) -> DataFrame | None:
@@ -58,6 +58,36 @@ def read_hll_estimate(
     return hll_estimate_from_registers(regs, group_cols, p)
 
 
+def compact_sketch(spark: SparkSession, state_path: str, min_slices: int = 2) -> bool:
+    """Merge every committed register slice into ONE consolidated
+    slice (the registers' groupBy-max union — the same value the
+    reader computes) and drop the sources, under the shared
+    manifest-commit contract (``incremental.sliced_committed``): a
+    crash in either window never double-counts or loses registers.
+    Returns True when a compaction ran."""
+    import glob as _glob
+    import json as _json
+
+    for c in _glob.glob(f"{state_path}/c_*"):
+        if not _os.path.exists(f"{c}/_covered.json"):
+            _shutil.rmtree(c, ignore_errors=True)  # crashed compaction
+    dirs = _committed(state_path)
+    if len(dirs) < min_slices:
+        return False
+    merged = read_hll_registers(spark, state_path)
+    n = max(
+        (int(_os.path.basename(d)[2:]) for d in _glob.glob(f"{state_path}/c_*")),
+        default=-1,
+    ) + 1
+    cdir = f"{state_path}/c_{n:09d}"
+    merged.write.parquet(cdir)
+    with open(f"{cdir}/_covered.json", "w") as f:
+        _json.dump(sorted(_os.path.basename(d) for d in dirs), f)
+    for d in dirs:
+        _shutil.rmtree(d, ignore_errors=True)
+    return True
+
+
 def incremental_hll_stream(
     events: DataFrame,
     state_path: str,
@@ -66,11 +96,14 @@ def incremental_hll_stream(
     value_col: str,
     p: int = 8,
     available_now: bool = True,
+    compact_every: int = 16,
 ):
     """Fold a stream into the register table; returns the started
     StreamingQuery. Each batch writes ONLY its own slice (O(groups x
     2^p) rows) — merge cost is deferred to the reader, where it is one
-    bounded aggregation."""
+    bounded aggregation; every ``compact_every`` committed slices the
+    fold consolidates them (:func:`compact_sketch`) so the dir count
+    stays bounded too."""
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         bdir = f"{state_path}/b_{batch_id:09d}"
@@ -79,6 +112,8 @@ def incremental_hll_stream(
         if _os.path.exists(bdir):
             _shutil.rmtree(bdir, ignore_errors=True)  # crashed attempt
         hll_registers(batch, group_cols, value_col, p).write.parquet(bdir)
+        if len(_committed(state_path)) >= compact_every:
+            compact_sketch(batch.sparkSession, state_path)
 
     writer = (
         events.writeStream.foreachBatch(fold)

@@ -69,3 +69,55 @@ def test_incremental_hll_equals_batch(spark, sf_dir, tmpdirs):
     }
     for k, est in got.items():
         assert abs(est - exact[k]) / exact[k] < 0.25, (k, est, exact[k])
+
+
+def test_sketch_compaction_preserves_estimates(spark, sf_dir, tmpdirs):
+    from rental_data_pipeline_spark.streaming.sketch_stream import compact_sketch
+
+    landing, state, ckpt = tmpdirs
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_type", F.col("user_id").cast("string").alias("user_id")
+    )
+    for c in range(3):
+        ev.where(F.pmod(F.xxhash64("user_id") + c, F.lit(4)) < 2).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema("event_type string, user_id string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    # compact_every=2: the fold compacts mid-stream on its own
+    q = incremental_hll_stream(
+        stream, state, ckpt, group_cols=["event_type"], value_col="user_id",
+        compact_every=2,
+    )
+    q.awaitTermination(120)
+
+    import glob
+
+    before = {
+        r.event_type: r.hll_estimate
+        for r in read_hll_estimate(spark, state).collect()
+    }
+    # fewer than 3 raw slices survive (auto-compaction ran) and one
+    # more manual compaction collapses everything to a single c_ dir
+    assert len(glob.glob(f"{state}/b_*")) < 3
+    assert compact_sketch(spark, state) or len(glob.glob(f"{state}/c_*")) >= 1
+    assert len(
+        [d for d in glob.glob(f"{state}/*") if "/c_" in d or "/b_" in d]
+    ) >= 1
+    after = {
+        r.event_type: r.hll_estimate
+        for r in read_hll_estimate(spark, state).collect()
+    }
+    assert after == before  # register-max union: compaction is lossless
+
+    # estimates still equal the batch operator over everything arrived
+    arrived = spark.read.parquet(landing)
+    want = {
+        r.event_type: r.hll_estimate
+        for r in hll_distinct(arrived, ["event_type"], "user_id").collect()
+    }
+    assert after == want
