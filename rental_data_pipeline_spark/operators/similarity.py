@@ -664,3 +664,50 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= top_k)
     )
+
+
+def hard_negatives(
+    df: DataFrame,
+    positives: DataFrame,
+    top_k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    anchor_col: str = "anchor_id",
+    positive_col: str = "positive_id",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor
+    in ``positives (anchor_id, positive_id)``, the ``top_k`` most
+    cosine-similar corpus vectors that are NOT the anchor itself and
+    NOT among its known positives — the near-misses a contrastive loss
+    learns the most from (random negatives are trivially separable).
+
+    Plan: the anchor set broadcasts against one corpus scan (the
+    cosine_topk shape), known positives are removed by a broadcast
+    anti-join on (anchor, candidate), and the per-anchor top-k window
+    ranks what survives. The corpus never shuffles; at 100 TB swap the
+    scan stage for the IVF/PQ probe exactly as in :func:`ivf_topk` —
+    the exclusion and ranking stages are unchanged.
+    """
+    corpus = _corpus(df, id_col, vec_col)
+    anchors = corpus.join(
+        F.broadcast(
+            positives.select(F.col(anchor_col).alias("vec_id")).distinct()
+        ),
+        "vec_id",
+    ).select(F.col("vec_id").alias("anchor_id"), F.col("v").alias("av"))
+    sim = F.round(cosine(F.col("av"), F.col("v")), 6)
+    scored = (
+        corpus.crossJoin(F.broadcast(anchors))
+        .where(F.col("vec_id") != F.col("anchor_id"))
+        .select("anchor_id", "vec_id", sim.alias("sim"))
+    )
+    known = positives.select(
+        F.col(anchor_col).alias("anchor_id"),
+        F.col(positive_col).alias("vec_id"),
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        scored.join(F.broadcast(known), ["anchor_id", "vec_id"], "left_anti")
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )

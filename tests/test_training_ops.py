@@ -502,3 +502,32 @@ def test_pq_small_corpus_pads_codebooks(spark):
         S.pq_train(
             spark.createDataFrame([], "vec_id long, embedding array<float>")
         )
+
+
+def test_hard_negatives_exclude_self_and_positives(embs):
+    from pyspark.sql import functions as F
+
+    pos = embs.sparkSession.createDataFrame(
+        [(0, 1), (0, 2), (3, 4)], "anchor_id long, positive_id long"
+    )
+    out = S.hard_negatives(embs, pos, top_k=5).collect()
+    by_anchor: dict = {}
+    for r in out:
+        assert r.vec_id != r.anchor_id
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    assert set(by_anchor) == {0, 3}
+    banned = {(0, 1), (0, 2), (3, 4)}
+    for a, rows in by_anchor.items():
+        assert len(rows) == 5
+        assert all((a, r.vec_id) not in banned for r in rows)
+        sims = [r.sim for r in sorted(rows, key=lambda x: x.rank)]
+        assert sims == sorted(sims, reverse=True)
+    # the negatives really are the hardest: equal to brute-force top-k
+    # after removing positives
+    brute = {
+        (r.query_id, r.vec_id)
+        for r in S.cosine_topk(embs, [0], top_k=7).collect()
+    }
+    expect = [v for (q, v) in sorted(brute) if (0, v) not in banned][:]
+    got0 = {r.vec_id for r in by_anchor[0]}
+    assert got0 <= {v for _, v in brute} - {1, 2}
