@@ -125,3 +125,44 @@ def test_construct_search_url_repeated_params():
     assert "district%5B0%5D=1" in url and "district%5B1%5D=21" in url
     assert "metro%5B0%5D=4" in url
     assert "room1=1" in url and "room2=1" in url
+
+
+def test_time_travel_across_batch_pipeline_runs(spark, outdir):
+    """The batch pipeline and the streaming fold share one versioned
+    state table — as_of must reconstruct the state after EACH pipeline
+    run (the audit read: 'the corpus as run N saw it')."""
+    from rental_data_pipeline_spark.streaming.incremental import (
+        read_state,
+        state_version_log,
+    )
+
+    state_path = f"{outdir}/state"
+    r1 = run_pipeline(
+        spark, *_fixtures(spark, range(6)),
+        PipelineConfig(), state_path=state_path, output_dir=outdir,
+    )
+    first = {
+        row.offer_id: row.price_value for row in r1["state"].collect()
+    }
+    r2 = run_pipeline(
+        spark, *_fixtures(spark, range(3, 9)),
+        PipelineConfig(), state_path=state_path, output_dir=outdir,
+    )
+    log = state_version_log(state_path)
+    assert len(log) == 2 and all(e["full"] for e in log)
+
+    back = {
+        row.offer_id: row.price_value
+        for row in read_state(
+            spark, state_path, as_of_version=log[0]["version"]
+        ).collect()
+    }
+    assert back == first  # run-1 state reconstructed exactly
+    now = {
+        row.offer_id: row.price_value
+        for row in read_state(spark, state_path).collect()
+    }
+    assert now == {
+        row.offer_id: row.price_value for row in r2["state"].collect()
+    }
+    assert set(now) > set(back)  # run 2 added keys 6-8
