@@ -531,3 +531,13 @@ def test_hard_negatives_exclude_self_and_positives(embs):
     expect = [v for (q, v) in sorted(brute) if (0, v) not in banned][:]
     got0 = {r.vec_id for r in by_anchor[0]}
     assert got0 <= {v for _, v in brute} - {1, 2}
+
+
+def test_table_profile_handles_complex_columns(embs):
+    from rental_data_pipeline_spark.operators.profile import table_profile
+
+    prof = {r.column: r for r in table_profile(embs).collect()}
+    # array columns profile too: lexicographic min/max, HLL distinct
+    assert prof["embedding"].approx_distinct > 0
+    assert prof["embedding"].n_null == 0
+    assert prof["embedding"].mean is None  # non-numeric: no moments
