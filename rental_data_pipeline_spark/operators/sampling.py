@@ -101,3 +101,55 @@ def leakage_safe_split(
     return labeled.withColumn(
         "split", expr if expr is not None else F.lit(None).cast("string")
     ).drop("component")
+
+
+def exact_k_sample(
+    df: DataFrame,
+    key_col: str,
+    k: int,
+    group_cols: list[str] | None = None,
+    salt: str = "",
+) -> DataFrame:
+    """Exactly ``k`` rows (per group, when ``group_cols`` given),
+    chosen by ranking a salted hash of the key — the deterministic
+    stand-in for reservoir sampling: membership is a pure function of
+    (key, salt), independent of partitioning and row order, and the
+    selection is uniform for hash-uniform keys. One shuffle (the
+    ranking window); fraction-based :func:`deterministic_sample` stays
+    the map-side choice when approximate counts suffice."""
+    from pyspark.sql import Window
+
+    h = F.xxhash64(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    w = Window.partitionBy(*(group_cols or [F.lit(1)])).orderBy(
+        h, F.col(key_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def mix_corpora(
+    sources: dict[str, DataFrame],
+    weights: dict[str, float],
+    total_rows: int,
+    key_col: str = "doc_id",
+    salt: str = "mix",
+) -> DataFrame:
+    """Deterministic pretraining-mixture assembly: draw
+    ``total_rows * weight`` rows from each named source (hash-ranked —
+    reproducible anywhere) and union them with a ``source`` label.
+    A source smaller than its quota contributes everything it has
+    (the shortfall is reported by the caller comparing counts, not
+    silently rebalanced — mixture drift should be visible, not
+    hidden). Weights need not sum to 1; they are normalized."""
+    z = sum(weights[name] for name in sources)
+    out = None
+    for name, df in sources.items():
+        quota = int(round(total_rows * weights[name] / z))
+        part = exact_k_sample(df, key_col, quota, salt=f"{salt}:{name}").select(
+            F.lit(name).alias("source"), "*"
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -186,3 +186,49 @@ def test_leakage_safe_split_keeps_near_dups_together(spark, sf_dir):
         ).collect()
     }
     assert again == split_of
+
+
+def test_exact_k_sample_properties(spark, sf_dir):
+    from rental_data_pipeline_spark.operators.sampling import exact_k_sample
+
+    docs = load_table(spark, "documents", sf_dir)
+    s = exact_k_sample(docs, "doc_id", 25)
+    assert s.count() == 25
+    # deterministic + partition-invariant
+    a = {r.doc_id for r in s.collect()}
+    b = {r.doc_id for r in exact_k_sample(docs.repartition(9), "doc_id", 25).collect()}
+    assert a == b
+    # per-group: exactly k per language (or the whole group if smaller)
+    per = exact_k_sample(docs, "doc_id", 10, group_cols=["lang"])
+    counts = {r.lang: r.n for r in per.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r.lang: r.n for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    for lang, n in counts.items():
+        assert n == min(10, totals[lang])
+    # a different salt draws a different sample
+    c = {r.doc_id for r in exact_k_sample(docs, "doc_id", 25, salt="other").collect()}
+    assert a != c
+
+
+def test_mix_corpora_quotas_and_determinism(spark, sf_dir):
+    from rental_data_pipeline_spark.operators.sampling import mix_corpora
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    web = docs.where(F.col("doc_id") % 2 == 0)
+    books = docs.where(F.col("doc_id") % 2 == 1)
+    tiny = docs.where(F.col("doc_id") < 4)  # smaller than its quota
+    mixed = mix_corpora(
+        {"web": web, "books": books, "tiny": tiny},
+        {"web": 0.6, "books": 0.3, "tiny": 0.1},
+        total_rows=100,
+    )
+    counts = {r.source: r.n for r in mixed.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert counts["web"] == 60 and counts["books"] == 30
+    assert counts["tiny"] == tiny.count()  # shortfall visible, not rebalanced
+    again = mix_corpora(
+        {"web": web, "books": books, "tiny": tiny},
+        {"web": 0.6, "books": 0.3, "tiny": 0.1},
+        total_rows=100,
+    )
+    assert sorted((r.source, r.doc_id) for r in mixed.collect()) == sorted(
+        (r.source, r.doc_id) for r in again.collect()
+    )
