@@ -1,10 +1,12 @@
 from rental_data_pipeline_spark.streaming.dedup_index import (  # noqa: F401
+    compact_index,
     incremental_minhash_index_stream,
     read_emitted_pairs,
     read_index_bands,
     read_index_shingles,
 )
 from rental_data_pipeline_spark.streaming.sketch_stream import (  # noqa: F401
+    compact_sketch,
     incremental_hll_stream,
     read_hll_estimate,
     read_hll_registers,
