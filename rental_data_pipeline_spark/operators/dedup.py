@@ -674,3 +674,19 @@ def contamination_report(
             ).alias("contamination"),
         )
     )
+
+
+def char_shingles(text: Column | str, k: int = 5) -> Column:
+    """Distinct CHARACTER k-gram shingles — the tokenizer-free variant
+    for scripts without whitespace word boundaries (CJK, Thai) and for
+    short strings where word shingles degenerate. Same native
+    sequence+transform shape as the word path; feed the result through
+    the same inverted-index/MinHash machinery by exploding it in place
+    of ``shingles``."""
+    c = F.col(text) if isinstance(text, str) else text
+    n = F.length(c)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(0)))
+    return F.when(
+        n >= k,
+        F.array_distinct(F.transform(idx, lambda i: F.substring(c, i, k))),
+    ).otherwise(F.array().cast("array<string>"))

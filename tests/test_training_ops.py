@@ -541,3 +541,35 @@ def test_table_profile_handles_complex_columns(embs):
     assert prof["embedding"].approx_distinct > 0
     assert prof["embedding"].n_null == 0
     assert prof["embedding"].mean is None  # non-numeric: no moments
+
+
+def test_char_shingles_tokenizer_free(spark):
+    df = spark.createDataFrame(
+        [(1, "abcdefg"), (2, "ab"), (3, "東京都渋谷区神南一丁目")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r.doc_id: r.sh
+        for r in df.select("doc_id", D.char_shingles("text", 3).alias("sh")).collect()
+    }
+    assert rows[1] == ["abc", "bcd", "cde", "def", "efg"]
+    assert rows[2] == []  # shorter than k
+    assert rows[3][0] == "東京都" and len(rows[3]) == len("東京都渋谷区神南一丁目") - 2
+
+    # slots straight into the pair machinery: two CJK near-dups found
+    cjk = spark.createDataFrame(
+        [(1, "東京都渋谷区神南一丁目"), (2, "東京都渋谷区神南二丁目"), (3, "大阪府大阪市北区")],
+        "doc_id long, text string",
+    )
+    exploded = cjk.select(
+        F.col("doc_id").alias("doc"), F.explode(D.char_shingles("text", 3)).alias("shingle")
+    )
+    sizes = cjk.select(
+        F.col("doc_id").alias("doc"), F.size(D.char_shingles("text", 3)).alias("n_sh")
+    )
+    pairs = D._pair_counts(exploded, sizes).select(
+        "doc_a", "doc_b",
+        F.round(F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 6).alias("j"),
+    ).where(F.col("j") >= 0.5)
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    assert got == {(1, 2)}
