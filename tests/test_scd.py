@@ -53,3 +53,55 @@ def test_scd2_partition_invariant(spark):
     ).collect()
     key = lambda r: tuple(map(str, r))  # noqa: E731 — None-safe sort
     assert sorted(map(tuple, a), key=key) == sorted(map(tuple, b), key=key)
+
+
+def test_scd2_property_vs_python_fold(spark):
+    """Hypothesis: random snapshot histories through the Spark
+    gaps-and-islands vs a straightforward Python fold."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    days = [f"2024-01-{d:02d}" for d in range(1, 10)]
+    _snap = st.tuples(
+        st.sampled_from([1, 2]),
+        st.sampled_from(days),
+        st.sampled_from([None, 10.0, 20.0]),
+    )
+    _hist = st.lists(_snap, min_size=1, max_size=12, unique_by=lambda t: (t[0], t[1]))
+
+    def python_fold(rows):
+        out = []
+        for k in sorted({r[0] for r in rows}):
+            hist = sorted(
+                ((ts, p) for kk, ts, p in rows if kk == k),
+                key=lambda t: (t[0], (t[1] is None, t[1])),
+            )
+            runs = []
+            for ts, p in hist:
+                if not runs or runs[-1][1] != p:
+                    runs.append((ts, p))
+            for i, (ts, p) in enumerate(runs):
+                vt = runs[i + 1][0] if i + 1 < len(runs) else None
+                out.append((k, p, ts, vt))
+        return sorted(out, key=lambda t: tuple(map(str, t)))
+
+    @given(rows=_hist)
+    @settings(
+        max_examples=12, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(rows):
+        df = spark.createDataFrame(rows, "k long, ts string, price double").withColumn(
+            "ts", F.to_date("ts")
+        )
+        got = sorted(
+            (
+                (r.k, r.price, str(r.valid_from), str(r.valid_to) if r.valid_to else None)
+                for r in scd2_intervals(df, "k", "ts", ["price"]).collect()
+            ),
+            key=lambda t: tuple(map(str, t)),
+        )
+        want = python_fold(rows)
+        assert got == want, (rows, got, want)
+
+    run()
