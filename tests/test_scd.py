@@ -105,3 +105,13 @@ def test_scd2_property_vs_python_fold(spark):
         assert got == want, (rows, got, want)
 
     run()
+
+
+def test_scd2_plan_bounded_shuffles(spark):
+    import re
+
+    out = scd2_intervals(_snaps(spark), "k", "ts", ["price", "status"])
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert len(re.findall(r"\bExchange\b", plan)) <= 2
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
