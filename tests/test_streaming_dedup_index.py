@@ -263,3 +263,43 @@ def test_empty_batch_commits_readable_pairs(spark, sf_dir, tmpdirs):
     pairs = read_emitted_pairs(spark, index)  # must not fail schema inference
     assert pairs.count() >= 0
     assert set(pairs.columns) == {"doc_a", "doc_b", "jaccard", "batch_id"}
+
+
+def test_index_auto_compacts_mid_stream(spark, sf_dir, tmpdirs):
+    """With compact_every=2 the fold consolidates band/shingle slices
+    on its own, and later batches still find their cross-batch pairs
+    through the compacted index."""
+    import glob
+
+    landing, index, ckpt = tmpdirs
+    corpus = _corpus(spark, sf_dir)
+    for c in range(3):
+        corpus.where(F.pmod(F.col("doc_id"), F.lit(3)) == c).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = incremental_minhash_index_stream(
+        stream, index, ckpt, threshold=0.8, compact_every=2
+    )
+    q.awaitTermination(180)
+
+    # compaction ran mid-stream: fewer than 3 raw batch slices survive
+    assert len(glob.glob(f"{index}/bands/b_*")) < 3
+    assert len(glob.glob(f"{index}/bands/c_*")) >= 1
+
+    # and the emitted pairs still equal batch LSH over everything —
+    # including twins whose later half arrived AFTER the compaction
+    got = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in read_emitted_pairs(spark, index).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in minhash_lsh_pairs(corpus, threshold=0.8).collect()
+    }
+    assert got == want and got
