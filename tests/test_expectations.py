@@ -71,3 +71,52 @@ def test_metrics_on_empty_frame(spark):
     assert m == {
         "_rows": 0, "positive_price": 0, "key_present": 0, "known_status": 0
     }
+
+
+def test_expectations_property_vs_pandas(spark):
+    """Hypothesis: random rows through the one-pass tagger vs a plain
+    per-row Python evaluation of the same rules (strict nulls)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    _row = st.tuples(
+        st.one_of(st.none(), st.sampled_from(["1", "2"])),
+        st.one_of(st.none(), st.sampled_from([-5.0, 0.0, 100.0])),
+        st.one_of(st.none(), st.sampled_from(["active", "weird"])),
+    )
+
+    def py_violations(offer_id, price, status):
+        out = []
+        if not (status in ("active", "non active")):
+            out.append("known_status")
+        if offer_id is None:
+            out.append("key_present")
+        if not (price is not None and price > 0):
+            out.append("positive_price")
+        return sorted(out)
+
+    @given(rows=st.lists(_row, min_size=0, max_size=8))
+    @settings(
+        max_examples=15, deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    def run(rows):
+        df = spark.createDataFrame(
+            rows, "offer_id string, price_value double, status string"
+        )
+        got = [
+            (r.offer_id, r.price_value, list(r[VIOLATIONS_COL]))
+            for r in validate(df, _rules()).collect()
+        ]
+        want = sorted(
+            [(oid, p, py_violations(oid, p, s)) for oid, p, s in rows],
+            key=lambda t: tuple(map(str, t)),
+        )
+        assert sorted(got, key=lambda t: tuple(map(str, t))) == want
+        m = expectation_metrics(df, _rules())
+        assert m["_rows"] == len(rows)
+        per_row = [py_violations(oid, p, s) for oid, p, s in rows]
+        for rule in ("positive_price", "key_present", "known_status"):
+            assert m[rule] == sum(rule in v for v in per_row)
+
+    run()
