@@ -65,9 +65,15 @@ from rental_data_pipeline_spark.operators.textstats import (  # noqa: F401
     chunk_documents,
     curate_corpus,
     pack_sequences,
-    profile,
     scrub_pii,
     tfidf_top_terms,
+)
+
+# textstats.profile is exported as text_profile: re-exporting it under
+# its own name would rebind the package attribute ``profile`` and
+# shadow the operators.profile submodule (table_profile's home).
+from rental_data_pipeline_spark.operators.textstats import (  # noqa: F401
+    profile as text_profile,
 )
 
 __all__ = [
@@ -104,7 +110,6 @@ __all__ = [
     "pq_encode",
     "pq_topk",
     "pq_train",
-    "profile",
     "quantize_embeddings",
     "quarantine_invalid",
     "scd2_intervals",
@@ -112,6 +117,7 @@ __all__ = [
     "simhash_near_pairs",
     "stratified_deterministic_sample",
     "table_profile",
+    "text_profile",
     "tfidf_top_terms",
     "theta_distinct",
     "validate",

@@ -44,7 +44,10 @@ def scd2_intervals(
     intervals = runs.groupBy(key_col, "__run", *attr_cols).agg(
         F.min(ts_col).alias("valid_from")
     )
-    w_close = Window.partitionBy(key_col).orderBy("valid_from")
+    # Close over (valid_from, attrs): two runs of one key can share
+    # valid_from (equal ts, differing attrs), and lead() over a tied
+    # sort would make valid_to nondeterministic across runs.
+    w_close = Window.partitionBy(key_col).orderBy("valid_from", *attr_cols)
     return (
         intervals.withColumn("valid_to", F.lead("valid_from").over(w_close))
         .drop("__run")

@@ -344,6 +344,11 @@ def kmeans_train(
         .persist()
     )
     init = corpus.orderBy("vec_id").limit(k).collect()
+    if not init:
+        raise ValueError("kmeans_train: empty corpus")
+    # Fewer than k vectors: cycle the init set (pq_train's guard) so
+    # the update loop's centroids[cid] never indexes past the list.
+    init = [init[i % len(init)] for i in range(k)]
     centroids = [[round(x, 6) for x in r.v] for r in init]
 
     for _ in range(n_iter):

@@ -284,7 +284,15 @@ def countmin_lookup(
 ) -> DataFrame:
     """Point-query the sketch for each (group, item) row: estimate =
     MIN over the d rows' counters. ``items`` is small (the candidates
-    you care about) and broadcasts; missing counters read as 0."""
+    you care about) and broadcasts; missing counters read as 0, so an
+    item whose d buckets were never incremented estimates 0 (a zero
+    counter proves count 0 — count-min never undercounts).
+
+    The inner probe join can only LOSE counter rows (absent (d,bucket)
+    cells), never invent them, so hits-per-probe < depth means at least
+    one counter was 0: the final estimate re-bases on the distinct
+    probe set and zeroes those rows rather than inflating the min over
+    only the present counters."""
     probes = items.select(
         *group_cols,
         F.col(value_col),
@@ -299,6 +307,15 @@ def countmin_lookup(
         ).alias("__db"),
     ).select(*group_cols, value_col, "__db.__d", "__db.__bucket")
     joined = sketch.join(F.broadcast(probes), [*group_cols, "__d", "__bucket"])
-    return joined.groupBy(*group_cols, value_col).agg(
-        F.min("__cnt").alias("cm_estimate")
+    hits = joined.groupBy(*group_cols, value_col).agg(
+        F.min("__cnt").alias("__min"), F.count("__cnt").alias("__hits")
+    )
+    base = items.select(*group_cols, value_col).distinct()
+    return base.join(F.broadcast(hits), [*group_cols, value_col], "left").select(
+        *group_cols,
+        value_col,
+        F.when(F.coalesce("__hits", F.lit(0)) < depth, F.lit(0))
+        .otherwise(F.col("__min"))
+        .cast("long")
+        .alias("cm_estimate"),
     )

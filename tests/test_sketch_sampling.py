@@ -122,7 +122,9 @@ def test_countmin_never_undercounts_and_merges(spark):
         [("a", f"u{i % 7}") for i in range(700)] + [("a", "hot")] * 300,
         "g string, u string",
     )
-    items = df.select("g", "u").distinct()
+    items = df.select("g", "u").distinct().unionByName(
+        spark.createDataFrame([("a", "never-inserted")], "g string, u string")
+    )
     est = {
         r.u: r.cm_estimate
         for r in countmin_lookup(
@@ -131,6 +133,9 @@ def test_countmin_never_undercounts_and_merges(spark):
     }
     exact = {r.u: r["count"] for r in df.groupBy("u").count().collect()}
     assert all(est[k] >= exact[k] for k in exact)  # one-sided error
+    # an item whose d counters were never all incremented reads 0 (a
+    # zero counter proves count 0) instead of vanishing or inflating
+    assert est["never-inserted"] == 0
     # mergeable: sketch(half1) + sketch(half2) summed bucket-wise equals
     # sketch(whole) — counter addition is the union
     ids = df.withColumn("i", F.monotonically_increasing_id()).localCheckpoint(
