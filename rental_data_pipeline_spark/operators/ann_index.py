@@ -1,0 +1,304 @@
+"""Persisted ANN index: train once, probe many.
+
+``ivf_topk_trained`` / ``pq_topk`` (``operators/similarity.py``) prove
+the train → index → probe composition but rebuild centroids, codes and
+codebooks inside every query — a non-starter at 100 TB, where training
+is an offline job and the query path must touch only the persisted
+artifact. This module writes the trained index as tables and probes
+from them:
+
+- ``centroids/`` — ``(cid, cv)``: the k-means cell definitions (k·dim
+  doubles, broadcast at probe time).
+- ``assignments/cid=<c>/vb=<b>/`` — ``(vec_id, v)``: the corpus
+  Voronoi-partitioned by cell id AND sub-bucketed by
+  ``_bucket_of(vec_id)`` (the shared streaming-state bucket contract).
+  Both are Hive partition columns, so Catalyst partition-prunes: an
+  IVF probe reads only its ``nprobe`` cells (``cid`` filter) and a
+  point lookup of query/re-rank vectors reads only the id buckets they
+  hash to (``vb`` filter) — never a full scan.
+- ``codebooks/`` + ``codes/vb=<b>/`` — the PQ artifact: per-subspace
+  codebook rows and the m-byte codes (the memory-resident form).
+- ``_meta.json`` — layout parameters, frozen at build.
+
+Probe paths reuse the EXACT expression forms of the in-query
+composition (rounded-cosine cell ranking, lowest-cid tiebreaks, ADC
+lookup + exact re-rank), so ``ivf_topk_persisted`` ≡
+``ivf_topk_trained`` and ``pq_topk_persisted`` ≡ ``pq_topk``
+byte-for-byte on identical build parameters — the equivalence pytest
+(``tests/test_ann_index.py``) and the ``ann_topk_methods`` oracle
+branch both pin it.
+
+Reference has no counterpart — beyond-reference training-data layer
+(round-5 verdict item #2).
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os as _os
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.operators.similarity import (
+    PQ_K,
+    PQ_M,
+    _assign_to_centroids,
+    _corpus,
+    _py_norm,
+    cosine,
+    kmeans_train,
+    norm,
+    pq_encode,
+    pq_train,
+)
+from rental_data_pipeline_spark.streaming.incremental import _bucket_of
+
+N_VEC_BUCKETS = 16
+_META = "_meta.json"
+
+
+def build_ann_index(
+    df: DataFrame,
+    index_path: str,
+    n_cells: int = 8,
+    n_iter: int = 3,
+    pq: bool = False,
+    m: int = PQ_M,
+    k: int = PQ_K,
+    pq_iter: int = 3,
+    n_vec_buckets: int = N_VEC_BUCKETS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
+) -> None:
+    """The offline training job: k-means cells (and optionally PQ
+    codebooks/codes) persisted under ``index_path``. One corpus scan
+    for the final assignment (map-side argmax against broadcast
+    centroids), one partitioned write clustered by (cell, id-bucket).
+    The meta file freezes the layout; probes validate against it.
+    Pass ``centroids`` to skip training and index an already-trained
+    set (must have ``n_cells`` rows)."""
+    spark = df.sparkSession
+    if centroids is None:
+        centroids, _ = kmeans_train(
+            df, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
+    assert len(centroids) == n_cells
+    corpus = _corpus(df, id_col, vec_col).withColumn("vn", norm(F.col("v")))
+    asg = _assign_to_centroids(corpus, centroids).select(
+        "vec_id", "v", "cid"
+    ).withColumn("vb", _bucket_of("vec_id", n_vec_buckets))
+    # one write task per cell partition: the local corpus is tiny and a
+    # defaultParallelism fan-out would write n_cells·n_vec_buckets·32
+    # near-empty files; at scale raise this to the cluster's write
+    # parallelism (the partition columns, not the task count, carry the
+    # pruning contract)
+    asg.repartition(n_cells, F.col("cid")).write.partitionBy(
+        "cid", "vb"
+    ).mode("overwrite").parquet(f"{index_path}/assignments")
+    spark.createDataFrame(
+        spark.sparkContext.parallelize(list(enumerate(centroids)), 1),
+        "cid int, cv array<double>",
+    ).write.mode("overwrite").parquet(f"{index_path}/centroids")
+
+    meta = {
+        "n_cells": n_cells,
+        "n_iter": n_iter,
+        "n_vec_buckets": n_vec_buckets,
+        "pq": {"m": m, "k": k, "n_iter": pq_iter} if pq else None,
+    }
+    if pq:
+        codebooks = pq_train(
+            df, m=m, k=k, n_iter=pq_iter, id_col=id_col, vec_col=vec_col
+        )
+        rows = [
+            (mi, cid, cv)
+            for mi, book in enumerate(codebooks)
+            for cid, cv in enumerate(book)
+        ]
+        spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, 1),
+            "m int, cid int, cv array<double>",
+        ).write.mode("overwrite").parquet(f"{index_path}/codebooks")
+        pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col).withColumn(
+            "vb", _bucket_of("vec_id", n_vec_buckets)
+        ).repartition(1).write.partitionBy("vb").mode("overwrite").parquet(
+            f"{index_path}/codes"
+        )
+    with open(f"{index_path}/{_META}", "w") as f:
+        _json.dump(meta, f)
+
+
+def read_meta(index_path: str) -> dict:
+    p = f"{index_path}/{_META}"
+    if not _os.path.exists(p):
+        raise FileNotFoundError(f"not an ANN index (missing {_META}): {index_path}")
+    with open(p) as f:
+        return _json.load(f)
+
+
+def _query_vectors(
+    spark: SparkSession, index_path: str, query_ids: list[int], meta: dict
+) -> DataFrame:
+    """(query_id, qv) looked up through vb partition pruning — the
+    point-read path: only the id buckets the queries hash to are
+    scanned, not the corpus."""
+    asg = spark.read.parquet(f"{index_path}/assignments")
+    qids = [int(q) for q in query_ids]
+    qb = [
+        r[0]
+        for r in spark.createDataFrame([(q,) for q in qids], "vec_id long")
+        .select(_bucket_of("vec_id", meta["n_vec_buckets"]).alias("vb"))
+        .distinct()
+        .collect()
+    ]
+    return (
+        asg.where(F.col("vb").isin(qb) & F.col("vec_id").isin(qids))
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"))
+    )
+
+
+def ivf_topk_persisted(
+    spark: SparkSession,
+    index_path: str,
+    query_ids: list[int],
+    nprobe: int = 2,
+    top_k: int = 5,
+) -> DataFrame:
+    """Probe the persisted IVF index: rank the broadcast centroids per
+    query (identical rounded-cosine + lowest-cid form as
+    ``_ivf_probe``), then scan ONLY the ``nprobe`` probed cell
+    partitions for the exact-cosine top-k. No training, no full
+    assignment pass — the query-path cost is nprobe/n_cells of one
+    scan, which is the artifact's whole point."""
+    meta = read_meta(index_path)
+    cent = spark.read.parquet(f"{index_path}/centroids")
+    qframe = _query_vectors(spark, index_path, query_ids, meta)
+
+    qscored = qframe.crossJoin(F.broadcast(cent)).select(
+        "query_id", "qv", "cid",
+        F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("csim"),
+    )
+    w_assign = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cid")
+    )
+    qprobe = (
+        qscored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", "qv", "cid")
+    )
+    # bounded driver scalars (|queries| · nprobe cell ids) drive the
+    # partition-pruned cell read
+    probed = sorted(r[0] for r in qprobe.select("cid").distinct().collect())
+    asg = spark.read.parquet(f"{index_path}/assignments")
+    cells = asg.where(F.col("cid").isin(probed)).select("vec_id", "v", "cid")
+    sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        cells.join(F.broadcast(qprobe), "cid")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )
+
+
+def pq_topk_persisted(
+    spark: SparkSession,
+    index_path: str,
+    query_ids: list[int],
+    top_k: int = 5,
+    shortlist: int = 50,
+) -> DataFrame:
+    """Probe the persisted PQ artifact: per-query ADC lookup tables
+    from the stored codebooks, a lookup-only scan of the codes table
+    for the shortlist, exact cosine re-rank over the shortlisted raw
+    vectors (fetched through vb partition pruning). Identical
+    expression forms to ``pq_topk``, so the output is byte-equal on
+    the same build parameters."""
+    meta = read_meta(index_path)
+    if not meta.get("pq"):
+        raise ValueError(f"index at {index_path} was built without pq=True")
+    m, k = meta["pq"]["m"], meta["pq"]["k"]
+    cb_rows = spark.read.parquet(f"{index_path}/codebooks").collect()
+    codebooks: list[list[list[float]]] = [[None] * k for _ in range(m)]
+    for r in cb_rows:
+        codebooks[r["m"]][r["cid"]] = list(r["cv"])
+    sub = len(codebooks[0][0])
+
+    qids = [int(q) for q in query_ids]
+    # unit query vectors, computed with the same fold/divide order as
+    # _unit_corpus so the driver-built LUT is bit-identical
+    qraw = {
+        r["query_id"]: list(r["qv"])
+        for r in _query_vectors(spark, index_path, qids, meta).collect()
+    }
+    luts = []
+    for qid in sorted(qraw):
+        vn = _py_norm(qraw[qid])
+        q = [x / vn for x in qraw[qid]]
+        luts.append(
+            (
+                int(qid),
+                [
+                    round(sum(q[mi * sub + p] * c[p] for p in range(sub)), 6)
+                    for mi in range(m)
+                    for c in codebooks[mi]
+                ],
+            )
+        )
+    lut_df = spark.createDataFrame(
+        spark.sparkContext.parallelize(luts, 1),
+        "query_id long, lut array<double>",
+    )
+    codes = spark.read.parquet(f"{index_path}/codes")
+    adc = F.round(
+        F.aggregate(
+            F.sequence(F.lit(0), F.lit(m - 1)),
+            F.lit(0.0),
+            lambda acc, mi: acc
+            + F.element_at(
+                F.col("lut"), mi * k + F.element_at(F.col("codes"), mi + 1) + 1
+            ),
+        ),
+        6,
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc").desc(), F.col("vec_id")
+    )
+    short = (
+        codes.crossJoin(F.broadcast(lut_df))
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", adc.alias("adc"))
+        .withColumn("srank", F.row_number().over(w_short))
+        .where(F.col("srank") <= shortlist)
+        .select("query_id", "vec_id")
+    )
+    # the shortlist is bounded (|queries|·shortlist ids) — collect it
+    # and fetch the raw vectors through vb pruning instead of scanning
+    # every cell for a broadcast semi-join
+    short_ids = sorted({r["vec_id"] for r in short.collect()} | set(qids))
+    sb = [
+        r[0]
+        for r in spark.createDataFrame([(i,) for i in short_ids], "vec_id long")
+        .select(_bucket_of("vec_id", meta["n_vec_buckets"]).alias("vb"))
+        .distinct()
+        .collect()
+    ]
+    asg = spark.read.parquet(f"{index_path}/assignments")
+    corpus = asg.where(F.col("vb").isin(sb) & F.col("vec_id").isin(short_ids)).select(
+        "vec_id", "v"
+    )
+    qframe = corpus.where(F.col("vec_id").isin(qids)).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv")
+    )
+    sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        corpus.join(F.broadcast(short), "vec_id")
+        .join(F.broadcast(qframe), "query_id")
+        .select("query_id", "vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+    )

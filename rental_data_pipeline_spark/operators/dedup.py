@@ -43,23 +43,36 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 8 bits per band → candidates within Hamming radius
 
 
-def _materialize_release(result: DataFrame, *cached: DataFrame) -> DataFrame:
+def _materialize_release(
+    result: DataFrame, *cached: DataFrame, pairs_path: str | None = None
+) -> DataFrame:
     """Run the one consuming action INSIDE the operator: eagerly
-    materialize ``result`` through its persisted intermediates
-    (``localCheckpoint`` — executor-resident blocks of the SMALL pair
-    output, auto-released by Spark's ContextCleaner when the returned
-    frame is dropped), then unpersist every intermediate. Callers get a
-    frame with ZERO net CacheManager entries — no reliance on a
-    session-level ``clearCache`` between queries (the round-4 cache
-    accumulation finding). At cluster scale the checkpoint becomes a
-    pairs-table write; the lifecycle is the same: index caches live
-    only for the duration of pair generation."""
-    out = result.localCheckpoint(eager=True)
+    materialize ``result`` through its persisted intermediates, then
+    unpersist every intermediate. Callers get a frame with ZERO net
+    CacheManager entries — no reliance on a session-level
+    ``clearCache`` between queries (the round-4 cache accumulation
+    finding).
+
+    Default materialization is ``localCheckpoint`` (executor-resident
+    blocks of the SMALL pair output, auto-released by Spark's
+    ContextCleaner when the returned frame is dropped) — right for
+    local mode and interactive use, but the blocks have NO recompute
+    path: on a real cluster an executor loss mid-job loses them. Pass
+    ``pairs_path`` for the cluster-safe form: the result is written as
+    a parquet table and the read-back returned — storage-fault-tolerant,
+    restartable, and the shape a 100 TB job wants anyway (the pair set
+    IS a dataset, not a transient)."""
+    if pairs_path is not None:
+        result.write.mode("overwrite").parquet(pairs_path)
+        out = result.sparkSession.read.parquet(pairs_path)
+    else:
+        out = result.localCheckpoint(eager=True)
     for f in cached:
         f.unpersist()
-    # the checkpoint truncates lineage; keep the executed pre-checkpoint
-    # frame reachable so the physical-plan gate (tests/test_plans.py)
-    # still asserts on the REAL join/shuffle structure
+    # materialization truncates lineage; keep the executed
+    # pre-materialization frame reachable so the physical-plan gate
+    # (tests/test_plans.py) still asserts on the REAL join/shuffle
+    # structure
     out._lineage = result
     return out
 
@@ -235,17 +248,21 @@ def jaccard_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
+    pairs_path: str | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via inverted-index join (no cross
     join): |A∩B| from shingle co-occurrence counts, |A∪B| = |A|+|B|−|A∩B|.
     See :func:`_intersection_counts` for the plan and the
     ``max_doc_freq`` hot-shingle cap (the configuration to run at
-    100 TB)."""
+    100 TB); ``pairs_path`` materializes the pairs as a parquet table
+    instead of executor-resident checkpoint blocks (the cluster-safe
+    form — see :func:`_materialize_release`)."""
     counts, index = _intersection_counts(df, k, text_col, id_col, max_doc_freq)
     return _materialize_release(
         counts.select("doc_a", "doc_b", F.round(_jaccard_score(), 6).alias("jaccard"))
         .where(F.col("jaccard") >= threshold),
         index,
+        pairs_path=pairs_path,
     )
 
 
@@ -256,6 +273,7 @@ def overlap_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
+    pairs_path: str | None = None,
 ) -> DataFrame:
     """Near-subset pairs by the overlap coefficient
     |A∩B| / min(|A|, |B|) — catches doc-inside-doc duplication
@@ -272,6 +290,7 @@ def overlap_pairs(
         counts.select("doc_a", "doc_b", F.round(_overlap_score(), 6).alias("score"))
         .where(F.col("score") >= threshold),
         index,
+        pairs_path=pairs_path,
     )
 
 
@@ -283,6 +302,7 @@ def near_pair_suite(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pairs_path: str | None = None,
 ) -> DataFrame:
     """All four near-dup detection paths over ONE materialized
     doc↔shingle index — the suite form of
@@ -339,6 +359,7 @@ def near_pair_suite(
     return _materialize_release(
         jac.unionByName(jac_capped).unionByName(mh).unionByName(ov),
         sh, exploded, counts, capped, bk,
+        pairs_path=pairs_path,
     )
 
 
@@ -462,6 +483,7 @@ def minhash_lsh_pairs(
     k: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pairs_path: str | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signature → bands →
     candidate pairs (any shared band) → verify with exact Jaccard ≥
@@ -471,7 +493,7 @@ def minhash_lsh_pairs(
         "doc", shingles_of(F.col("toks"), k).alias("sh")
     ).persist()
     pairs, bk = _minhash_pairs_from_index(exploded, sh, threshold)
-    return _materialize_release(pairs, sh, bk)
+    return _materialize_release(pairs, sh, bk, pairs_path=pairs_path)
 
 
 def simhash_signatures(
@@ -505,6 +527,7 @@ def simhash_near_pairs(
     max_hamming: int = 3,
     text_col: str = "text",
     id_col: str = "doc_id",
+    pairs_path: str | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 32-bit signature into 4 bytes —
     any pair within Hamming distance 3 shares at least one exact byte
@@ -542,6 +565,7 @@ def simhash_near_pairs(
         .distinct()
         .where(F.col("hamming") <= max_hamming),
         bk,
+        pairs_path=pairs_path,
     )
 
 

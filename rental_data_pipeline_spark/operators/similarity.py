@@ -202,6 +202,7 @@ def ivf_topk_trained(
     top_k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """The production IVF composition: train → index → probe.
 
@@ -210,8 +211,11 @@ def ivf_topk_trained(
     topology the training loop itself uses — and feed the identical
     :func:`_ivf_probe` query path as the stand-in variant. At 100 TB
     training runs offline on a sample, the final assignment becomes the
-    table's partition key, and this probe prunes to nprobe cells."""
-    centroids, _ = kmeans_train(df, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    table's partition key, and this probe prunes to nprobe cells.
+    Pass ``centroids`` to reuse an already-trained set (the persisted
+    index build shares one training run this way)."""
+    if centroids is None:
+        centroids, _ = kmeans_train(df, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     corpus = _corpus(df, id_col, vec_col)
     spark = df.sparkSession
     # single-slice literal frame: k rows must not fan out into a

@@ -517,30 +517,74 @@ def cdc_unpublish_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cdc_key_lifecycle",
     oracle="""
-SELECT user_id AS offer_id,
+WITH chg AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_type)
+                   IS DISTINCT FROM event_type THEN 1 ELSE 0 END AS c
+  FROM events),
+runs AS (
+  SELECT user_id, ts, event_type,
+         sum(c) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                      ROWS UNBOUNDED PRECEDING) AS run
+  FROM chg),
+iv AS (
+  SELECT user_id, event_type, min(ts) AS valid_from
+  FROM runs GROUP BY user_id, event_type, run)
+SELECT 'lifecycle' AS mode,
+       user_id AS offer_id,
        min(ts) AS first_seen,
        max(ts) AS last_seen,
-       count(*) AS n_snapshots,
+       CAST(count(*) AS BIGINT) AS n_snapshots,
        CASE WHEN arg_max(event_type, event_id) = 'error'
             THEN 'non active' ELSE 'active' END AS status
 FROM events GROUP BY user_id
+UNION ALL
+SELECT 'scd2_event_type' AS mode,
+       user_id AS offer_id,
+       valid_from AS first_seen,
+       lead(valid_from) OVER (PARTITION BY user_id
+                              ORDER BY valid_from, event_type) AS last_seen,
+       CAST(NULL AS BIGINT) AS n_snapshots,
+       event_type AS status
+FROM iv
 """,
 )
 def cdc_key_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1/A2/A6 + X5 in one per-key aggregation: publication_date /
     last_active as min/max, snapshot count, and the derived
     active/non-active status from the last event — a single hash
-    aggregation (map-side combine, one shuffle on the key)."""
-    return (
-        load_table(spark, "events", sf_dir)
-        .groupBy(F.col("user_id").alias("offer_id"))
+    aggregation (map-side combine, one shuffle on the key).
+
+    The 'scd2_event_type' branch promotes ``operators/scd.py`` to a
+    full value-hash oracle check: type-2 slowly-changing-dimension
+    intervals over each user's event_type runs (gaps-and-islands, one
+    key shuffle) vs DuckDB's window-SQL twin — valid_from/valid_to land
+    in the first_seen/last_seen slots, the run's attribute in status."""
+    ev = load_table(spark, "events", sf_dir)
+    life = (
+        ev.groupBy(F.col("user_id").alias("offer_id"))
         .agg(
             F.min("ts").alias("first_seen"),
             F.max("ts").alias("last_seen"),
             F.count(F.lit(1)).alias("n_snapshots"),
             derive_status(F.max_by("event_type", "event_id") == "error").alias("status"),
         )
+        .select(F.lit("lifecycle").alias("mode"), "*")
     )
+    from rental_data_pipeline_spark.operators.scd import scd2_intervals
+
+    scd = scd2_intervals(
+        ev.select(F.col("user_id").alias("offer_id"), "ts", "event_type"),
+        "offer_id", "ts", ["event_type"],
+    ).select(
+        F.lit("scd2_event_type").alias("mode"),
+        "offer_id",
+        F.col("valid_from").alias("first_seen"),
+        F.col("valid_to").alias("last_seen"),
+        F.lit(None).cast("long").alias("n_snapshots"),
+        F.col("event_type").alias("status"),
+    )
+    return life.unionByName(scd)
 
 
 @register(

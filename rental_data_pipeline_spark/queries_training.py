@@ -849,9 +849,13 @@ edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
 reach AS (
   SELECT src AS node, src AS lbl FROM edges
   UNION
-  SELECT e.dst AS node, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.node)
-SELECT node, min(lbl) AS component, (node = min(lbl)) AS is_canonical
-FROM reach GROUP BY node
+  SELECT e.dst AS node, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.node),
+comp AS (
+  SELECT node, min(lbl) AS component, (node = min(lbl)) AS is_canonical
+  FROM reach GROUP BY node)
+SELECT 'batch' AS mode, node, component, is_canonical FROM comp
+UNION ALL
+SELECT 'streamed' AS mode, node, component, is_canonical FROM comp
 """,
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -859,14 +863,49 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     propagation (``dedup.connected_components``); component = min doc
     id, canonical keeper = the component representative. The oracle
     computes true components with a recursive transitive-closure CTE —
-    an iterative distributed algorithm with a full value-hash check."""
+    an iterative distributed algorithm with a full value-hash check.
+
+    The 'streamed' branch replays the SAME pair set in three
+    deterministic chunks through the persisted incremental union-find
+    (``streaming/components.py`` — the O(batch)-per-fold label state a
+    growing crawl maintains instead of recomputing batch CC over all
+    accumulated pairs) and must resolve to identical labels."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
     pairs = D.jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
     cc = D.connected_components(pairs)
-    return cc.select(
+    batch = cc.select(
+        F.lit("batch").alias("mode"),
         "node",
         "component",
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
+    from rental_data_pipeline_spark.streaming.components import (
+        fold_pairs_batch,
+        read_components,
+    )
+
+    base = _tempfile.mkdtemp(prefix="rdp_cc_labels_q_")
+    for i in range(3):
+        fold_pairs_batch(
+            spark,
+            base,
+            pairs.where(F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(3)) == i),
+            i,
+        )
+    streamed = (
+        read_components(spark, base)
+        .select(
+            F.lit("streamed").alias("mode"),
+            "node",
+            "component",
+            (F.col("node") == F.col("component")).alias("is_canonical"),
+        )
+        .localCheckpoint(eager=True)  # detach from temp files before cleanup
+    )
+    _shutil.rmtree(base, ignore_errors=True)
+    return batch.unionByName(streamed)
 
 
 _BUCKET_SQL = (
@@ -1247,19 +1286,28 @@ UNION ALL
 SELECT 'ivf_trained' AS method, query_id, vec_id, sim, rank
 FROM ({_ivf_trained_oracle_sql()})
 UNION ALL
+SELECT 'ivf_persisted' AS method, query_id, vec_id, sim, rank
+FROM ({_ivf_trained_oracle_sql()})
+UNION ALL
 SELECT 'pq_rerank' AS method, query_id, vec_id, sim, rank
 FROM (SELECT query_id, vec_id, sim, rank
       FROM ({_ANN_BRUTEFORCE_TOPK_ORACLE}) WHERE rank <= 5)
 """,
 )
 def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN top-k per query vector by all five strategies in one feed:
+    """ANN top-k per query vector by all six strategies in one feed:
     exact brute-force cosine (k=10 baseline), sign-LSH bucket probe
     (k=5), IVF with stand-in centroids + nprobe cell pruning (k=5),
     the production train→index→probe composition where the IVF
     centroids come from the proven k-means trainer ('ivf_trained',
     k=5; oracle = the unrolled fixed-point Lloyd's chain feeding the
-    identical probe SQL), and product quantization ('pq_rerank', k=5):
+    identical probe SQL), the PERSISTED form of the same index
+    ('ivf_persisted': build_ann_index writes centroids + the
+    cell-partitioned assignment table once, ivf_topk_persisted answers
+    from the tables alone with a partition-pruned nprobe read — the
+    train-once/probe-many artifact, sharing the one training run and
+    therefore the same oracle SQL), and product quantization
+    ('pq_rerank', k=5):
     train per-subspace codebooks → m-byte codes → ADC lookup-table
     scan → exact cosine re-rank. The PQ branch runs with a
     full-corpus shortlist, so ADC pruning drops nothing and the result
@@ -1281,13 +1329,41 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf").alias("method"), "query_id", "vec_id", "sim", "rank"
     )
     embs = load_table(spark, "embeddings", sf_dir)
-    ivt = S.ivf_topk_trained(embs, ANN_QUERY_IDS, top_k=5).select(
+    # ONE training run feeds both trained branches: the in-query
+    # composition ('ivf_trained') and the persisted train-once/
+    # probe-many artifact ('ivf_persisted' — build_ann_index writes
+    # centroid + cell-partitioned assignment tables, the probe reads
+    # only its nprobe cell partitions). Identical centroids → identical
+    # results → the same unrolled-Lloyd's oracle SQL proves both.
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    from rental_data_pipeline_spark.operators import ann_index as A
+
+    centroids, _ = S.kmeans_train(embs, k=S.N_IVF_CELLS, n_iter=3)
+    ivt = S.ivf_topk_trained(
+        embs, ANN_QUERY_IDS, top_k=5, centroids=centroids
+    ).select(
         F.lit("ivf_trained").alias("method"), "query_id", "vec_id", "sim", "rank"
     )
+    base = _tempfile.mkdtemp(prefix="rdp_ann_index_q_")
+    A.build_ann_index(embs, base, n_cells=S.N_IVF_CELLS, centroids=centroids)
+    ivp = (
+        A.ivf_topk_persisted(spark, base, ANN_QUERY_IDS, top_k=5)
+        .select(
+            F.lit("ivf_persisted").alias("method"),
+            "query_id", "vec_id", "sim", "rank",
+        )
+        .localCheckpoint(eager=True)  # detach from temp files before cleanup
+    )
+    _shutil.rmtree(base, ignore_errors=True)
     pq = S.pq_topk(
         embs, ANN_QUERY_IDS, top_k=5, shortlist=1_000_000_000, n_iter=1
     ).select(F.lit("pq_rerank").alias("method"), "query_id", "vec_id", "sim", "rank")
-    return bf.unionByName(sl).unionByName(ivf).unionByName(ivt).unionByName(pq)
+    return (
+        bf.unionByName(sl).unionByName(ivf)
+        .unionByName(ivt).unionByName(ivp).unionByName(pq)
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -87,7 +87,26 @@ def _batch_dir(root: str, sub: str, batch_id: int) -> str:
 
 
 def _committed(root: str, sub: str) -> list[str]:
-    return sliced_committed(f"{root}/{sub}")
+    """Live slice dirs of ``sub``, gated on the BATCH-level commit.
+
+    A batch is committed only once its pairs dir carries ``_SUCCESS``
+    (the fold writes pairs LAST), so a band/shingle ``b_*`` slice whose
+    pairs counterpart is absent belongs to a crashed, not-yet-replayed
+    attempt: external readers must not see it (the fold itself rmtrees
+    and rewrites it on replay). ``c_*`` compactions only ever cover
+    batch-committed slices (compaction runs after the pairs write), so
+    they pass through; the pairs listing gates on itself trivially."""
+    dirs = sliced_committed(f"{root}/{sub}")
+    if sub == _PAIRS:
+        return dirs
+    return [
+        d
+        for d in dirs
+        if not _os.path.basename(d).startswith("b_")
+        or _os.path.exists(
+            f"{root}/{_PAIRS}/{_os.path.basename(d)}/_SUCCESS"
+        )
+    ]
 
 
 def _pruned_subdirs(dirs: list[str], part_col: str, touched: list[int]) -> list[str]:
@@ -147,6 +166,7 @@ def incremental_minhash_index_stream(
     id_col: str = "doc_id",
     available_now: bool = True,
     compact_every: int = 16,
+    labels_path: str | None = None,
 ):
     """Fold a document stream into the incremental near-dup index;
     returns the started StreamingQuery. ``docs`` must be a streaming
@@ -155,12 +175,30 @@ def incremental_minhash_index_stream(
     contract as the batch operator's distinct doc ids). Once the
     band/shingle tables accumulate ``compact_every`` committed slices
     the fold runs :func:`compact_index` inline — the same amortized
-    small-file bound the CDC state table keeps."""
+    small-file bound the CDC state table keeps.
+
+    With ``labels_path`` the fold ALSO maintains incremental connected
+    components over the emitted pairs (``streaming/components.py``):
+    after each pairs commit, every committed-but-unfolded pairs batch
+    is folded into the persisted union-find, so cluster ids (canonical
+    doc per near-dup group) stay current per micro-batch without ever
+    recomputing over the accumulated pair history. The label fold sits
+    AFTER the pairs commit with its own idempotent commit + watermark:
+    a crash between the two is healed by the next batch's catch-up."""
+
+    def catchup(spark: SparkSession) -> None:
+        if labels_path is not None:
+            from rental_data_pipeline_spark.streaming.components import (
+                catchup_components,
+            )
+
+            catchup_components(spark, index_path, labels_path)
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
         pairs_dir = _batch_dir(index_path, _PAIRS, batch_id)
         if _os.path.exists(f"{pairs_dir}/_SUCCESS"):
+            catchup(spark)  # heal a crash between pairs and label commit
             return  # committed replay: no-op
         # clear garbage from a crashed attempt of this batch (pairs
         # commit is LAST, so bands/shingles of an uncommitted attempt
@@ -178,6 +216,7 @@ def incremental_minhash_index_stream(
             spark.createDataFrame(
                 [], f"doc_a {idt}, doc_b {idt}, jaccard double, batch_id long"
             ).write.parquet(pairs_dir)
+            catchup(spark)
             return
 
         bands, sh = minhash_index_frames(
@@ -276,6 +315,7 @@ def incremental_minhash_index_stream(
         pairs.write.parquet(pairs_dir)
         if len(_committed(index_path, _BANDS)) >= compact_every:
             compact_index(spark, index_path)
+        catchup(spark)
 
     writer = (
         docs.writeStream.foreachBatch(fold)

@@ -226,6 +226,102 @@ def _ensure_meta(state_path: str, key: str, n_buckets: int) -> dict:
     return meta
 
 
+_META_PENDING = "_meta.json.pending"
+
+
+def _assert_no_pending_rebucket(state_path: str) -> None:
+    """An interrupted :func:`rebucket_state` leaves its staged meta on
+    disk; folding or reading through a half-migrated table would mix
+    bucket-id semantics, so both refuse until the migration is re-run
+    to completion (rebucket_state resumes idempotently)."""
+    import os as _os
+
+    if _os.path.exists(f"{state_path}/{_META_PENDING}"):
+        raise RuntimeError(
+            f"state table at {state_path} has an interrupted rebucket "
+            "migration (pending meta present); re-run rebucket_state() "
+            "to finish it before folding or reading"
+        )
+
+
+def rebucket_state(
+    spark: SparkSession,
+    state_path: str,
+    new_n_buckets: int,
+    keep_versions: int = 2,
+) -> bool:
+    """OFFLINE migration of a live state table to a new bucket count —
+    the path from the local-mode default (16) to the thousands a
+    production corpus needs, without abandoning the table.
+
+    ``n_buckets`` is frozen in ``_meta.json`` at creation (the bucket
+    function must never change under a live table), so migration is a
+    full-snapshot rewrite: compose the current state, write it as the
+    next version bucketed under ``new_n_buckets`` with a ``_FULL``
+    marker (shadowing every old-layout version), then atomically
+    replace the meta (tmp + ``os.replace``). Returns True when a
+    migration ran, False for a no-op (already at the target count).
+
+    Crash-safe via a staged ``_meta.json.pending``: folds and reads
+    refuse while it exists (:func:`_assert_no_pending_rebucket`), and
+    re-running this function resumes — the snapshot write is
+    idempotent-by-new-version and the meta swap is the commit point.
+    Must not run concurrently with a fold (same offline discipline as
+    every compaction here).
+
+    Time travel: versions at or after the migration read normally;
+    ``as_of_version`` BELOW it raises :class:`StateVersionUnavailable`
+    by design — pre-migration versions carry bucket ids under the old
+    layout, which the new meta cannot reinterpret (the migration
+    records ``migrated_at_version`` to detect this)."""
+    import json as _json
+    import os as _os
+
+    meta = _read_meta(state_path)
+    if meta is None:
+        raise ValueError(
+            f"not a bucketed state table (no {_META_NAME}): {state_path}"
+        )
+    pending = f"{state_path}/{_META_PENDING}"
+    if int(meta["n_buckets"]) == int(new_n_buckets) and not _os.path.exists(
+        pending
+    ):
+        return False
+    all_dirs = _all_version_dirs(state_path)
+    n = _version_counter(all_dirs[-1]) + 1 if all_dirs else 0
+    new_meta = {
+        **meta,
+        "n_buckets": int(new_n_buckets),
+        "migrated_at_version": n,
+    }
+    with open(pending, "w") as f:
+        _json.dump(new_meta, f)
+    # compose under the OLD meta (still in place — flat residual
+    # filtering, if any, needs the old bucket function); _compose
+    # directly, since read_state refuses while our own stage marker is
+    # on disk
+    st = _compose(spark, state_path, None)
+    if st is not None:
+        if BUCKET_COL in st.columns:
+            st = st.drop(BUCKET_COL)
+        vdir = f"{state_path}/v_{n:09d}"
+        dp = spark.sparkContext.defaultParallelism
+        st.withColumn(
+            BUCKET_COL, _bucket_of(meta["key"], int(new_n_buckets))
+        ).repartition(dp, F.col(BUCKET_COL)).write.mode(
+            "overwrite"
+        ).partitionBy(BUCKET_COL).parquet(vdir)
+        _mark_full(vdir)
+    # commit point: swap the meta, clear the stage marker
+    tmp = f"{state_path}/{_META_NAME}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump(new_meta, f)
+    _os.replace(tmp, f"{state_path}/{_META_NAME}")
+    _os.remove(pending)
+    _prune_versions(state_path, keep_versions)
+    return True
+
+
 def _version_buckets(vdir: str) -> list[int] | None:
     """Bucket ids present in a version dir, or None for a flat
     (non-bucketed) version."""
@@ -364,8 +460,17 @@ def read_state(
     returning silently partial state. At 100 TB this is the audit /
     reproducibility read — "the corpus as the run that trained model X
     saw it" — for free out of the layout the fold already writes."""
+    _assert_no_pending_rebucket(state_path)
     if as_of_version is None:
         return _compose(spark, state_path, None)
+    meta = _read_meta(state_path)
+    migrated_at = (meta or {}).get("migrated_at_version")
+    if migrated_at is not None and as_of_version < migrated_at:
+        raise StateVersionUnavailable(
+            f"version {as_of_version} predates the rebucket migration at "
+            f"version {migrated_at}: pre-migration versions carry bucket "
+            "ids under the old layout and are not reconstructible"
+        )
     vers = [
         v
         for v in _state_versions(state_path)
@@ -511,6 +616,7 @@ def incremental_merge_stream(
     def fold(batch: DataFrame, batch_id: int) -> None:
         import shutil as _shutil
 
+        _assert_no_pending_rebucket(state_path)
         suffix = f"_b{batch_id:09d}"
         committed = _state_versions(state_path)
         if any(v.endswith(suffix) for v in committed):

@@ -1,0 +1,90 @@
+"""Persisted ANN index: probe(persisted) == the in-query composition.
+
+``build_ann_index`` trains once and writes tables;
+``ivf_topk_persisted`` / ``pq_topk_persisted`` must return byte-equal
+results to ``ivf_topk_trained`` / ``pq_topk`` on the same parameters —
+and the probe must read only the probed cell partitions (partition
+pruning), which is the artifact's entire reason to exist.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.operators.ann_index import (
+    build_ann_index,
+    ivf_topk_persisted,
+    pq_topk_persisted,
+    read_meta,
+)
+from rental_data_pipeline_spark.operators.similarity import (
+    ivf_topk_trained,
+    pq_topk,
+)
+from rental_data_pipeline_spark.sources.tables import load_table
+
+QUERY_IDS = [1, 5, 9, 23, 42]
+
+
+@pytest.fixture()
+def index_dir():
+    d = tempfile.mkdtemp(prefix="ann_index_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _rows(df):
+    return sorted(
+        (r.query_id, r.vec_id, r.sim, r.rank)
+        for r in df.select("query_id", "vec_id", "sim", "rank").collect()
+    )
+
+
+def test_ivf_persisted_probe_equals_in_query_composition(
+    spark, sf_dir, index_dir
+):
+    embs = load_table(spark, "embeddings", sf_dir)
+    build_ann_index(embs, index_dir, n_cells=8, n_iter=3)
+    want = _rows(ivf_topk_trained(embs, QUERY_IDS, top_k=5))
+    got = _rows(ivf_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5))
+    assert got == want and got
+    # probe-many: a second probe against the same artifact (no retrain)
+    # and a different parameterization still answers from the tables
+    again = _rows(ivf_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5))
+    assert again == want
+    assert _rows(
+        ivf_topk_persisted(spark, index_dir, QUERY_IDS[:2], nprobe=1, top_k=3)
+    )
+
+
+def test_ivf_probe_partition_prunes_to_nprobe_cells(spark, sf_dir, index_dir):
+    embs = load_table(spark, "embeddings", sf_dir)
+    build_ann_index(embs, index_dir, n_cells=8, n_iter=1)
+    out = ivf_topk_persisted(spark, index_dir, QUERY_IDS[:1], nprobe=2, top_k=5)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the cell scan carries a cid partition filter → only nprobe of the
+    # n_cells partitions are read; no full-corpus scan in the probe
+    scans = [ln for ln in plan.splitlines() if "PartitionFilters: [" in ln]
+    assert any("cid" in ln and " IN " in ln for ln in scans), scans
+
+
+def test_pq_persisted_probe_equals_in_query_pq(spark, sf_dir, index_dir):
+    embs = load_table(spark, "embeddings", sf_dir)
+    build_ann_index(embs, index_dir, n_cells=8, n_iter=1, pq=True, pq_iter=1)
+    meta = read_meta(index_dir)
+    assert meta["pq"] == {"m": 8, "k": 16, "n_iter": 1}
+    want = _rows(pq_topk(embs, QUERY_IDS, top_k=5, shortlist=50, n_iter=1))
+    got = _rows(
+        pq_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5, shortlist=50)
+    )
+    assert got == want and got
+
+
+def test_pq_probe_requires_pq_build(spark, sf_dir, index_dir):
+    embs = load_table(spark, "embeddings", sf_dir)
+    build_ann_index(embs, index_dir, n_cells=4, n_iter=1)  # no PQ artifact
+    with pytest.raises(ValueError):
+        pq_topk_persisted(spark, index_dir, QUERY_IDS)

@@ -1,0 +1,196 @@
+"""Incremental connected components == batch CC after every fold.
+
+The label table folds pairs per batch in O(|batch| + |forest|); after
+any prefix of batches its resolved labels must be byte-identical to
+``operators.dedup.connected_components`` over the union of every pair
+folded so far — the property that makes canonical dedup ids and
+leakage-safe splits trustworthy on a growing crawl.
+"""
+
+import glob
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.operators.dedup import connected_components
+from rental_data_pipeline_spark.streaming.components import (
+    bootstrap_components,
+    catchup_components,
+    compact_labels,
+    fold_pairs_batch,
+    read_components,
+)
+
+
+@pytest.fixture()
+def labels_dir():
+    d = tempfile.mkdtemp(prefix="cc_labels_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+# Edges engineered so later batches BRIDGE clusters formed earlier:
+# batch 0 makes pair-clusters, batch 1 chains some of them together,
+# batch 2 merges two big chains and adds brand-new nodes.
+_BATCHES = [
+    [(1, 2), (3, 4), (5, 6), (10, 11), (20, 21), (30, 31)],
+    [(2, 3), (11, 20), (40, 41)],  # bridges {1,2}+{3,4}; {10,11}+{20,21}
+    [(4, 5), (21, 30), (41, 1), (50, 51)],  # chains chains; new cluster
+]
+
+
+def _pairs_df(spark, edges):
+    return spark.createDataFrame(
+        [(a, b) for a, b in edges], "doc_a long, doc_b long"
+    )
+
+
+def _labels(df):
+    return {(r.node, r.component) for r in df.collect()}
+
+
+def test_streamed_labels_equal_batch_cc_after_every_chunk(spark, labels_dir):
+    seen = []
+    for bid, edges in enumerate(_BATCHES):
+        fold_pairs_batch(spark, labels_dir, _pairs_df(spark, edges), bid)
+        seen.extend(edges)
+        got = _labels(read_components(spark, labels_dir))
+        want = _labels(connected_components(_pairs_df(spark, seen)))
+        assert got == want, f"divergence after batch {bid}"
+    # the bridged mega-cluster resolved to the global min label
+    final = dict(_labels(read_components(spark, labels_dir)))
+    assert final[30] == 10 and final[41] == 1 and final[50] == 50
+
+
+def test_merge_writes_forest_rows_not_member_rewrites(spark, labels_dir):
+    """Bridging two existing clusters must append union-find edges,
+    never touch committed member slices — the O(batch) property."""
+    fold_pairs_batch(spark, labels_dir, _pairs_df(spark, _BATCHES[0]), 0)
+    b0 = f"{labels_dir}/members/b_000000000"
+    mtime = os.path.getmtime(f"{b0}/_SUCCESS")
+    fold_pairs_batch(spark, labels_dir, _pairs_df(spark, [(2, 3)]), 1)
+    # batch-0 members byte-untouched; the merge is a forest row
+    assert os.path.getmtime(f"{b0}/_SUCCESS") == mtime
+    forest = spark.read.parquet(f"{labels_dir}/forest/b_000000001")
+    assert {(r.old_root, r.new_root) for r in forest.collect()} == {(3, 1)}
+    # no docs were new in batch 1 → empty members slice, still readable
+    m1 = spark.read.parquet(f"{labels_dir}/members/b_000000001")
+    assert m1.count() == 0
+    final = dict(_labels(read_components(spark, labels_dir)))
+    assert final[4] == 1 and final[2] == 1
+
+
+def test_fold_is_idempotent_and_crash_safe(spark, labels_dir):
+    fold_pairs_batch(spark, labels_dir, _pairs_df(spark, _BATCHES[0]), 0)
+    want = _labels(read_components(spark, labels_dir))
+    # committed replay: no-op (even with different pair content)
+    fold_pairs_batch(spark, labels_dir, _pairs_df(spark, [(7, 8)]), 0)
+    assert _labels(read_components(spark, labels_dir)) == want
+
+    # crash simulation: members slice written, forest (the commit) not
+    # → readers must not see the half-batch; replay heals it
+    m1 = f"{labels_dir}/members/b_000000001"
+    spark.createDataFrame([(70, 70)], "doc long, label long").withColumn(
+        "doc_bucket", F.lit(0)
+    ).write.parquet(m1)
+    assert _labels(read_components(spark, labels_dir)) == want
+    fold_pairs_batch(spark, labels_dir, _pairs_df(spark, [(70, 71)]), 1)
+    got = dict(_labels(read_components(spark, labels_dir)))
+    assert got[71] == 70 and _labels(
+        read_components(spark, labels_dir)
+    ) > want
+
+
+def test_compaction_resolves_members_and_empties_forest(spark, labels_dir):
+    for bid, edges in enumerate(_BATCHES):
+        fold_pairs_batch(spark, labels_dir, _pairs_df(spark, edges), bid)
+    want = _labels(read_components(spark, labels_dir))
+    assert compact_labels(spark, labels_dir)
+    # one consolidated bucketed members slice; forest emptied
+    assert glob.glob(f"{labels_dir}/members/b_*") == []
+    assert len(glob.glob(f"{labels_dir}/members/c_*")) == 1
+    assert _labels(read_components(spark, labels_dir)) == want
+    from rental_data_pipeline_spark.streaming.components import _forest_parent
+
+    assert _forest_parent(spark, labels_dir) == {}
+    # members in the compacted slice are FULLY resolved (label == root)
+    m = spark.read.parquet(glob.glob(f"{labels_dir}/members/c_*")[0])
+    assert _labels(
+        m.select(F.col("doc").alias("node"), F.col("label").alias("component"))
+    ) == want
+
+    # folding continues against the compacted table: bridge two
+    # compacted clusters and check against batch CC over everything
+    extra = [(6, 10)]  # joins the 1-chain with the 10-chain
+    fold_pairs_batch(spark, labels_dir, _pairs_df(spark, extra), 99)
+    seen = [e for b in _BATCHES for e in b] + extra
+    assert _labels(read_components(spark, labels_dir)) == _labels(
+        connected_components(_pairs_df(spark, seen))
+    )
+
+
+def test_bootstrap_then_incremental(spark, labels_dir):
+    """Historical backfill goes through distributed batch CC; folds
+    take over after — and the combined state still matches batch CC."""
+    bootstrap_components(spark, labels_dir, _pairs_df(spark, _BATCHES[0]), 0)
+    assert _labels(read_components(spark, labels_dir)) == _labels(
+        connected_components(_pairs_df(spark, _BATCHES[0]))
+    )
+    with pytest.raises(ValueError):
+        bootstrap_components(
+            spark, labels_dir, _pairs_df(spark, _BATCHES[1]), 1
+        )
+    seen = list(_BATCHES[0])
+    for bid, edges in enumerate(_BATCHES[1:], start=1):
+        fold_pairs_batch(spark, labels_dir, _pairs_df(spark, edges), bid)
+        seen.extend(edges)
+        assert _labels(read_components(spark, labels_dir)) == _labels(
+            connected_components(_pairs_df(spark, seen))
+        )
+
+
+def test_dedup_index_stream_maintains_labels(spark, sf_dir, labels_dir):
+    """End-to-end: the minhash index stream with ``labels_path`` keeps
+    cluster ids current per micro-batch; after the stream drains, the
+    streamed labels equal batch CC over batch LSH of the full corpus."""
+    from rental_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+    from rental_data_pipeline_spark.sources.tables import load_table
+    from rental_data_pipeline_spark.streaming.dedup_index import (
+        incremental_minhash_index_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="cc_index_test_")
+    landing, index, ckpt = f"{base}/landing", f"{base}/index", f"{base}/ckpt"
+    try:
+        docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+        twins = docs.where(F.col("doc_id") % 7 == 0).withColumn(
+            "doc_id", F.col("doc_id") + 100000
+        )
+        corpus = docs.unionByName(twins)
+        for c in range(3):
+            corpus.where(F.pmod(F.col("doc_id"), F.lit(3)) == c).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = incremental_minhash_index_stream(
+            stream, index, ckpt, threshold=0.8, labels_path=labels_dir
+        )
+        q.awaitTermination(180)
+
+        got = _labels(read_components(spark, labels_dir))
+        want = _labels(
+            connected_components(minhash_lsh_pairs(corpus, threshold=0.8))
+        )
+        assert got == want and got
+        # catch-up on an already-current index is a no-op
+        assert catchup_components(spark, index, labels_dir) == 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
