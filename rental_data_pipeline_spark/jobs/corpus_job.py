@@ -23,13 +23,17 @@ from __future__ import annotations
 
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
 @dataclass
 class CorpusConfig:
     languages: tuple[str, ...] = ("en",)
+    # declarative row contracts on the RAW docs (operators/
+    # expectations.py): failing rows are quarantined before curation
+    # and per-rule counts land in the run metrics
+    expectations: dict[str, Column] = field(default_factory=dict)
     min_tokens: int = 10
     max_tokens: int = 5000
     min_quality: float = 0.5
@@ -74,6 +78,19 @@ def build_training_corpus(
     )
 
     cfg = config or CorpusConfig()
+
+    # 0. expectations gate on the raw docs: one tagging pass + one agg
+    # for the per-rule report; quarantined rows exit before curation
+    expectation_counts: dict[str, int] = {}
+    quarantined = None
+    if cfg.expectations:
+        from rental_data_pipeline_spark.operators.expectations import (
+            expectation_metrics,
+            quarantine_invalid,
+        )
+
+        expectation_counts = expectation_metrics(docs, cfg.expectations)
+        docs, quarantined = quarantine_invalid(docs, cfg.expectations)
 
     # 1. gate + exact dedup (one scan + one shuffle)
     curated = curate_corpus(
@@ -133,7 +150,9 @@ def build_training_corpus(
         "n_corpus": clean.count(),
         "n_train_chunks": chunks.count(),
     }
-    return {
+    if expectation_counts:
+        metrics["expectations"] = expectation_counts
+    out = {
         "curated": curated,
         "pairs": pairs,
         "corpus": corpus,
@@ -144,3 +163,6 @@ def build_training_corpus(
         "profile": profile,
         "metrics": metrics,
     }
+    if quarantined is not None:
+        out["expectation_quarantine"] = quarantined
+    return out

@@ -148,6 +148,12 @@ class PipelineConfig:
     check_if_unpublished: bool = True
     check_missing_estimations: bool = False
     search: SearchConfig = field(default_factory=SearchConfig)
+    # declarative row contracts on the parsed listing batch (operators/
+    # expectations.py): failing rows are quarantined before the merge
+    # and per-rule violation counts ride the A7 Observation metrics —
+    # the Spark form of the reference's imperative per-record checks
+    # (parse_data.py required-field validation)
+    expectations: dict[str, Column] = field(default_factory=dict)
 
 
 def _empty_state(spark: SparkSession) -> DataFrame:
@@ -266,6 +272,39 @@ def run_pipeline(
     parsed = parse_listing_pages(pages).persist()  # parse once (K4)
     clean, quarantined = quarantine_split(parsed)                         # E8/F5
     listing_batch = normalize_listings(clean, now=cfg.now).drop("facts", "features")
+    exp_obs = None
+    exp_quarantine = None
+    if cfg.expectations:
+        # one map-side tagging pass; per-rule counts observed on the
+        # SAME computation the merge consumes (no extra scan)
+        from rental_data_pipeline_spark.operators.expectations import (
+            VIOLATIONS_COL,
+            validate,
+        )
+
+        exp_obs = Observation("expectations")
+        tagged = validate(listing_batch, cfg.expectations).observe(
+            exp_obs,
+            F.coalesce(
+                F.sum((F.size(F.col(VIOLATIONS_COL)) > 0).cast("long")),
+                F.lit(0),
+            ).alias("n_expectation_quarantined"),
+            *[
+                F.coalesce(
+                    F.sum(
+                        F.array_contains(F.col(VIOLATIONS_COL), name).cast(
+                            "long"
+                        )
+                    ),
+                    F.lit(0),
+                ).alias(f"expectation_{name}")
+                for name in sorted(cfg.expectations)
+            ],
+        )
+        exp_quarantine = tagged.where(F.size(F.col(VIOLATIONS_COL)) > 0)
+        listing_batch = tagged.where(
+            F.size(F.col(VIOLATIONS_COL)) == 0
+        ).drop(VIOLATIONS_COL)
     state = merge_listings(
         state, listing_batch, key="offer_id",
         order_cols=[F.col("updated_date").asc_nulls_first()],
@@ -341,4 +380,9 @@ def run_pipeline(
             state = state.localCheckpoint(eager=True)
         metrics.update({k: int(v) for k, v in obs.get.items()})
         metrics["n_quarantined"] = quarantined.count()
-    return {"state": state, "metrics": metrics}
+        if exp_obs is not None:
+            metrics.update({k: int(v) for k, v in exp_obs.get.items()})
+    out = {"state": state, "metrics": metrics}
+    if exp_quarantine is not None:
+        out["expectation_quarantine"] = exp_quarantine
+    return out

@@ -4,6 +4,12 @@ beyond-reference training-data layer, re-exported for one-stop import.
 ``from rental_data_pipeline_spark.operators import merge_listings, ...``
 """
 
+from rental_data_pipeline_spark.operators.ann_index import (  # noqa: F401
+    append_ann_index,
+    build_ann_index,
+    ivf_topk_persisted,
+    pq_topk_persisted,
+)
 from rental_data_pipeline_spark.operators.asof import asof_join  # noqa: F401
 from rental_data_pipeline_spark.operators.bucketing import (  # noqa: F401
     bucketed,
@@ -54,6 +60,7 @@ from rental_data_pipeline_spark.operators.similarity import (  # noqa: F401
     pq_topk,
     pq_train,
     quantize_embeddings,
+    semantic_dedup,
 )
 from rental_data_pipeline_spark.operators.sketch import (  # noqa: F401
     countmin_lookup,

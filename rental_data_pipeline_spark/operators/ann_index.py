@@ -71,21 +71,28 @@ def build_ann_index(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
+    codebooks: list[list[list[float]]] | None = None,
 ) -> None:
     """The offline training job: k-means cells (and optionally PQ
     codebooks/codes) persisted under ``index_path``. One corpus scan
     for the final assignment (map-side argmax against broadcast
     centroids), one partitioned write clustered by (cell, id-bucket).
     The meta file freezes the layout; probes validate against it.
-    Pass ``centroids`` to skip training and index an already-trained
-    set (must have ``n_cells`` rows)."""
+    Pass ``centroids`` (and, with ``pq=True``, ``codebooks``) to skip
+    training and index against an already-trained set."""
     spark = df.sparkSession
     if centroids is None:
         centroids, _ = kmeans_train(
             df, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col
         )
     assert len(centroids) == n_cells
-    corpus = _corpus(df, id_col, vec_col).withColumn("vn", norm(F.col("v")))
+    # zero-norm vectors are undirectional — unindexable under cosine
+    # (and an ANSI divide-by-zero); dropped like _unit_corpus does
+    corpus = (
+        _corpus(df, id_col, vec_col)
+        .withColumn("vn", norm(F.col("v")))
+        .where(F.col("vn") > 0)
+    )
     asg = _assign_to_centroids(corpus, centroids).select(
         "vec_id", "v", "cid"
     ).withColumn("vb", _bucket_of("vec_id", n_vec_buckets))
@@ -109,9 +116,11 @@ def build_ann_index(
         "pq": {"m": m, "k": k, "n_iter": pq_iter} if pq else None,
     }
     if pq:
-        codebooks = pq_train(
-            df, m=m, k=k, n_iter=pq_iter, id_col=id_col, vec_col=vec_col
-        )
+        if codebooks is None:
+            codebooks = pq_train(
+                df, m=m, k=k, n_iter=pq_iter, id_col=id_col, vec_col=vec_col
+            )
+        assert len(codebooks) == m and all(len(b) == k for b in codebooks)
         rows = [
             (mi, cid, cv)
             for mi, book in enumerate(codebooks)
@@ -126,8 +135,12 @@ def build_ann_index(
         ).repartition(1).write.partitionBy("vb").mode("overwrite").parquet(
             f"{index_path}/codes"
         )
-    with open(f"{index_path}/{_META}", "w") as f:
+    # tmp + os.replace: a crash mid-write must not leave truncated
+    # JSON that wedges every later read_meta
+    tmp = f"{index_path}/{_META}.tmp"
+    with open(tmp, "w") as f:
         _json.dump(meta, f)
+    _os.replace(tmp, f"{index_path}/{_META}")
 
 
 def read_meta(index_path: str) -> dict:
@@ -136,6 +149,66 @@ def read_meta(index_path: str) -> dict:
         raise FileNotFoundError(f"not an ANN index (missing {_META}): {index_path}")
     with open(p) as f:
         return _json.load(f)
+
+
+def _read_centroids(spark: SparkSession, index_path: str) -> list[list[float]]:
+    rows = spark.read.parquet(f"{index_path}/centroids").collect()
+    out: list[list[float]] = [None] * len(rows)
+    for r in rows:
+        out[r["cid"]] = list(r["cv"])
+    return out
+
+
+def _read_codebooks(
+    spark: SparkSession, index_path: str, m: int, k: int
+) -> list[list[list[float]]]:
+    cb_rows = spark.read.parquet(f"{index_path}/codebooks").collect()
+    codebooks: list[list[list[float]]] = [[None] * k for _ in range(m)]
+    for r in cb_rows:
+        codebooks[r["m"]][r["cid"]] = list(r["cv"])
+    return codebooks
+
+
+def append_ann_index(
+    df: DataFrame,
+    index_path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incremental index maintenance — the crawl shape: new embedding
+    batches accrete into the persisted index WITHOUT retraining or
+    rewriting existing cells. New vectors are assigned map-side
+    against the frozen centroid table (identical expression forms to
+    the build, so probes over build(A)+append(B) are byte-equal to
+    build(A∪B) against the same trained artifact) and appended to the
+    (cid, vb)-partitioned assignments table; with a PQ artifact, the
+    batch is encoded with the frozen codebooks and appended to codes.
+    Ids must be new (append-only corpus — re-ingesting an id is the
+    caller's bug, the dedup-index contract). Centroid drift is the
+    offline rebuild's job (``build_ann_index``), the standard IVF
+    maintenance split: cheap per-batch appends, periodic retrains."""
+    spark = df.sparkSession
+    meta = read_meta(index_path)
+    centroids = _read_centroids(spark, index_path)
+    corpus = (
+        _corpus(df, id_col, vec_col)
+        .withColumn("vn", norm(F.col("v")))
+        .where(F.col("vn") > 0)  # same drop as the build
+    )
+    asg = _assign_to_centroids(corpus, centroids).select(
+        "vec_id", "v", "cid"
+    ).withColumn("vb", _bucket_of("vec_id", meta["n_vec_buckets"]))
+    asg.repartition(1).write.partitionBy("cid", "vb").mode("append").parquet(
+        f"{index_path}/assignments"
+    )
+    if meta.get("pq"):
+        m, k = meta["pq"]["m"], meta["pq"]["k"]
+        codebooks = _read_codebooks(spark, index_path, m, k)
+        pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col).withColumn(
+            "vb", _bucket_of("vec_id", meta["n_vec_buckets"])
+        ).repartition(1).write.partitionBy("vb").mode("append").parquet(
+            f"{index_path}/codes"
+        )
 
 
 def _query_vectors(
@@ -221,10 +294,7 @@ def pq_topk_persisted(
     if not meta.get("pq"):
         raise ValueError(f"index at {index_path} was built without pq=True")
     m, k = meta["pq"]["m"], meta["pq"]["k"]
-    cb_rows = spark.read.parquet(f"{index_path}/codebooks").collect()
-    codebooks: list[list[list[float]]] = [[None] * k for _ in range(m)]
-    for r in cb_rows:
-        codebooks[r["m"]][r["cid"]] = list(r["cv"])
+    codebooks = _read_codebooks(spark, index_path, m, k)
     sub = len(codebooks[0][0])
 
     qids = [int(q) for q in query_ids]
@@ -237,6 +307,10 @@ def pq_topk_persisted(
     luts = []
     for qid in sorted(qraw):
         vn = _py_norm(qraw[qid])
+        if vn == 0:
+            # match _unit_corpus's silent drop of zero-norm vectors so
+            # persisted and in-query PQ agree on degenerate inputs
+            continue
         q = [x / vn for x in qraw[qid]]
         luts.append(
             (

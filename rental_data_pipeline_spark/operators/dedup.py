@@ -599,11 +599,20 @@ def connected_components(
         .distinct()
         .persist()
     )
+    # Each iteration references ``labels`` TWICE (the union seed and the
+    # join probe), so without a lineage barrier the logical plan DOUBLES
+    # per iteration — exponential in the component diameter. Shallow
+    # near-dup clusters (2-4 rounds) hide it; a path-shaped graph of
+    # diameter ~13 yields a 2^13-node tree whose cache-name rendering
+    # alone takes hours. localCheckpoint(eager) truncates the plan to a
+    # scan per round — the standard iterative-graph shape on Spark (the
+    # executor-resident-blocks recovery trade is the same one
+    # _materialize_release documents).
     labels = (
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     total = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iter):
@@ -614,16 +623,15 @@ def connected_components(
             labels.unionByName(neighbor_min)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .persist()
+            .localCheckpoint(eager=True)
         )
         new_total = new_labels.agg(F.sum("component")).collect()[0][0]
-        labels.unpersist()
         labels = new_labels
         if new_total == total:
             break
         total = new_total
     edges.unpersist()
-    return _materialize_release(labels, labels)
+    return labels
 
 
 def contamination_report(

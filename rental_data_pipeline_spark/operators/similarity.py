@@ -261,6 +261,82 @@ def embedding_near_dup_pairs(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.4,
+    n_cells: int = N_IVF_CELLS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: Voronoi-partition the
+    corpus into ``n_cells`` cells (the blocking unit), then within
+    each cell drop every item that has a LOWER-id neighbor at cosine
+    ≥ ``threshold``. Returns ``(vec_id, cid, is_kept)`` — the full
+    corpus annotated, so the caller picks keepers with one filter.
+
+    Cross-cell pairs are never compared — the approximation that makes
+    semantic dedup sub-quadratic (k cells ≈ k× pair-volume cut; missed
+    dups are only those straddling a Voronoi boundary, the same trade
+    LSH banding makes). At 100 TB: assignment is a map-side argmax
+    against broadcast centroids, the within-cell self-join shuffles
+    both sides on ``cid`` (co-partitioned), and ``n_cells`` must grow
+    with the corpus (~√N) to keep per-cell pair volume bounded.
+
+    ``centroids`` is a ``(cid, cv)`` frame; ``None`` uses the
+    deterministic stand-in (the ``n_cells`` smallest ids' vectors,
+    :func:`ivf_topk`'s convention) — pass :func:`kmeans_train` output
+    via :func:`ivf_topk_trained`'s frame shape for the trained form.
+    Beyond-reference training-data operator; no reference counterpart.
+    """
+    corpus = _corpus(df, id_col, vec_col)
+    if centroids is None:
+        centroids = (
+            corpus.orderBy("vec_id").limit(n_cells)
+            .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
+        )
+    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+        "vec_id", "v", "cid",
+        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim"),
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("csim").desc(), F.col("cid")
+    )
+    # the assignment feeds three consumers (both self-join sides + the
+    # final annotation): persist so the crossJoin+window runs once —
+    # at corpus scale this materialization is the cell-partitioned
+    # assignment table you would write anyway (build_ann_index's shape)
+    cells = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "v", "cid")
+        .persist()
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    dominated = (
+        a.join(
+            b,
+            (F.col("a.cid") == F.col("b.cid"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .where(F.round(cosine(F.col("a.v"), F.col("b.v")), 6) >= threshold)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    out = (
+        cells.join(dominated.withColumn("_dup", F.lit(True)), "vec_id", "left")
+        .select(
+            "vec_id", "cid",
+            F.coalesce(~F.col("_dup"), F.lit(True)).alias("is_kept"),
+        )
+        .localCheckpoint(eager=True)  # detach before unpersist: callers
+        # get a frame with ZERO net cache entries (the shared
+        # _materialize_release contract)
+    )
+    cells.unpersist()
+    return out
+
+
 def _py_norm(c: list[float]) -> float:
     """Python twin of :func:`norm`: identical left-to-right fold order,
     so the result is bit-for-bit what Spark's aggregate() would give."""
@@ -345,6 +421,10 @@ def kmeans_train(
     corpus = (
         _corpus(df, id_col, vec_col)
         .withColumn("vn", norm(F.col("v")))
+        # zero-norm vectors have no direction: under the cosine metric
+        # they cannot be assigned (ANSI divide-by-zero) — drop them,
+        # _unit_corpus's documented contract
+        .where(F.col("vn") > 0)
         .persist()
     )
     init = corpus.orderBy("vec_id").limit(k).collect()

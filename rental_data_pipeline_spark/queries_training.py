@@ -410,17 +410,53 @@ def ann_signlsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH e AS (
   SELECT vec_id, v, {_BUCKET_SQL} AS bucket
-  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings))
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {_cos_sql('a.v', 'b.v')} AS sim
+  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)),
+c AS (SELECT vec_id AS cid, v AS cv FROM e ORDER BY vec_id LIMIT {S.N_IVF_CELLS}),
+cells AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.v, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY {_cos_sql('e.v', 'c.cv')} DESC, c.cid) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1),
+dup AS (
+  SELECT DISTINCT b.vec_id
+  FROM cells a JOIN cells b ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE {_cos_sql('a.v', 'b.v')} >= 0.4)
+SELECT 'pairs' AS mode, a.vec_id AS id_a, b.vec_id AS id_b,
+       {_cos_sql('a.v', 'b.v')} AS score
 FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
 WHERE {_cos_sql('a.v', 'b.v')} >= 0.4
+UNION ALL
+SELECT 'semantic' AS mode, cl.vec_id AS id_a, cl.cid AS id_b,
+       CASE WHEN d.vec_id IS NULL THEN 1.0 ELSE 0.0 END AS score
+FROM cells cl LEFT JOIN dup d ON cl.vec_id = d.vec_id
 """,
 )
 def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs within sign-LSH buckets."""
-    return S.embedding_near_dup_pairs(
-        load_table(spark, "embeddings", sf_dir), threshold=0.4, bucketed=True
+    """Embedding near-duplication, two strategies in one feed:
+    'pairs' = cosine near-dup pairs within sign-LSH buckets (the
+    pairwise evidence path), 'semantic' = SemDeDup-style per-Voronoi-
+    cell dedup annotation (``similarity.semantic_dedup``: cell
+    blocking + lower-id-neighbor domination — the corpus-annotation
+    path a curation job consumes directly; score 1.0 = kept). Both
+    sub-quadratic via blocking; thresholds identical so the branches
+    agree on what counts as a duplicate."""
+    embs = load_table(spark, "embeddings", sf_dir)
+    pairs = S.embedding_near_dup_pairs(
+        embs, threshold=0.4, bucketed=True
+    ).select(
+        F.lit("pairs").alias("mode"),
+        F.col("vec_a").alias("id_a"),
+        F.col("vec_b").alias("id_b"),
+        F.col("sim").alias("score"),
     )
+    sem = S.semantic_dedup(embs, threshold=0.4).select(
+        F.lit("semantic").alias("mode"),
+        F.col("vec_id").alias("id_a"),
+        F.col("cid").alias("id_b"),
+        F.col("is_kept").cast("double").alias("score"),
+    )
+    return pairs.unionByName(sem)
 
 
 # ---------------------------------------------------------------------------
@@ -865,11 +901,14 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     computes true components with a recursive transitive-closure CTE —
     an iterative distributed algorithm with a full value-hash check.
 
-    The 'streamed' branch replays the SAME pair set in three
+    The 'streamed' branch replays the SAME pair set in two
     deterministic chunks through the persisted incremental union-find
     (``streaming/components.py`` — the O(batch)-per-fold label state a
     growing crawl maintains instead of recomputing batch CC over all
-    accumulated pairs) and must resolve to identical labels."""
+    accumulated pairs) and must resolve to identical labels: chunk 1
+    folds against chunk 0's persisted state, so cross-cluster merges
+    exercise the forest path (deeper multi-batch schedules are pinned
+    by tests/test_streaming_components.py)."""
     import shutil as _shutil
     import tempfile as _tempfile
 
@@ -887,11 +926,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     base = _tempfile.mkdtemp(prefix="rdp_cc_labels_q_")
-    for i in range(3):
+    for i in range(2):
         fold_pairs_batch(
             spark,
             base,
-            pairs.where(F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(3)) == i),
+            pairs.where(F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(2)) == i),
             i,
         )
     streamed = (
@@ -1347,7 +1386,13 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("ivf_trained").alias("method"), "query_id", "vec_id", "sim", "rank"
     )
     base = _tempfile.mkdtemp(prefix="rdp_ann_index_q_")
-    A.build_ann_index(embs, base, n_cells=S.N_IVF_CELLS, centroids=centroids)
+    # n_vec_buckets=4: layout parameter only (probe prunes on whatever
+    # the build froze) — 8x4 partition dirs instead of 8x16 keeps the
+    # in-query proof's small-file fan-out down at bench scale
+    A.build_ann_index(
+        embs, base, n_cells=S.N_IVF_CELLS, centroids=centroids,
+        n_vec_buckets=4,
+    )
     ivp = (
         A.ivf_topk_persisted(spark, base, ANN_QUERY_IDS, top_k=5)
         .select(

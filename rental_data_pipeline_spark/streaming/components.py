@@ -65,6 +65,15 @@ def _bdir(root: str, sub: str, batch_id: int) -> str:
     return f"{root}/{sub}/b_{batch_id:09d}"
 
 
+def _atomic_json_write(path: str, obj) -> None:
+    """tmp + os.replace, the discipline _ensure_meta/rebucket use — a
+    crash mid-write must never leave truncated JSON behind."""
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump(obj, f)
+    _os.replace(tmp, path)
+
+
 def _committed(root: str, sub: str) -> list[str]:
     """Live slice dirs of ``sub``, gated on the BATCH-level commit: a
     ``members`` ``b_*`` slice is visible only once its forest
@@ -147,9 +156,21 @@ def fold_pairs_batch(
             _shutil.rmtree(d, ignore_errors=True)
 
     dt = pairs.schema[a_col].dataType.simpleString()
-    edges = sorted(
-        (r[0], r[1]) for r in pairs.select(a_col, b_col).distinct().collect()
+    # ONE collect for edges AND their docs' buckets (the bucket is a
+    # pure column function, so it rides the same job — at micro-batch
+    # cadence every saved job is fixed scheduling overhead saved)
+    erows = (
+        pairs.select(a_col, b_col)
+        .distinct()
+        .select(
+            F.col(a_col),
+            F.col(b_col),
+            _bucket_of(a_col, N_LABEL_BUCKETS).alias("_ba"),
+            _bucket_of(b_col, N_LABEL_BUCKETS).alias("_bb"),
+        )
+        .collect()
     )
+    edges = sorted((r[0], r[1]) for r in erows)
 
     def _commit(new_members: list, forest_add: list) -> None:
         # members first; an empty slice is written unpartitioned but
@@ -175,22 +196,21 @@ def fold_pairs_batch(
         return
 
     touched = sorted({d for e in edges for d in e})
-    tdf = spark.createDataFrame([(d,) for d in touched], f"doc {dt}")
-    touched_db = [
-        r[0]
-        for r in tdf.select(_bucket_of("doc", N_LABEL_BUCKETS).alias(_DB))
-        .distinct()
-        .collect()
-    ]
+    touched_db = sorted({b for r in erows for b in (r["_ba"], r["_bb"])})
     member_label: dict = {}
     paths = _member_subdirs(_committed(labels_path, _MEMBERS), touched_db)
     if paths:
+        stored = spark.read.parquet(*paths)
+        if len(touched) <= 10_000:
+            # IN-list: pushes to the parquet scan, no join stage
+            lookup = stored.where(F.col("doc").isin(touched))
+        else:
+            # big batch: an IN-list this size bloats the plan — join
+            # against a broadcast frame instead
+            tdf = spark.createDataFrame([(d,) for d in touched], f"doc {dt}")
+            lookup = stored.join(F.broadcast(tdf), "doc")
         member_label = {
-            r[0]: r[1]
-            for r in spark.read.parquet(*paths)
-            .join(F.broadcast(tdf), "doc")
-            .select("doc", "label")
-            .collect()
+            r[0]: r[1] for r in lookup.select("doc", "label").collect()
         }
 
     parent = _forest_parent(spark, labels_path)
@@ -236,15 +256,18 @@ def bootstrap_components(
     driver-bounded folding would not be (the historical backfill).
     Only valid into an EMPTY label table; incremental folds take over
     from the next batch id."""
+    fdir = _bdir(labels_path, _FOREST, batch_id)
+    mdir = _bdir(labels_path, _MEMBERS, batch_id)
+    # committed-replay no-op FIRST (a crash after the forest _SUCCESS
+    # but before the caller observed success must replay like
+    # fold_pairs_batch does), then the empty-table precondition
+    if _os.path.exists(f"{fdir}/_SUCCESS"):
+        return
     if _committed(labels_path, _MEMBERS):
         raise ValueError(
             "bootstrap_components: label table is not empty — use "
             "fold_pairs_batch for incremental batches"
         )
-    fdir = _bdir(labels_path, _FOREST, batch_id)
-    mdir = _bdir(labels_path, _MEMBERS, batch_id)
-    if _os.path.exists(f"{fdir}/_SUCCESS"):
-        return
     for d in (mdir, fdir):
         if _os.path.exists(d):
             _shutil.rmtree(d, ignore_errors=True)
@@ -257,9 +280,15 @@ def bootstrap_components(
     )
     dt = cc.schema["label"].dataType.simpleString()
     dp = spark.sparkContext.defaultParallelism
-    cc.withColumn(_DB, _bucket_of("doc", N_LABEL_BUCKETS)).repartition(
-        dp, F.col(_DB)
-    ).write.partitionBy(_DB).parquet(mdir)
+    if cc.limit(1).count() == 0:
+        # zero-row partitionBy writes no readable part file
+        spark.createDataFrame(
+            [], f"doc {dt}, label {dt}, {_DB} int"
+        ).write.parquet(mdir)
+    else:
+        cc.withColumn(_DB, _bucket_of("doc", N_LABEL_BUCKETS)).repartition(
+            dp, F.col(_DB)
+        ).write.partitionBy(_DB).parquet(mdir)
     spark.createDataFrame([], f"old_root {dt}, new_root {dt}").write.parquet(
         fdir
     )
@@ -314,8 +343,13 @@ def catchup_components(
     wm_path = f"{labels_path}/_folded_upto.json"
     upto = -1
     if _os.path.exists(wm_path):
-        with open(wm_path) as f:
-            upto = _json.load(f)["upto"]
+        # tolerate a truncated watermark (crash mid-write): folds are
+        # idempotent, so falling back to -1 just replays no-op commits
+        try:
+            with open(wm_path) as f:
+                upto = _json.load(f)["upto"]
+        except (ValueError, KeyError):
+            upto = -1
     folded = 0
     for d in sliced_committed(f"{index_path}/pairs"):
         bid = int(_os.path.basename(d)[2:])
@@ -323,8 +357,7 @@ def catchup_components(
             continue
         fold_pairs_batch(spark, labels_path, spark.read.parquet(d), bid)
         upto = bid
-        with open(wm_path, "w") as f:
-            _json.dump({"upto": upto}, f)
+        _atomic_json_write(wm_path, {"upto": upto})
         folded += 1
     if len(_committed(labels_path, _MEMBERS)) >= compact_every:
         compact_labels(spark, labels_path)
@@ -369,17 +402,25 @@ def compact_labels(
     resolved = read_components(spark, labels_path).select(
         F.col("node").alias("doc"), F.col("component").alias("label")
     )
+    dt = resolved.schema["label"].dataType.simpleString()
     dp = spark.sparkContext.defaultParallelism
     cdir = _next_c(_MEMBERS)
-    resolved.withColumn(_DB, _bucket_of("doc", N_LABEL_BUCKETS)).repartition(
-        dp, F.col(_DB)
-    ).write.partitionBy(_DB).parquet(cdir)
+    # mirror fold's _commit guard: partitionBy of zero rows writes a
+    # _SUCCESS dir with no readable part file, wedging every later read
+    # ("Unable to infer schema") once the covered b_* slices are deleted
+    if resolved.limit(1).count() == 0:
+        spark.createDataFrame(
+            [], f"doc {dt}, label {dt}, {_DB} int"
+        ).write.parquet(cdir)
+    else:
+        resolved.withColumn(
+            _DB, _bucket_of("doc", N_LABEL_BUCKETS)
+        ).repartition(dp, F.col(_DB)).write.partitionBy(_DB).parquet(cdir)
     with open(f"{cdir}/_covered.json", "w") as f:
         _json.dump(sorted(_os.path.basename(d) for d in mdirs), f)
     for d in mdirs:
         _shutil.rmtree(d, ignore_errors=True)
 
-    dt = resolved.schema["label"].dataType.simpleString()
     cdir = _next_c(_FOREST)
     spark.createDataFrame([], f"old_root {dt}, new_root {dt}").write.parquet(
         cdir

@@ -1,0 +1,220 @@
+#!/usr/bin/env python3
+"""Per-batch fold cost vs accumulated state size for the streaming
+folds — the O(batch)-not-O(corpus) claim, measured.
+
+For each fold, build the persisted state at 1x and 10x corpus size,
+then time folding ONE batch of FIXED size into it. A flat (~1x) ratio
+between the tiers is the designed behavior; an ~10x ratio would mean
+the fold secretly rescans the corpus (the reference's
+load-all/rewrite-all shape, and what batch recomputation would cost):
+
+- ``cdc``    the bucketed CDC state fold (streaming/incremental.py):
+             delta versions touch only the batch's key buckets.
+- ``index``  the incremental MinHash/LSH dedup index
+             (streaming/dedup_index.py): the new-vs-old probe reads
+             only the band/shingle buckets the batch hashes to.
+- ``labels`` the incremental connected-components label fold
+             (streaming/components.py): merges write forest edges,
+             member lookups read only the batch's doc buckets.
+
+Stream-based folds (cdc, index) carry a fixed per-run StreamingQuery
+startup cost (identical across tiers — it's the flat floor both
+numbers sit on); the label fold is called directly. Each timing is
+min-of-2 to damp this host's known scheduler stalls.
+
+Usage: python scripts/stress_streaming_folds.py [fold...]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from rental_data_pipeline_spark.session import get_spark  # noqa: E402
+
+from pyspark.sql import functions as F  # noqa: E402
+
+
+def _timed(fn) -> float:
+    t0 = time.perf_counter()
+    fn()
+    return round(time.perf_counter() - t0, 2)
+
+
+# ---------------------------------------------------------------------------
+# cdc: bucketed state fold
+# ---------------------------------------------------------------------------
+
+
+def cdc_fold_sec(spark, n_keys: int, batch_keys: int) -> float:
+    from rental_data_pipeline_spark.streaming import (
+        incremental_merge_stream,
+        read_snapshot_stream,
+    )
+    from rental_data_pipeline_spark.streaming.incremental import (
+        SNAPSHOT_SCHEMA,
+    )
+
+    base = tempfile.mkdtemp(prefix="fold_stress_cdc_")
+    landing, state, ckpt = f"{base}/landing", f"{base}/state", f"{base}/ckpt"
+    try:
+        seed = spark.range(n_keys).select(
+            F.col("id").alias("offer_id"),
+            F.to_timestamp(F.lit("2024-01-01 10:00:00")).alias("updated_date"),
+            (F.col("id") % 1000 + 1).cast("double").alias("price_value"),
+            F.lit(False).alias("is_unpublished"),
+            F.col("id").alias("event_id"),
+        )
+        seed.coalesce(1).write.mode("append").parquet(landing)
+
+        def fold():
+            q = incremental_merge_stream(
+                read_snapshot_stream(
+                    spark, landing, SNAPSHOT_SCHEMA, max_files_per_trigger=1
+                ),
+                state, ckpt, compact_every=1000, keep_versions=100,
+                n_buckets=256,
+            )
+            q.awaitTermination(600)
+
+        fold()  # seed fold (full snapshot)
+        times = []
+        for i in range(2):
+            seed.where(F.col("offer_id") < batch_keys).select(
+                "offer_id",
+                F.to_timestamp(
+                    F.lit(f"2024-01-0{i + 2} 10:00:00")
+                ).alias("updated_date"),
+                (F.col("price_value") + 10 * (i + 1)).alias("price_value"),
+                "is_unpublished",
+                (F.col("event_id") + n_keys * (i + 1)).alias("event_id"),
+            ).coalesce(1).write.mode("append").parquet(landing)
+            times.append(_timed(fold))
+        return min(times)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# index: incremental MinHash/LSH dedup index fold
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark, n: int, start: int = 0):
+    # varied multi-token texts: realistic shingle sets, sparse overlap
+    return spark.range(start, start + n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("alpha beta gamma delta epsilon token"),
+            (F.col("id") % 9973).cast("string"),
+            F.lit(" zeta eta theta iota kappa word"),
+            (F.col("id") % 7919).cast("string"),
+            F.lit(" lambda mu nu xi"),
+        ).alias("text"),
+    )
+
+
+def index_fold_sec(spark, n_docs: int, batch_docs: int) -> float:
+    from rental_data_pipeline_spark.streaming.dedup_index import (
+        incremental_minhash_index_stream,
+    )
+
+    base = tempfile.mkdtemp(prefix="fold_stress_idx_")
+    landing, index, ckpt = f"{base}/landing", f"{base}/index", f"{base}/ckpt"
+    try:
+        _docs(spark, n_docs).coalesce(1).write.mode("append").parquet(landing)
+
+        def fold():
+            q = incremental_minhash_index_stream(
+                spark.readStream.schema("doc_id long, text string")
+                .option("maxFilesPerTrigger", 1)
+                .parquet(landing),
+                index, ckpt, threshold=0.8, compact_every=1000,
+            )
+            q.awaitTermination(600)
+
+        fold()  # seed fold: the whole corpus becomes the stored index
+        times = []
+        for i in range(2):
+            _docs(spark, batch_docs, start=10_000_000 * (i + 1)).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+            times.append(_timed(fold))
+        return min(times)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ---------------------------------------------------------------------------
+# labels: incremental connected-components fold
+# ---------------------------------------------------------------------------
+
+
+def labels_fold_sec(spark, n_pairs: int, batch_pairs: int) -> float:
+    from rental_data_pipeline_spark.streaming.components import (
+        bootstrap_components,
+        fold_pairs_batch,
+    )
+
+    base = tempfile.mkdtemp(prefix="fold_stress_cc_")
+    try:
+        # seed: n_pairs disjoint edges → 2·n_pairs member rows
+        seed = spark.range(n_pairs).select(
+            (F.col("id") * 2).alias("doc_a"), (F.col("id") * 2 + 1).alias("doc_b")
+        )
+        bootstrap_components(spark, base, seed, 0)
+        times = []
+        for i in range(2):
+            # fixed batch: half bridge existing clusters, half are new
+            batch = spark.range(batch_pairs).select(
+                F.when(F.col("id") % 2 == 0, F.col("id") * 4 + 1)
+                .otherwise(F.col("id") + 20_000_000 * (i + 1))
+                .alias("doc_a"),
+                F.when(F.col("id") % 2 == 0, F.col("id") * 4 + 2)
+                .otherwise(F.col("id") + 30_000_000 * (i + 1))
+                .alias("doc_b"),
+            )
+            times.append(
+                _timed(lambda: fold_pairs_batch(spark, base, batch, i + 1))
+            )
+        return min(times)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+FOLDS = {
+    # (fn, 1x size, 10x size, fixed batch size)
+    "cdc": (cdc_fold_sec, 100_000, 1_000_000, 500),
+    "index": (index_fold_sec, 2_000, 20_000, 200),
+    "labels": (labels_fold_sec, 20_000, 200_000, 200),
+}
+
+
+def main() -> None:
+    only = set(sys.argv[1:])
+    spark = get_spark("fold_stress")
+    spark.sparkContext.setLogLevel("ERROR")
+    results = {}
+    for name, (fn, n1, n10, b) in FOLDS.items():
+        if only and name not in only:
+            continue
+        s1 = fn(spark, n1, b)
+        s10 = fn(spark, n10, b)
+        results[name] = {
+            "state_1x": n1, "state_10x": n10, "batch": b,
+            "sec_1x": s1, "sec_10x": s10,
+            "ratio": round(s10 / max(s1, 0.01), 2),
+        }
+        print(f"{name:7s} state {n1}->{n10} (batch {b}): "
+              f"{s1}s -> {s10}s  ratio {results[name]['ratio']}x", flush=True)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -88,3 +88,74 @@ def test_pq_probe_requires_pq_build(spark, sf_dir, index_dir):
     build_ann_index(embs, index_dir, n_cells=4, n_iter=1)  # no PQ artifact
     with pytest.raises(ValueError):
         pq_topk_persisted(spark, index_dir, QUERY_IDS)
+
+
+def test_pq_persisted_skips_zero_norm_queries_like_in_query(
+    spark, index_dir
+):
+    """Round-6 advisor (low): pq_topk_persisted divided by the raw
+    query norm driver-side, so a zero-norm query embedding raised
+    ZeroDivisionError while pq_topk silently dropped it (via
+    _unit_corpus) — the 'byte-equal' paths diverged on degenerate
+    input. Both must now drop it."""
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(1, 25)]
+    rows.append((999, [0.0] * 8))  # zero-norm vector
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    build_ann_index(
+        df, index_dir, n_cells=4, n_iter=1, pq=True, m=8, k=4, pq_iter=1
+    )
+    got = pq_topk_persisted(spark, index_dir, [1, 999], top_k=3, shortlist=10)
+    want = pq_topk(df, [1, 999], top_k=3, shortlist=10, m=8, k=4, n_iter=1)
+    assert {r.query_id for r in got.collect()} == {1}
+    assert _rows(got) == _rows(want)
+
+
+@pytest.fixture()
+def index_dir2():
+    d = tempfile.mkdtemp(prefix="ann_index_test2_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_append_then_probe_equals_rebuild_on_union(
+    spark, sf_dir, index_dir, index_dir2
+):
+    """Incremental maintenance: build(A) + append(B) must be
+    probe-for-probe byte-equal to build(A∪B) against the same frozen
+    centroids/codebooks — new crawl batches accrete into the persisted
+    index with no retrain and no rewrite of existing cells."""
+    from rental_data_pipeline_spark.operators.ann_index import append_ann_index
+    from rental_data_pipeline_spark.operators.similarity import (
+        kmeans_train,
+        pq_train,
+    )
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    a = embs.where(F.col("vec_id") % 3 != 0)
+    b = embs.where(F.col("vec_id") % 3 == 0)
+    # the trained artifact is frozen on the initial corpus — the
+    # standard IVF maintenance split (appends cheap, retrain offline)
+    centroids, _ = kmeans_train(a, k=8, n_iter=2)
+    codebooks = pq_train(a, m=8, k=16, n_iter=1)
+    for d, corpus in ((index_dir, a), (index_dir2, embs)):
+        build_ann_index(
+            corpus, d, n_cells=8, pq=True,
+            centroids=centroids, codebooks=codebooks,
+        )
+    append_ann_index(b, index_dir)
+
+    got_ivf = _rows(ivf_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5))
+    want_ivf = _rows(ivf_topk_persisted(spark, index_dir2, QUERY_IDS, top_k=5))
+    assert got_ivf == want_ivf and got_ivf
+    # appended ids are actually findable (B contains multiples of 3)
+    assert any(v % 3 == 0 for _, v, _, _ in got_ivf)
+    got_pq = _rows(
+        pq_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5, shortlist=50)
+    )
+    want_pq = _rows(
+        pq_topk_persisted(spark, index_dir2, QUERY_IDS, top_k=5, shortlist=50)
+    )
+    assert got_pq == want_pq and got_pq

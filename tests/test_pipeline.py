@@ -166,3 +166,36 @@ def test_time_travel_across_batch_pipeline_runs(spark, outdir):
         row.offer_id: row.price_value for row in r2["state"].collect()
     }
     assert set(now) > set(back)  # run 2 added keys 6-8
+
+
+def test_expectations_gate_listing_batch(spark, outdir):
+    """Round-5 verdict item #7: declarative expectations front the
+    listing merge — failing rows quarantine, per-rule counts ride the
+    A7 Observation metrics, clean rows merge normally."""
+    ids = list(range(1, 31))
+    search_pages, listing_for, geocode, route = _fixtures(spark, ids)
+    cfg = PipelineConfig(
+        expectations={
+            # fixture price = (doc_id % 100 + 20) * 1000 → 21k..50k;
+            # docs 11..30 (price > 30k) fail
+            "price_max": F.col("price_value") <= 30000,
+            "key_present": F.col("offer_id").isNotNull(),
+        }
+    )
+    res = run_pipeline(
+        spark, search_pages, listing_for, geocode, route, cfg,
+        state_path=f"{outdir}/state", output_dir=outdir,
+    )
+    m = res["metrics"]
+    assert m["n_expectation_quarantined"] == 20
+    assert m["expectation_price_max"] == 20
+    assert m["expectation_key_present"] == 0
+    # quarantined rows kept their violation tags for triage
+    q = res["expectation_quarantine"].collect()
+    assert len(q) == 20 and all(r._violations == ["price_max"] for r in q)
+    # clean listings merged; quarantined ones contributed only their
+    # search-phase fields (no listing-page enrichment)
+    state = {r.offer_id: r for r in res["state"].collect()}
+    assert len(state) == 30  # search phase still saw every offer
+    assert state["100001"].metro_station == "Станция1"
+    assert state["100011"].metro_station is None

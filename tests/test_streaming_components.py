@@ -194,3 +194,72 @@ def test_dedup_index_stream_maintains_labels(spark, sf_dir, labels_dir):
         assert catchup_components(spark, index, labels_dir) == 0
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_empty_batches_then_compaction_keeps_table_readable(
+    spark, labels_dir
+):
+    """Round-6 advisor (medium): compaction over all-empty member
+    slices used to partitionBy-write zero rows — a slice with _SUCCESS
+    but no part file — then delete the b_* slices, wedging every later
+    read with 'Unable to infer schema'. The empty compaction must be
+    schema-bearing like the per-batch _commit guard."""
+    empty = _pairs_df(spark, [])
+    for bid in range(3):
+        fold_pairs_batch(spark, labels_dir, empty, bid)
+    assert compact_labels(spark, labels_dir)
+    # still readable: no live pairs → no labels, but not an error
+    got = read_components(spark, labels_dir)
+    assert got is not None and got.count() == 0
+    # folding continues against the empty compacted table
+    fold_pairs_batch(spark, labels_dir, _pairs_df(spark, [(1, 2)]), 10)
+    assert _labels(read_components(spark, labels_dir)) == {(1, 1), (2, 1)}
+
+
+def test_bootstrap_committed_replay_noops_and_empty_pairs_readable(
+    spark, labels_dir
+):
+    """Round-6 advisor (low x2): a committed bootstrap replay (crash
+    after the forest _SUCCESS, before the caller saw success) must
+    no-op like fold_pairs_batch — not raise the not-empty error — and
+    bootstrapping an EMPTY pair set must leave a readable table."""
+    bootstrap_components(spark, labels_dir, _pairs_df(spark, _BATCHES[0]), 0)
+    want = _labels(read_components(spark, labels_dir))
+    bootstrap_components(  # replay with different content: no-op
+        spark, labels_dir, _pairs_df(spark, [(7, 8)]), 0
+    )
+    assert _labels(read_components(spark, labels_dir)) == want
+
+    import tempfile as _tf
+
+    d2 = _tf.mkdtemp(prefix="cc_labels_empty_")
+    try:
+        bootstrap_components(spark, d2, _pairs_df(spark, []), 0)
+        got = read_components(spark, d2)
+        assert got is not None and got.count() == 0
+        fold_pairs_batch(spark, d2, _pairs_df(spark, [(3, 4)]), 1)
+        assert _labels(read_components(spark, d2)) == {(3, 3), (4, 3)}
+    finally:
+        shutil.rmtree(d2, ignore_errors=True)
+
+
+def test_corrupt_watermark_falls_back_to_idempotent_replay(
+    spark, labels_dir, tmp_path
+):
+    """Round-6 advisor (low): a truncated _folded_upto.json (crash
+    mid-write) must not wedge catch-up — folds are idempotent, so the
+    watermark degrades to -1 and committed batches no-op replay. The
+    watermark itself is now written tmp+os.replace."""
+    index = str(tmp_path / "index")
+    _pairs_df(spark, _BATCHES[0]).write.parquet(f"{index}/pairs/b_000000000")
+    _pairs_df(spark, _BATCHES[1]).write.parquet(f"{index}/pairs/b_000000001")
+    assert catchup_components(spark, index, labels_dir) == 2
+    want = _labels(read_components(spark, labels_dir))
+
+    with open(f"{labels_dir}/_folded_upto.json", "w") as f:
+        f.write('{"upto"')  # truncated mid-write
+    # re-runs both folds as no-ops, repairs the watermark, same labels
+    assert catchup_components(spark, index, labels_dir) == 2
+    assert _labels(read_components(spark, labels_dir)) == want
+    assert catchup_components(spark, index, labels_dir) == 0
+    assert not os.path.exists(f"{labels_dir}/_folded_upto.json.tmp")

@@ -573,3 +573,60 @@ def test_char_shingles_tokenizer_free(spark):
     ).where(F.col("j") >= 0.5)
     got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
     assert got == {(1, 2)}
+
+
+def test_semantic_dedup_blocks_by_cell_and_drops_dominated(spark):
+    """SemDeDup shape: per-Voronoi-cell blocking, lower-id-neighbor
+    domination, cross-cell dups untouched by design."""
+    from pyspark.sql import functions as F
+
+    from rental_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),   # centroid of cell 1
+        (2, [0.0, 1.0, 0.0, 0.0]),   # centroid of cell 2
+        (3, [1.0, 0.01, 0.0, 0.0]),  # cell 1, ~dup of 1 -> dropped
+        (4, [0.9, 0.45, 0.0, 0.0]),  # cell 1, cos(1,4)=0.894 < tau -> kept
+        (5, [0.0, 1.0, 0.05, 0.0]),  # cell 2, ~dup of 2 -> dropped
+        (6, [0.0, 0.0, 0.0, 1.0]),   # orthogonal; tie -> lowest cid, kept
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: (r.cid, r.is_kept)
+        for r in semantic_dedup(df, threshold=0.95, n_cells=2).collect()
+    }
+    assert got == {
+        1: (1, True), 2: (2, True), 3: (1, False),
+        4: (1, True), 5: (2, False), 6: (1, True),
+    }
+    # trained-centroid form: explicit (cid, cv) frame, same machinery
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])],
+        "cid int, cv array<double>",
+    )
+    got2 = {
+        r.vec_id: r.is_kept
+        for r in semantic_dedup(df, threshold=0.95, centroids=cents).collect()
+    }
+    assert got2 == {1: True, 2: True, 3: False, 4: True, 5: False, 6: True}
+
+
+def test_connected_components_deep_path_graph_converges(spark):
+    """Regression (round 7): each propagation round references the
+    label frame twice, so without a per-iteration lineage barrier the
+    plan doubled per round — exponential in component diameter (a
+    diameter-13 path took hours inside plan-string rendering). A
+    path graph needs diameter rounds; this must now complete in
+    seconds with every node resolving to the path's minimum."""
+    from rental_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    n = 17  # diameter 16 path: 0-1-2-...-16
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    got = {
+        (r.node, r.component) for r in connected_components(pairs).collect()
+    }
+    assert got == {(i, 0) for i in range(n)}
