@@ -42,6 +42,10 @@ from rental_data_pipeline_spark.operators.normalize import (  # noqa: F401
     normalize_listings,
 )
 from rental_data_pipeline_spark.operators.profile import table_profile  # noqa: F401
+from rental_data_pipeline_spark.operators.zorder import (  # noqa: F401
+    write_zordered,
+    zorder_key,
+)
 from rental_data_pipeline_spark.operators.sampling import (  # noqa: F401
     deterministic_sample,
     exact_k_sample,
@@ -65,6 +69,7 @@ from rental_data_pipeline_spark.operators.similarity import (  # noqa: F401
 from rental_data_pipeline_spark.operators.sketch import (  # noqa: F401
     countmin_lookup,
     countmin_sketch,
+    heavy_hitters,
     hll_distinct,
     theta_distinct,
 )

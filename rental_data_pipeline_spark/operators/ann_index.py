@@ -169,9 +169,45 @@ def _read_codebooks(
     return codebooks
 
 
+def _append_slice_dirs(index_path: str, meta: dict) -> list[str]:
+    """Committed append slices, oldest first. A slice commits with its
+    LAST-written table's ``_SUCCESS`` (codes for a PQ index,
+    assignments otherwise), so readers never see half an append."""
+    import glob as _glob
+
+    commit_sub = "codes" if meta.get("pq") else "assignments"
+    return sorted(
+        d
+        for d in _glob.glob(f"{index_path}/appends/b_*")
+        if _os.path.exists(f"{d}/{commit_sub}/_SUCCESS")
+    )
+
+
+def _read_assignments(spark: SparkSession, index_path: str, meta: dict) -> DataFrame:
+    """Base assignment table + every committed append slice. Each dir
+    is its own partitioned root, so cid/vb partition pruning applies
+    per scan; empty slices are schema-bearing plain-column frames."""
+    out = spark.read.parquet(f"{index_path}/assignments")
+    for d in _append_slice_dirs(index_path, meta):
+        out = out.unionByName(
+            spark.read.parquet(f"{d}/assignments"), allowMissingColumns=True
+        )
+    return out
+
+
+def _read_codes(spark: SparkSession, index_path: str, meta: dict) -> DataFrame:
+    out = spark.read.parquet(f"{index_path}/codes")
+    for d in _append_slice_dirs(index_path, meta):
+        out = out.unionByName(
+            spark.read.parquet(f"{d}/codes"), allowMissingColumns=True
+        )
+    return out
+
+
 def append_ann_index(
     df: DataFrame,
     index_path: str,
+    batch_id: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> None:
@@ -180,15 +216,35 @@ def append_ann_index(
     rewriting existing cells. New vectors are assigned map-side
     against the frozen centroid table (identical expression forms to
     the build, so probes over build(A)+append(B) are byte-equal to
-    build(A∪B) against the same trained artifact) and appended to the
-    (cid, vb)-partitioned assignments table; with a PQ artifact, the
-    batch is encoded with the frozen codebooks and appended to codes.
-    Ids must be new (append-only corpus — re-ingesting an id is the
-    caller's bug, the dedup-index contract). Centroid drift is the
-    offline rebuild's job (``build_ann_index``), the standard IVF
+    build(A∪B) against the same trained artifact) and written as a
+    (cid, vb)-partitioned append SLICE (``appends/b_<id>``) with the
+    shared slice-commit protocol: assignments first, codes (PQ) last —
+    the final table's ``_SUCCESS`` commits the batch, a committed
+    ``batch_id`` replay no-ops, and a crashed attempt is rewritten
+    wholesale. That makes the append safe to drive from a streaming
+    ``foreachBatch`` (``streaming/ann_stream.py``). Ids must be new
+    (append-only corpus, the dedup-index contract). Centroid drift is
+    the offline rebuild's job (``build_ann_index``), the standard IVF
     maintenance split: cheap per-batch appends, periodic retrains."""
+    import shutil as _shutil
+
     spark = df.sparkSession
     meta = read_meta(index_path)
+    if batch_id is None:
+        import glob as _glob
+
+        existing = [
+            int(_os.path.basename(d)[2:])
+            for d in _glob.glob(f"{index_path}/appends/b_*")
+        ]
+        batch_id = max(existing, default=-1) + 1
+    sdir = f"{index_path}/appends/b_{batch_id:09d}"
+    commit_sub = "codes" if meta.get("pq") else "assignments"
+    if _os.path.exists(f"{sdir}/{commit_sub}/_SUCCESS"):
+        return  # committed replay: no-op
+    if _os.path.exists(sdir):
+        _shutil.rmtree(sdir, ignore_errors=True)
+
     centroids = _read_centroids(spark, index_path)
     corpus = (
         _corpus(df, id_col, vec_col)
@@ -198,17 +254,31 @@ def append_ann_index(
     asg = _assign_to_centroids(corpus, centroids).select(
         "vec_id", "v", "cid"
     ).withColumn("vb", _bucket_of("vec_id", meta["n_vec_buckets"]))
-    asg.repartition(1).write.partitionBy("cid", "vb").mode("append").parquet(
-        f"{index_path}/assignments"
-    )
+    dt = df.schema[id_col].dataType.simpleString()
+    if asg.limit(1).count() == 0:
+        # zero-row partitionBy writes no readable part file — commit a
+        # schema-bearing plain-column frame instead (the shared guard)
+        spark.createDataFrame(
+            [], f"vec_id {dt}, v array<double>, cid int, vb int"
+        ).write.parquet(f"{sdir}/assignments")
+    else:
+        asg.repartition(1).write.partitionBy("cid", "vb").parquet(
+            f"{sdir}/assignments"
+        )
     if meta.get("pq"):
         m, k = meta["pq"]["m"], meta["pq"]["k"]
         codebooks = _read_codebooks(spark, index_path, m, k)
-        pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col).withColumn(
+        codes = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col).withColumn(
             "vb", _bucket_of("vec_id", meta["n_vec_buckets"])
-        ).repartition(1).write.partitionBy("vb").mode("append").parquet(
-            f"{index_path}/codes"
         )
+        if codes.limit(1).count() == 0:
+            spark.createDataFrame(
+                [], f"vec_id {dt}, codes array<int>, vb int"
+            ).write.parquet(f"{sdir}/codes")
+        else:
+            codes.repartition(1).write.partitionBy("vb").parquet(
+                f"{sdir}/codes"
+            )
 
 
 def _query_vectors(
@@ -217,7 +287,7 @@ def _query_vectors(
     """(query_id, qv) looked up through vb partition pruning — the
     point-read path: only the id buckets the queries hash to are
     scanned, not the corpus."""
-    asg = spark.read.parquet(f"{index_path}/assignments")
+    asg = _read_assignments(spark, index_path, meta)
     qids = [int(q) for q in query_ids]
     qb = [
         r[0]
@@ -264,7 +334,7 @@ def ivf_topk_persisted(
     # bounded driver scalars (|queries| · nprobe cell ids) drive the
     # partition-pruned cell read
     probed = sorted(r[0] for r in qprobe.select("cid").distinct().collect())
-    asg = spark.read.parquet(f"{index_path}/assignments")
+    asg = _read_assignments(spark, index_path, meta)
     cells = asg.where(F.col("cid").isin(probed)).select("vec_id", "v", "cid")
     sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
@@ -326,7 +396,7 @@ def pq_topk_persisted(
         spark.sparkContext.parallelize(luts, 1),
         "query_id long, lut array<double>",
     )
-    codes = spark.read.parquet(f"{index_path}/codes")
+    codes = _read_codes(spark, index_path, meta)
     adc = F.round(
         F.aggregate(
             F.sequence(F.lit(0), F.lit(m - 1)),
@@ -360,7 +430,7 @@ def pq_topk_persisted(
         .distinct()
         .collect()
     ]
-    asg = spark.read.parquet(f"{index_path}/assignments")
+    asg = _read_assignments(spark, index_path, meta)
     corpus = asg.where(F.col("vb").isin(sb) & F.col("vec_id").isin(short_ids)).select(
         "vec_id", "v"
     )

@@ -615,6 +615,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     total = labels.agg(F.sum("component")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         neighbor_min = edges.join(
             labels, edges["dst"] == labels["node"]
@@ -628,9 +629,19 @@ def connected_components(
         new_total = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
         if new_total == total:
+            converged = True
             break
         total = new_total
     edges.unpersist()
+    if not converged:
+        # a graph deeper than max_iter rounds would otherwise return
+        # silently WRONG labels (propagation covers one hop per round)
+        raise ValueError(
+            f"connected_components: not converged after {max_iter} "
+            "iterations — component diameter exceeds max_iter; raise it "
+            "(near-dup graphs are shallow, this indicates an unusual "
+            "path-shaped input)"
+        )
     return labels
 
 

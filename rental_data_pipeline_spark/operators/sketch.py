@@ -319,3 +319,59 @@ def countmin_lookup(
         .cast("long")
         .alias("cm_estimate"),
     )
+
+
+def heavy_hitters(df: DataFrame, value_col: str, k: int = 16) -> DataFrame:
+    """Misra-Gries heavy hitters: the ε-approximate top-k frequency
+    summary with BOUNDED state — k counters per partition, k·P rows
+    shuffled, k rows out — regardless of how many distinct values the
+    column holds. The complement to :func:`countmin_sketch`: count-min
+    answers "how often is THIS item" (overcounts only), Misra-Gries
+    answers "WHICH items are frequent" (undercounts only).
+
+    Guarantees (mergeable-summaries compression, so they hold for any
+    partitioning): ``est ≤ true`` and ``true - est ≤ n/(k+1)``; every
+    value with true frequency > n/(k+1) is present in the output. At
+    100 TB this is the only shape that finds frequent crawl domains /
+    boilerplate lines without shuffling one row per distinct value.
+
+    Plan: per-partition Arrow-batched MG fold (value_counts per batch,
+    counter merge, decrement-compression to k — the one sanctioned
+    Python stage), a k·P-row partial-summary shuffle summed per item,
+    then one global decrement-compression driven by a bounded driver
+    scalar (the (k+1)-th largest merged counter).
+    """
+    import pandas as pd
+
+    dt = df.schema[value_col].dataType.simpleString()
+    out_schema = f"{value_col} {dt}, __est long"
+
+    def mg(batches):
+        counters: dict = {}
+        for pdf in batches:
+            for v, c in pdf[value_col].value_counts().items():
+                counters[v] = counters.get(v, 0) + int(c)
+            if len(counters) > k:
+                # decrement-compress: subtract the (k+1)-th largest,
+                # drop non-positive — the mergeable-summaries step
+                # that preserves est >= true - eps*n
+                thr = sorted(counters.values(), reverse=True)[k]
+                counters = {
+                    v: c - thr for v, c in counters.items() if c - thr > 0
+                }
+        yield pd.DataFrame(
+            {value_col: list(counters), "__est": list(counters.values())}
+        )
+
+    partial = df.select(value_col).mapInPandas(mg, out_schema)
+    merged = partial.groupBy(value_col).agg(F.sum("__est").alias("__est"))
+    top = (
+        merged.select("__est")
+        .orderBy(F.col("__est").desc())
+        .limit(k + 1)
+        .collect()
+    )
+    thr = int(top[k]["__est"]) if len(top) > k else 0
+    return merged.select(
+        value_col, (F.col("__est") - thr).alias("est_count")
+    ).where(F.col("est_count") > 0)

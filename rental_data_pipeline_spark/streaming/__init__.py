@@ -20,3 +20,13 @@ from rental_data_pipeline_spark.streaming.incremental import (  # noqa: F401
     windowed_price_stats,
     windowed_price_stats_stream_exact,
 )
+from rental_data_pipeline_spark.streaming.ann_stream import (  # noqa: F401
+    incremental_ann_index_stream,
+)
+from rental_data_pipeline_spark.streaming.components import (  # noqa: F401
+    bootstrap_components,
+    catchup_components,
+    compact_labels,
+    fold_pairs_batch,
+    read_components,
+)

@@ -107,15 +107,19 @@ def cdc_fold_sec(spark, n_keys: int, batch_keys: int) -> float:
 
 
 def _docs(spark, n: int, start: int = 0):
-    # varied multi-token texts: realistic shingle sets, sparse overlap
+    # per-doc-unique token streams: a corpus with NO cross-doc shingle
+    # overlap, so the measured cost is the index maintenance itself
+    # (signature compute, slice writes, bucket-pruned probe) — a
+    # shared-boilerplate corpus would instead measure a dense pair
+    # explosion (every doc ~0.5-similar to every other)
     return spark.range(start, start + n).select(
         F.col("id").alias("doc_id"),
-        F.concat(
-            F.lit("alpha beta gamma delta epsilon token"),
-            (F.col("id") % 9973).cast("string"),
-            F.lit(" zeta eta theta iota kappa word"),
-            (F.col("id") % 7919).cast("string"),
-            F.lit(" lambda mu nu xi"),
+        F.concat_ws(
+            " ",
+            *[
+                F.concat(F.lit(f"w{j}x"), F.col("id").cast("string"))
+                for j in range(12)
+            ],
         ).alias("text"),
     )
 

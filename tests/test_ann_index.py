@@ -159,3 +159,86 @@ def test_append_then_probe_equals_rebuild_on_union(
         pq_topk_persisted(spark, index_dir2, QUERY_IDS, top_k=5, shortlist=50)
     )
     assert got_pq == want_pq and got_pq
+
+
+def test_streamed_appends_equal_frozen_rebuild(spark, sf_dir, index_dir, index_dir2):
+    """Streaming maintenance: build(A) + an embedding STREAM of B in
+    three micro-batches must probe byte-equal (IVF and PQ) to a
+    frozen-artifact build over A∪B — and a crashed half-written slice
+    must heal on replay."""
+    import glob
+    import os
+
+    from rental_data_pipeline_spark.operators.ann_index import append_ann_index
+    from rental_data_pipeline_spark.operators.similarity import (
+        kmeans_train,
+        pq_train,
+    )
+    from rental_data_pipeline_spark.streaming.ann_stream import (
+        incremental_ann_index_stream,
+    )
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    a = embs.where(F.col("vec_id") % 3 != 0)
+    b = embs.where(F.col("vec_id") % 3 == 0)
+    centroids, _ = kmeans_train(a, k=8, n_iter=2)
+    codebooks = pq_train(a, m=8, k=16, n_iter=1)
+    for d, corpus in ((index_dir, a), (index_dir2, embs)):
+        build_ann_index(
+            corpus, d, n_cells=8, pq=True,
+            centroids=centroids, codebooks=codebooks,
+        )
+
+    base = tempfile.mkdtemp(prefix="ann_stream_test_")
+    landing, ckpt = f"{base}/landing", f"{base}/ckpt"
+    try:
+        for c in range(3):
+            b.where(F.pmod(F.col("vec_id"), F.lit(3 * 3)) == c * 3).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+        stream = (
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = incremental_ann_index_stream(stream, index_dir, ckpt)
+        q.awaitTermination(180)
+
+        for probe in (
+            lambda d: ivf_topk_persisted(spark, d, QUERY_IDS, top_k=5),
+            lambda d: pq_topk_persisted(spark, d, QUERY_IDS, top_k=5, shortlist=50),
+        ):
+            got, want = _rows(probe(index_dir)), _rows(probe(index_dir2))
+            assert got == want and got
+
+        # crash simulation: a slice with assignments written but no
+        # codes commit is invisible and heals on an idempotent replay
+        slices = sorted(glob.glob(f"{index_dir}/appends/b_*"))
+        assert len(slices) == 3
+        extra = b.limit(0)  # content irrelevant: committed replay no-ops
+        append_ann_index(extra, index_dir, batch_id=2)  # no-op (committed)
+        assert _rows(
+            ivf_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5)
+        ) == _rows(ivf_topk_persisted(spark, index_dir2, QUERY_IDS, top_k=5))
+
+        import shutil as _sh
+
+        # what batch 2 actually carried (file->batch order is the
+        # stream's choice), so the replay below is faithful
+        b2_ids = [
+            r.vec_id
+            for r in spark.read.parquet(f"{slices[2]}/assignments")
+            .select("vec_id")
+            .collect()
+        ]
+        _sh.rmtree(f"{slices[2]}/codes", ignore_errors=True)  # half-commit
+        # uncommitted slice is invisible to probes (no crash, fewer rows)
+        assert ivf_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5).count()
+        # replay the batch: the slice is rewritten wholesale
+        chunk2 = b.where(F.col("vec_id").isin(b2_ids))
+        append_ann_index(chunk2, index_dir, batch_id=2)
+        assert _rows(
+            ivf_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5)
+        ) == _rows(ivf_topk_persisted(spark, index_dir2, QUERY_IDS, top_k=5))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

@@ -179,3 +179,20 @@ def test_scalar_suite_all_broadcast(spark, sf_dir):
     plan = _plan(spark, sf_dir, "scalar_suite")
     assert _exchanges(plan) == 0, "literal fixtures must broadcast, never shuffle"
     assert "SortMergeJoin" not in plan
+
+
+def test_pipeline_join_strategies_are_pinned(spark, sf_dir):
+    """Round-5 verdict item #6: the one SortMergeJoin in the pipeline
+    is the offer-id anti-join (worklist scoping) — DELIBERATE: both
+    sides are state/crawl-scale id sets, so the shuffle join is the
+    scale-safe strategy (a crawl batch of millions of string ids is
+    not reliably broadcastable). Everything else (geo lookup chain,
+    scope plumbing) must broadcast; nothing may degrade to a nested
+    loop or accidentally broadcast the state side. Any NEW sort-merge
+    join appearing here is a regression this test catches."""
+    plan = _plan(spark, sf_dir, "pipeline_end_to_end")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert smj and all("LeftAnti" in ln and "offer_id" in ln for ln in smj), smj
+    assert "BroadcastHashJoin" in plan, "geo lookups must broadcast"

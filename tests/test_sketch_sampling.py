@@ -237,3 +237,39 @@ def test_mix_corpora_quotas_and_determinism(spark, sf_dir):
     assert sorted((r.source, r.doc_id) for r in mixed.collect()) == sorted(
         (r.source, r.doc_id) for r in again.collect()
     )
+
+
+def test_heavy_hitters_misra_gries_bounds(spark):
+    """MG guarantees, checked against exact counts under two different
+    partitionings (the summaries are mergeable, so the bound may not
+    depend on the merge tree): est <= true, true - est <= n/(k+1),
+    and every item with freq > n/(k+1) is present."""
+    from pyspark.sql import functions as F
+
+    from rental_data_pipeline_spark.operators.sketch import heavy_hitters
+
+    # skewed: value v = id % 97, plus two planted heavies
+    base = spark.range(6000).select((F.col("id") % 97).alias("v"))
+    heavy = spark.range(3000).select(
+        F.when(F.col("id") % 2 == 0, F.lit(1000)).otherwise(F.lit(2000)).alias("v")
+    )
+    df = base.unionByName(heavy)
+    n = df.count()
+    k = 16
+    true = {r.v: r.c for r in df.groupBy("v").agg(F.count("*").alias("c")).collect()}
+    eps_n = n / (k + 1)
+
+    for parts in (1, 8):
+        got = {
+            r.v: r.est_count
+            for r in heavy_hitters(df.repartition(parts, "v"), "v", k=k).collect()
+        }
+        assert len(got) <= k
+        for v, est in got.items():
+            assert est <= true[v], (v, est, true[v])
+            assert true[v] - est <= eps_n, (v, est, true[v], eps_n)
+        # guaranteed heavy hitters (freq > n/(k+1)) always surface
+        for v, c in true.items():
+            if c > eps_n:
+                assert v in got, (v, c, eps_n)
+        assert 1000 in got and 2000 in got

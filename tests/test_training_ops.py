@@ -630,3 +630,19 @@ def test_connected_components_deep_path_graph_converges(spark):
         (r.node, r.component) for r in connected_components(pairs).collect()
     }
     assert got == {(i, 0) for i in range(n)}
+
+
+def test_connected_components_raises_rather_than_wrong_labels(spark):
+    """A graph deeper than max_iter propagation rounds must raise —
+    the silent alternative is returning unconverged (wrong) labels."""
+    import pytest as _pytest
+
+    from rental_data_pipeline_spark.operators.dedup import (
+        connected_components,
+    )
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+    )
+    with _pytest.raises(ValueError, match="not converged"):
+        connected_components(pairs, max_iter=5)
