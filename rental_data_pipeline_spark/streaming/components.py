@@ -52,6 +52,7 @@ from pyspark.sql import functions as F
 
 from rental_data_pipeline_spark.streaming.incremental import (
     _bucket_of,
+    atomic_json_write as _atomic_json_write,
     sliced_committed,
 )
 
@@ -65,13 +66,20 @@ def _bdir(root: str, sub: str, batch_id: int) -> str:
     return f"{root}/{sub}/b_{batch_id:09d}"
 
 
-def _atomic_json_write(path: str, obj) -> None:
-    """tmp + os.replace, the discipline _ensure_meta/rebucket use — a
-    crash mid-write must never leave truncated JSON behind."""
-    tmp = f"{path}.tmp"
-    with open(tmp, "w") as f:
-        _json.dump(obj, f)
-    _os.replace(tmp, path)
+def _ensure_label_meta(labels_path: str) -> int:
+    """The table's bucket count, FROZEN at creation in ``_meta.json``
+    (atomic write) — the same discipline as the CDC state table: the
+    bucket is a pure function of (doc, n_buckets), so an existing
+    table read with a different count would silently miss members
+    during bucket-pruned lookups and corrupt labels. A module-constant
+    default applies only to brand-new tables."""
+    _os.makedirs(labels_path, exist_ok=True)
+    p = f"{labels_path}/_meta.json"
+    if _os.path.exists(p):
+        with open(p) as f:
+            return int(_json.load(f)["n_buckets"])
+    _atomic_json_write(p, {"n_buckets": N_LABEL_BUCKETS})
+    return N_LABEL_BUCKETS
 
 
 def _committed(root: str, sub: str) -> list[str]:
@@ -151,6 +159,7 @@ def fold_pairs_batch(
     mdir = _bdir(labels_path, _MEMBERS, batch_id)
     if _os.path.exists(f"{fdir}/_SUCCESS"):
         return
+    nb = _ensure_label_meta(labels_path)
     for d in (mdir, fdir):
         if _os.path.exists(d):
             _shutil.rmtree(d, ignore_errors=True)
@@ -165,8 +174,8 @@ def fold_pairs_batch(
         .select(
             F.col(a_col),
             F.col(b_col),
-            _bucket_of(a_col, N_LABEL_BUCKETS).alias("_ba"),
-            _bucket_of(b_col, N_LABEL_BUCKETS).alias("_bb"),
+            _bucket_of(a_col, nb).alias("_ba"),
+            _bucket_of(b_col, nb).alias("_bb"),
         )
         .collect()
     )
@@ -179,7 +188,7 @@ def fold_pairs_batch(
         if new_members:
             spark.createDataFrame(
                 new_members, f"doc {dt}, label {dt}"
-            ).withColumn(_DB, _bucket_of("doc", N_LABEL_BUCKETS)).repartition(
+            ).withColumn(_DB, _bucket_of("doc", nb)).repartition(
                 1
             ).write.partitionBy(_DB).parquet(mdir)
         else:
@@ -268,6 +277,7 @@ def bootstrap_components(
             "bootstrap_components: label table is not empty — use "
             "fold_pairs_batch for incremental batches"
         )
+    nb = _ensure_label_meta(labels_path)
     for d in (mdir, fdir):
         if _os.path.exists(d):
             _shutil.rmtree(d, ignore_errors=True)
@@ -286,7 +296,7 @@ def bootstrap_components(
             [], f"doc {dt}, label {dt}, {_DB} int"
         ).write.parquet(mdir)
     else:
-        cc.withColumn(_DB, _bucket_of("doc", N_LABEL_BUCKETS)).repartition(
+        cc.withColumn(_DB, _bucket_of("doc", nb)).repartition(
             dp, F.col(_DB)
         ).write.partitionBy(_DB).parquet(mdir)
     spark.createDataFrame([], f"old_root {dt}, new_root {dt}").write.parquet(
@@ -414,10 +424,11 @@ def compact_labels(
         ).write.parquet(cdir)
     else:
         resolved.withColumn(
-            _DB, _bucket_of("doc", N_LABEL_BUCKETS)
+            _DB, _bucket_of("doc", _ensure_label_meta(labels_path))
         ).repartition(dp, F.col(_DB)).write.partitionBy(_DB).parquet(cdir)
-    with open(f"{cdir}/_covered.json", "w") as f:
-        _json.dump(sorted(_os.path.basename(d) for d in mdirs), f)
+    _atomic_json_write(
+        f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in mdirs)
+    )
     for d in mdirs:
         _shutil.rmtree(d, ignore_errors=True)
 
@@ -425,8 +436,9 @@ def compact_labels(
     spark.createDataFrame([], f"old_root {dt}, new_root {dt}").write.parquet(
         cdir
     )
-    with open(f"{cdir}/_covered.json", "w") as f:
-        _json.dump(sorted(_os.path.basename(d) for d in fdirs), f)
+    _atomic_json_write(
+        f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in fdirs)
+    )
     for d in fdirs:
         _shutil.rmtree(d, ignore_errors=True)
     return True

@@ -54,6 +54,7 @@ from rental_data_pipeline_spark.operators.dedup import (
     verify_jaccard_pairs,
 )
 from rental_data_pipeline_spark.streaming.incremental import (
+    atomic_json_write as _atomic_json_write,
     _bucket_of,
     sliced_committed,
 )
@@ -365,8 +366,7 @@ def compact_index(spark: SparkSession, index_path: str, min_slices: int = 2) -> 
         df = _read_union(spark, index_path, sub)
         dp = spark.sparkContext.defaultParallelism
         df.repartition(dp, F.col(part_col)).write.partitionBy(part_col).parquet(cdir)
-        with open(f"{cdir}/_covered.json", "w") as f:
-            _json.dump(sorted(_os.path.basename(d) for d in dirs), f)
+        _atomic_json_write(f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in dirs))
         for d in dirs:  # now shadowed by the manifest; best-effort delete
             _shutil.rmtree(d, ignore_errors=True)
         ran = True

@@ -170,11 +170,41 @@ def manifest_covered(root: str) -> set[str]:
 
     out: set[str] = set()
     for c in _glob.glob(f"{root}/c_*"):
-        manifest = f"{c}/_covered.json"
-        if _os.path.exists(f"{c}/_SUCCESS") and _os.path.exists(manifest):
-            with open(manifest) as f:
-                out.update(_json.load(f))
+        if _os.path.exists(f"{c}/_SUCCESS"):
+            covered = _read_manifest(f"{c}/_covered.json")
+            if covered is not None:
+                out.update(covered)
     return out
+
+
+def atomic_json_write(path: str, obj) -> None:
+    """tmp + os.replace — a crash mid-write must never leave truncated
+    JSON behind. The one writer for manifests, watermarks and meta."""
+    import json as _json
+    import os as _os
+
+    tmp = f"{path}.tmp"
+    with open(tmp, "w") as f:
+        _json.dump(obj, f)
+    _os.replace(tmp, path)
+
+
+def _read_manifest(path: str) -> list | None:
+    """The compaction manifest, or None when missing OR truncated — a
+    crash mid-write must demote the compaction to invisible (its
+    source dirs are still live), not wedge every later listing with a
+    JSON parse error. Writers use tmp+rename, so this tolerance only
+    matters for legacy dirs and torn filesystems."""
+    import json as _json
+    import os as _os
+
+    if not _os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return _json.load(f)
+    except ValueError:
+        return None
 
 
 def sliced_committed(root: str) -> list[str]:
@@ -188,7 +218,10 @@ def sliced_committed(root: str) -> list[str]:
     out = []
     for pat in ("b_*", "c_*"):
         for d in success_dirs(f"{root}/{pat}"):
-            if pat == "c_*" and not _os.path.exists(f"{d}/_covered.json"):
+            # a c_* dir without a VALID manifest is an uncommitted
+            # compaction (crash before/mid manifest): invisible, its
+            # source dirs are still live
+            if pat == "c_*" and _read_manifest(f"{d}/_covered.json") is None:
                 continue
             if _os.path.basename(d) not in covered:
                 out.append(d)

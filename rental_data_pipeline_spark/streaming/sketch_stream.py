@@ -30,7 +30,10 @@ from rental_data_pipeline_spark.operators.sketch import (
     hll_estimate_from_registers,
     hll_registers,
 )
-from rental_data_pipeline_spark.streaming.incremental import sliced_committed
+from rental_data_pipeline_spark.streaming.incremental import (
+    atomic_json_write as _atomic_json_write,
+    sliced_committed,
+)
 
 
 def _committed(root: str) -> list[str]:
@@ -81,8 +84,7 @@ def compact_sketch(spark: SparkSession, state_path: str, min_slices: int = 2) ->
     ) + 1
     cdir = f"{state_path}/c_{n:09d}"
     merged.write.parquet(cdir)
-    with open(f"{cdir}/_covered.json", "w") as f:
-        _json.dump(sorted(_os.path.basename(d) for d in dirs), f)
+    _atomic_json_write(f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in dirs))
     for d in dirs:
         _shutil.rmtree(d, ignore_errors=True)
     return True

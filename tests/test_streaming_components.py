@@ -263,3 +263,53 @@ def test_corrupt_watermark_falls_back_to_idempotent_replay(
     assert _labels(read_components(spark, labels_dir)) == want
     assert catchup_components(spark, index, labels_dir) == 0
     assert not os.path.exists(f"{labels_dir}/_folded_upto.json.tmp")
+
+
+def test_label_bucket_count_is_frozen_in_meta(spark, labels_dir):
+    """The bucket fn must never change under a live table: a table
+    created with n_buckets=4 keeps hashing with 4 even if the module
+    default differs — otherwise bucket-pruned member lookups silently
+    miss and labels corrupt."""
+    import glob as _glob
+    import json as _json
+
+    from rental_data_pipeline_spark.streaming.components import (
+        _ensure_label_meta,
+    )
+
+    with open(f"{labels_dir}/_meta.json", "w") as f:
+        _json.dump({"n_buckets": 4}, f)
+    assert _ensure_label_meta(labels_dir) == 4
+    seen = []
+    for bid, edges in enumerate(_BATCHES):
+        fold_pairs_batch(spark, labels_dir, _pairs_df(spark, edges), bid)
+        seen.extend(edges)
+    # every member partition landed inside the frozen 4-bucket space
+    buckets = {
+        int(d.split("=")[1])
+        for d in (
+            p.split("/")[-1]
+            for p in _glob.glob(f"{labels_dir}/members/b_*/doc_bucket=*")
+        )
+    }
+    assert buckets and buckets <= {0, 1, 2, 3}
+    assert _labels(read_components(spark, labels_dir)) == _labels(
+        connected_components(_pairs_df(spark, seen))
+    )
+
+
+def test_truncated_compaction_manifest_demotes_not_wedges(spark, tmp_path):
+    """A c_* dir whose manifest is truncated (legacy non-atomic writer
+    crashed mid-write, BEFORE deleting its sources) must be treated as
+    uncommitted — sources stay live, listings don't raise."""
+    from rental_data_pipeline_spark.streaming.incremental import (
+        sliced_committed,
+    )
+
+    root = str(tmp_path / "t")
+    spark.createDataFrame([(1,)], "x long").write.parquet(f"{root}/b_000000000")
+    spark.createDataFrame([(1,)], "x long").write.parquet(f"{root}/c_000000000")
+    with open(f"{root}/c_000000000/_covered.json", "w") as f:
+        f.write('["b_00')  # torn write
+    live = [d.split("/")[-1] for d in sliced_committed(root)]
+    assert live == ["b_000000000"]
