@@ -73,14 +73,32 @@ _BB = "band_bucket"
 _DB = "doc_bucket"
 
 
-def _bucket_of_bkey():
+def _ensure_index_meta(index_path: str) -> int:
+    """The index's bucket count, FROZEN at creation in ``_meta.json``
+    (atomic write, CDC-state discipline): the bucket is a pure
+    function of (key, n_buckets), so reading an existing index with a
+    different count would silently miss stored bands/shingles during
+    bucket-pruned probes — dropped pairs, not an error. The module
+    constant is only a default for brand-new indexes."""
+    import json as _json
+
+    _os.makedirs(index_path, exist_ok=True)
+    p = f"{index_path}/_meta.json"
+    if _os.path.exists(p):
+        with open(p) as f:
+            return int(_json.load(f)["n_buckets"])
+    _atomic_json_write(p, {"n_buckets": N_INDEX_BUCKETS})
+    return N_INDEX_BUCKETS
+
+
+def _bucket_of_bkey(n: int):
     # bkey is an md5 string, so the shared cast-to-string bucket
     # function is a no-op cast — one bucket contract everywhere
-    return _bucket_of("bkey", N_INDEX_BUCKETS)
+    return _bucket_of("bkey", n)
 
 
-def _bucket_of_doc(col: str = "doc"):
-    return _bucket_of(col, N_INDEX_BUCKETS)
+def _bucket_of_doc(n: int, col: str = "doc"):
+    return _bucket_of(col, n)
 
 
 def _batch_dir(root: str, sub: str, batch_id: int) -> str:
@@ -229,10 +247,11 @@ def incremental_minhash_index_stream(
         # bucket so later probes prune, then read the written copies
         # back so nothing below recomputes the signatures
         dp = spark.sparkContext.defaultParallelism
-        bands.withColumn(_BB, _bucket_of_bkey()).repartition(
+        nb = _ensure_index_meta(index_path)
+        bands.withColumn(_BB, _bucket_of_bkey(nb)).repartition(
             dp, F.col(_BB)
         ).write.partitionBy(_BB).parquet(_batch_dir(index_path, _BANDS, batch_id))
-        sh.withColumn(_DB, _bucket_of_doc()).repartition(
+        sh.withColumn(_DB, _bucket_of_doc(nb)).repartition(
             dp, F.col(_DB)
         ).write.partitionBy(_DB).parquet(_batch_dir(index_path, _SHINGLES, batch_id))
         new_bands = spark.read.parquet(_batch_dir(index_path, _BANDS, batch_id))
@@ -298,7 +317,8 @@ def incremental_minhash_index_stream(
             for r in cand.select(
                 F.explode(
                     F.array(
-                        _bucket_of_doc("doc_a"), _bucket_of_doc("doc_b")
+                        _bucket_of_doc(nb, "doc_a"),
+                        _bucket_of_doc(nb, "doc_b"),
                     )
                 ).alias("db")
             )

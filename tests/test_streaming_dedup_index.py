@@ -158,7 +158,7 @@ def test_small_batch_probe_prunes_index_buckets(spark, sf_dir, tmpdirs):
 
     bands, _ = minhash_index_frames(twin)
     touched = [
-        r[0] for r in bands.select(_bucket_of_bkey().alias("bb")).distinct().collect()
+        r[0] for r in bands.select(_bucket_of_bkey(64).alias("bb")).distinct().collect()
     ]
     assert len(touched) <= 16
     pruned = _pruned_subdirs([batch0], _BB, touched)
@@ -303,3 +303,63 @@ def test_index_auto_compacts_mid_stream(spark, sf_dir, tmpdirs):
         for r in minhash_lsh_pairs(corpus, threshold=0.8).collect()
     }
     assert got == want and got
+
+
+def test_index_bucket_count_is_frozen_in_meta(spark, tmp_path):
+    """The probe's bucket fn must match what the slices were written
+    with: a pre-existing _meta.json wins over the module default, and
+    emitted pairs stay equal to batch LSH."""
+    import glob
+    import json
+
+    from pyspark.sql import functions as F
+
+    from rental_data_pipeline_spark.operators.dedup import minhash_lsh_pairs
+
+    base = str(tmp_path)
+    landing, index, ckpt = f"{base}/landing", f"{base}/index", f"{base}/ckpt"
+    import os
+
+    os.makedirs(index, exist_ok=True)
+    with open(f"{index}/_meta.json", "w") as f:
+        json.dump({"n_buckets": 4}, f)
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i}a tok{i}b tok{i}c tok{i}d shared common text here")
+         for i in range(40)]
+        + [(1040, "tok1a tok1b tok1c tok1d shared common text here")],
+        "doc_id long, text string",
+    )
+    for c in range(2):
+        docs.where(F.pmod(F.col("doc_id"), F.lit(2)) == c).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(landing)
+    )
+    q = incremental_minhash_index_stream(stream, index, ckpt, threshold=0.8)
+    q.awaitTermination(120)
+
+    buckets = {
+        int(d.split("=")[1])
+        for d in (
+            p.split("/")[-1]
+            for p in glob.glob(f"{index}/bands/b_*/band_bucket=*")
+        )
+    }
+    assert buckets and buckets <= {0, 1, 2, 3}
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in spark.read.parquet(f"{index}/pairs/b_*").select(
+            "doc_a", "doc_b"
+        ).collect()
+    }
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_pairs(docs, threshold=0.8).select(
+            "doc_a", "doc_b"
+        ).collect()
+    }
+    assert got == want and (1, 1040) in got
