@@ -29,4 +29,5 @@ from rental_data_pipeline_spark.streaming.components import (  # noqa: F401
     compact_labels,
     fold_pairs_batch,
     read_components,
+    rebucket_labels,
 )

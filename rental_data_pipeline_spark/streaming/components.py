@@ -82,6 +82,18 @@ def _ensure_label_meta(labels_path: str) -> int:
     return N_LABEL_BUCKETS
 
 
+_META_PENDING = "_meta.json.pending"
+
+
+def _assert_no_pending_rebucket(labels_path: str) -> None:
+    if _os.path.exists(f"{labels_path}/{_META_PENDING}"):
+        raise RuntimeError(
+            f"label table at {labels_path} has an interrupted rebucket "
+            "migration (pending meta present); re-run rebucket_labels() "
+            "to finish it before folding or reading"
+        )
+
+
 def _committed(root: str, sub: str) -> list[str]:
     """Live slice dirs of ``sub``, gated on the BATCH-level commit: a
     ``members`` ``b_*`` slice is visible only once its forest
@@ -159,6 +171,7 @@ def fold_pairs_batch(
     mdir = _bdir(labels_path, _MEMBERS, batch_id)
     if _os.path.exists(f"{fdir}/_SUCCESS"):
         return
+    _assert_no_pending_rebucket(labels_path)
     nb = _ensure_label_meta(labels_path)
     for d in (mdir, fdir):
         if _os.path.exists(d):
@@ -277,6 +290,7 @@ def bootstrap_components(
             "bootstrap_components: label table is not empty — use "
             "fold_pairs_batch for incremental batches"
         )
+    _assert_no_pending_rebucket(labels_path)
     nb = _ensure_label_meta(labels_path)
     for d in (mdir, fdir):
         if _os.path.exists(d):
@@ -312,6 +326,16 @@ def read_components(
     the union of every folded pair batch. Member labels resolve
     through a broadcast of the collapsed forest (rows = merges since
     compaction, tiny)."""
+    _assert_no_pending_rebucket(labels_path)
+    return _resolved_components(spark, labels_path)
+
+
+def _resolved_components(
+    spark: SparkSession, labels_path: str
+) -> DataFrame | None:
+    """:func:`read_components` without the rebucket guard — resolution
+    reads every committed slice WITHOUT bucket pruning, so it is
+    layout-agnostic (what lets an interrupted rebucket resume)."""
     members = _read_union(spark, labels_path, _MEMBERS)
     if members is None:
         return None
@@ -375,7 +399,11 @@ def catchup_components(
 
 
 def compact_labels(
-    spark: SparkSession, labels_path: str, min_slices: int = 2
+    spark: SparkSession,
+    labels_path: str,
+    min_slices: int = 2,
+    n_buckets: int | None = None,
+    _during_rebucket: bool = False,
 ) -> bool:
     """Apply the forest to the member table (one bucketed ``c_*``
     slice of fully-resolved labels + manifest) and empty the forest —
@@ -384,13 +412,19 @@ def compact_labels(
     shared manifest protocol: members compact first (applying a
     still-live forest to already-resolved labels is a no-op — only
     demoted roots appear as forest keys, and a resolved label is never
-    a demoted root), forest second."""
+    a demoted root), forest second. ``n_buckets`` overrides the meta
+    bucket count ONLY for :func:`rebucket_labels` (whose pending
+    marker blocks every pruned reader until the meta swap commits)."""
+    if not _during_rebucket:
+        _assert_no_pending_rebucket(labels_path)
     members = _read_union(spark, labels_path, _MEMBERS)
     if members is None:
         return False
     mdirs = _committed(labels_path, _MEMBERS)
     fdirs = _committed(labels_path, _FOREST)
-    if len(mdirs) < min_slices and len(fdirs) < min_slices:
+    if not _during_rebucket and (
+        len(mdirs) < min_slices and len(fdirs) < min_slices
+    ):
         return False
     import glob as _glob
 
@@ -409,9 +443,10 @@ def compact_labels(
         ) + 1
         return f"{labels_path}/{sub}/c_{n:09d}"
 
-    resolved = read_components(spark, labels_path).select(
+    resolved = _resolved_components(spark, labels_path).select(
         F.col("node").alias("doc"), F.col("component").alias("label")
     )
+    nb = n_buckets if n_buckets is not None else _ensure_label_meta(labels_path)
     dt = resolved.schema["label"].dataType.simpleString()
     dp = spark.sparkContext.defaultParallelism
     cdir = _next_c(_MEMBERS)
@@ -424,7 +459,7 @@ def compact_labels(
         ).write.parquet(cdir)
     else:
         resolved.withColumn(
-            _DB, _bucket_of("doc", _ensure_label_meta(labels_path))
+            _DB, _bucket_of("doc", nb)
         ).repartition(dp, F.col(_DB)).write.partitionBy(_DB).parquet(cdir)
     _atomic_json_write(
         f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in mdirs)
@@ -441,4 +476,39 @@ def compact_labels(
     )
     for d in fdirs:
         _shutil.rmtree(d, ignore_errors=True)
+    return True
+
+
+def rebucket_labels(
+    spark: SparkSession, labels_path: str, new_n_buckets: int
+) -> bool:
+    """OFFLINE migration of a live label table to a new bucket count —
+    the path from the local default (64) to production scale without
+    abandoning accumulated labels. ``n_buckets`` is frozen in
+    ``_meta.json`` (the bucket function must never change under a live
+    table), so migration is a forced full compaction: resolve every
+    label (a layout-agnostic read), write ONE consolidated member
+    slice bucketed under the NEW count (manifest-covering all old
+    slices), then atomically swap the meta.
+
+    Crash-safe via a staged ``_meta.json.pending``: folds, reads and
+    compactions refuse while it exists, and re-running this function
+    resumes (resolution never bucket-prunes, so it reads a half-done
+    migration correctly; the meta swap is the commit point). Must not
+    run concurrently with a fold — the same offline discipline as
+    :func:`rental_data_pipeline_spark.streaming.incremental.rebucket_state`.
+    Returns True when a migration ran, False for a no-op."""
+    old = _ensure_label_meta(labels_path)
+    pending = f"{labels_path}/{_META_PENDING}"
+    if old == int(new_n_buckets) and not _os.path.exists(pending):
+        return False
+    new_meta = {"n_buckets": int(new_n_buckets)}
+    _atomic_json_write(pending, new_meta)
+    compact_labels(
+        spark, labels_path,
+        n_buckets=int(new_n_buckets), _during_rebucket=True,
+    )
+    # commit point: swap the meta, clear the stage marker
+    _atomic_json_write(f"{labels_path}/_meta.json", new_meta)
+    _os.remove(pending)
     return True

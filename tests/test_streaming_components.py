@@ -313,3 +313,57 @@ def test_truncated_compaction_manifest_demotes_not_wedges(spark, tmp_path):
         f.write('["b_00')  # torn write
     live = [d.split("/")[-1] for d in sliced_committed(root)]
     assert live == ["b_000000000"]
+
+
+def test_rebucket_labels_migrates_and_folds_continue(spark, labels_dir):
+    """Offline rebucket: fold at the default count, migrate to 4
+    buckets, labels identical, later folds hash with the NEW count,
+    and an interrupted migration blocks folds/reads until resumed."""
+    import glob as _glob
+    import json as _json
+
+    from rental_data_pipeline_spark.streaming.components import (
+        _META_PENDING,
+        rebucket_labels,
+    )
+
+    for bid, edges in enumerate(_BATCHES):
+        fold_pairs_batch(spark, labels_dir, _pairs_df(spark, edges), bid)
+    want = _labels(read_components(spark, labels_dir))
+
+    assert rebucket_labels(spark, labels_dir, 4) is True
+    assert rebucket_labels(spark, labels_dir, 4) is False  # no-op
+    with open(f"{labels_dir}/_meta.json") as f:
+        assert _json.load(f)["n_buckets"] == 4
+    assert _labels(read_components(spark, labels_dir)) == want
+    # consolidated slice hashed under the NEW count
+    buckets = {
+        int(d.split("=")[1])
+        for d in (
+            p.split("/")[-1]
+            for p in _glob.glob(f"{labels_dir}/members/c_*/doc_bucket=*")
+        )
+    }
+    assert buckets and buckets <= {0, 1, 2, 3}
+
+    # folding continues against the migrated table
+    fold_pairs_batch(spark, labels_dir, _pairs_df(spark, [(6, 10)]), 50)
+    seen = [e for b in _BATCHES for e in b] + [(6, 10)]
+    assert _labels(read_components(spark, labels_dir)) == _labels(
+        connected_components(_pairs_df(spark, seen))
+    )
+
+    # interrupted migration: pending marker blocks everything...
+    with open(f"{labels_dir}/{_META_PENDING}", "w") as f:
+        _json.dump({"n_buckets": 8}, f)
+    with pytest.raises(RuntimeError, match="rebucket"):
+        read_components(spark, labels_dir)
+    with pytest.raises(RuntimeError, match="rebucket"):
+        fold_pairs_batch(spark, labels_dir, _pairs_df(spark, [(1, 99)]), 60)
+    # ...and re-running resumes to the staged count
+    assert rebucket_labels(spark, labels_dir, 8) is True
+    with open(f"{labels_dir}/_meta.json") as f:
+        assert _json.load(f)["n_buckets"] == 8
+    assert _labels(read_components(spark, labels_dir)) == _labels(
+        connected_components(_pairs_df(spark, seen))
+    )
