@@ -7,6 +7,7 @@ beyond-reference training-data layer, re-exported for one-stop import.
 from rental_data_pipeline_spark.operators.ann_index import (  # noqa: F401
     append_ann_index,
     build_ann_index,
+    compact_ann_appends,
     ivf_topk_persisted,
     pq_topk_persisted,
 )

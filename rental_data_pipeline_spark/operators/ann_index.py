@@ -170,17 +170,90 @@ def _read_codebooks(
 
 
 def _append_slice_dirs(index_path: str, meta: dict) -> list[str]:
-    """Committed append slices, oldest first. A slice commits with its
-    LAST-written table's ``_SUCCESS`` (codes for a PQ index,
-    assignments otherwise), so readers never see half an append."""
+    """Live append slices, oldest first: committed ``b_*`` batches
+    (a slice commits with its LAST-written table's ``_SUCCESS`` —
+    codes for a PQ index, assignments otherwise) plus
+    manifest-committed ``c_*`` compactions, minus anything a committed
+    manifest covers — the shared slice-listing contract."""
     import glob as _glob
 
-    commit_sub = "codes" if meta.get("pq") else "assignments"
-    return sorted(
-        d
-        for d in _glob.glob(f"{index_path}/appends/b_*")
-        if _os.path.exists(f"{d}/{commit_sub}/_SUCCESS")
+    from rental_data_pipeline_spark.streaming.incremental import (
+        _read_manifest,
     )
+
+    commit_sub = "codes" if meta.get("pq") else "assignments"
+    root = f"{index_path}/appends"
+    covered: set[str] = set()
+    cs = []
+    for c in _glob.glob(f"{root}/c_*"):
+        m = _read_manifest(f"{c}/_covered.json")
+        if m is not None and _os.path.exists(f"{c}/{commit_sub}/_SUCCESS"):
+            covered.update(m)
+            cs.append(c)
+    live = [
+        d
+        for d in _glob.glob(f"{root}/b_*") + cs
+        if _os.path.exists(f"{d}/{commit_sub}/_SUCCESS")
+        and _os.path.basename(d) not in covered
+    ]
+    return sorted(live)
+
+
+def compact_ann_appends(
+    spark: SparkSession, index_path: str, min_slices: int = 2
+) -> bool:
+    """Merge the committed append slices into ONE consolidated slice
+    (same (cid, vb) partitioning, so probe pruning is unchanged) and
+    drop the originals — the maintenance job that keeps a long-running
+    embedding stream from accreting per-batch small files, the same
+    amortized bound every other incremental table here keeps.
+    Crash-safe under the shared manifest protocol: the consolidated
+    ``c_*`` slice commits with an atomic ``_covered.json`` naming its
+    sources; readers skip covered dirs, a crash before the manifest
+    leaves an invisible ``c_*`` and the sources stay live. Returns
+    True when a compaction ran."""
+    import glob as _glob
+    import shutil as _shutil
+
+    from rental_data_pipeline_spark.streaming.incremental import (
+        _read_manifest,
+        atomic_json_write,
+    )
+
+    meta = read_meta(index_path)
+    commit_sub = "codes" if meta.get("pq") else "assignments"
+    root = f"{index_path}/appends"
+    # clear garbage from a crashed prior compaction (no valid manifest)
+    for c in _glob.glob(f"{root}/c_*"):
+        if _read_manifest(f"{c}/_covered.json") is None:
+            _shutil.rmtree(c, ignore_errors=True)
+    dirs = _append_slice_dirs(index_path, meta)
+    if len(dirs) < min_slices:
+        return False
+    n = max(
+        (int(_os.path.basename(d)[2:]) for d in _glob.glob(f"{root}/c_*")),
+        default=-1,
+    ) + 1
+    cdir = f"{root}/c_{n:09d}"
+    subs = ["assignments"] + (["codes"] if meta.get("pq") else [])
+    for sub in subs:  # commit_sub written last = the commit
+        frames = [spark.read.parquet(f"{d}/{sub}") for d in dirs]
+        out = frames[0]
+        for fr in frames[1:]:
+            out = out.unionByName(fr, allowMissingColumns=True)
+        part_cols = ["cid", "vb"] if sub == "assignments" else ["vb"]
+        if out.limit(1).count() == 0:
+            out.write.parquet(f"{cdir}/{sub}")  # schema-bearing empty
+        else:
+            out.repartition(1).write.partitionBy(*part_cols).parquet(
+                f"{cdir}/{sub}"
+            )
+    atomic_json_write(
+        f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in dirs)
+    )
+    for d in dirs:
+        _shutil.rmtree(d, ignore_errors=True)
+    return True
 
 
 def _read_assignments(spark: SparkSession, index_path: str, meta: dict) -> DataFrame:

@@ -242,3 +242,67 @@ def test_streamed_appends_equal_frozen_rebuild(spark, sf_dir, index_dir, index_d
         ) == _rows(ivf_topk_persisted(spark, index_dir2, QUERY_IDS, top_k=5))
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compact_ann_appends_preserves_probes(spark, sf_dir, index_dir):
+    """Append-slice compaction: one consolidated c_* slice replaces
+    the per-batch b_* slices, probes unchanged; a crashed compaction
+    (no manifest) stays invisible and its sources stay live."""
+    import glob
+    import os
+
+    from rental_data_pipeline_spark.operators.ann_index import (
+        append_ann_index,
+        compact_ann_appends,
+    )
+    from rental_data_pipeline_spark.operators.similarity import (
+        kmeans_train,
+        pq_train,
+    )
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    a = embs.where(F.col("vec_id") % 3 != 0)
+    b = embs.where(F.col("vec_id") % 3 == 0)
+    centroids, _ = kmeans_train(a, k=8, n_iter=1)
+    codebooks = pq_train(a, m=8, k=16, n_iter=1)
+    build_ann_index(
+        a, index_dir, n_cells=8, pq=True,
+        centroids=centroids, codebooks=codebooks,
+    )
+    for i, m in enumerate((0, 3, 6)):
+        append_ann_index(
+            b.where(F.pmod(F.col("vec_id"), F.lit(9)) == m),
+            index_dir, batch_id=i,
+        )
+    want_ivf = _rows(ivf_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5))
+    want_pq = _rows(
+        pq_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5, shortlist=50)
+    )
+
+    assert compact_ann_appends(spark, index_dir)
+    assert glob.glob(f"{index_dir}/appends/b_*") == []
+    assert len(glob.glob(f"{index_dir}/appends/c_*")) == 1
+    assert _rows(
+        ivf_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5)
+    ) == want_ivf
+    assert _rows(
+        pq_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5, shortlist=50)
+    ) == want_pq
+    # below min_slices: no-op
+    assert compact_ann_appends(spark, index_dir) is False
+
+    # appends continue after compaction and compact again with the
+    # covered c_* folded in
+    append_ann_index(b.limit(0), index_dir, batch_id=10)
+    assert compact_ann_appends(spark, index_dir)
+    assert _rows(
+        ivf_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5)
+    ) == want_ivf
+    # crashed compaction: c_ dir without a manifest is invisible and
+    # gets garbage-collected on the next run
+    os.makedirs(f"{index_dir}/appends/c_000000099/assignments")
+    assert _rows(
+        ivf_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5)
+    ) == want_ivf
+    compact_ann_appends(spark, index_dir)
+    assert not os.path.exists(f"{index_dir}/appends/c_000000099")
