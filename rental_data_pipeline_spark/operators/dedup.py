@@ -616,7 +616,7 @@ def connected_components(
     )
     total = labels.agg(F.sum("component")).collect()[0][0]
     converged = False
-    for _ in range(max_iter):
+    for i in range(max_iter):
         neighbor_min = edges.join(
             labels, edges["dst"] == labels["node"]
         ).select(F.col("src").alias("node"), "component")
@@ -624,8 +624,30 @@ def connected_components(
             labels.unionByName(neighbor_min)
             .groupBy("node")
             .agg(F.min("component").alias("component"))
-            .localCheckpoint(eager=True)
         )
+        if i >= 3:
+            # pointer jumping: label(x) <- label(label(x)). A label is
+            # always the id of a REACHABLE node (edge relax takes a
+            # neighbor's label; the jump composes reachability), so the
+            # invariant holds and the distance-to-minimum DOUBLES per
+            # jump — O(log diameter) rounds on deep path-shaped graphs
+            # instead of O(diameter). Engaged only once plain
+            # propagation hasn't converged in 3 rounds, so shallow
+            # near-dup clusters (the common case) keep the cheaper
+            # two-shuffle round.
+            hop = new_labels.select(
+                F.col("node").alias("__p"), F.col("component").alias("__pc")
+            )
+            new_labels = (
+                new_labels.join(
+                    hop, new_labels["component"] == hop["__p"], "left"
+                )
+                .select(
+                    "node",
+                    F.coalesce("__pc", "component").alias("component"),
+                )
+            )
+        new_labels = new_labels.localCheckpoint(eager=True)
         new_total = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
         if new_total == total:

@@ -622,7 +622,10 @@ def test_connected_components_deep_path_graph_converges(spark):
         connected_components,
     )
 
-    n = 17  # diameter 16 path: 0-1-2-...-16
+    # diameter-199 path: plain propagation would need 199 rounds
+    # (> max_iter); pointer jumping doubles the covered distance per
+    # round from round 3, so this converges in ~10 of the default 25
+    n = 200
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
     )
@@ -641,8 +644,10 @@ def test_connected_components_raises_rather_than_wrong_labels(spark):
         connected_components,
     )
 
+    # max_iter=3 keeps pointer jumping (engaged from round 3) out of
+    # the run entirely, so a diameter-29 path cannot converge
     pairs = spark.createDataFrame(
-        [(i, i + 1) for i in range(12)], "doc_a long, doc_b long"
+        [(i, i + 1) for i in range(29)], "doc_a long, doc_b long"
     )
     with _pytest.raises(ValueError, match="not converged"):
-        connected_components(pairs, max_iter=5)
+        connected_components(pairs, max_iter=3)
