@@ -33,18 +33,25 @@ def incremental_ann_index_stream(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     available_now: bool = True,
+    compact_every: int = 16,
 ):
     """Fold an embedding stream into an EXISTING persisted index
     (``build_ann_index`` must have run — the artifact's training is
     offline by design); returns the started StreamingQuery. ``vecs``
     is a streaming DataFrame with ``id_col`` unique across the whole
-    stream (append-only corpus, the dedup-index contract)."""
+    stream (append-only corpus, the dedup-index contract). Once the
+    index accretes ``compact_every`` live append slices the fold runs
+    ``compact_ann_appends`` inline — the same amortized small-file
+    bound every other incremental table here keeps."""
 
     # imported lazily: operators.ann_index itself imports from the
     # streaming package (_bucket_of), so a module-level import here
     # would be circular through streaming/__init__
     from rental_data_pipeline_spark.operators.ann_index import (
+        _append_slice_dirs,
         append_ann_index,
+        compact_ann_appends,
+        read_meta,
     )
 
     def fold(batch: DataFrame, batch_id: int) -> None:
@@ -52,6 +59,10 @@ def incremental_ann_index_stream(
             batch, index_path, batch_id=batch_id,
             id_col=id_col, vec_col=vec_col,
         )
+        if len(_append_slice_dirs(index_path, read_meta(index_path))) >= (
+            compact_every
+        ):
+            compact_ann_appends(batch.sparkSession, index_path)
 
     writer = (
         vecs.writeStream.foreachBatch(fold)

@@ -306,3 +306,46 @@ def test_compact_ann_appends_preserves_probes(spark, sf_dir, index_dir):
     ) == want_ivf
     compact_ann_appends(spark, index_dir)
     assert not os.path.exists(f"{index_dir}/appends/c_000000099")
+
+
+def test_ann_stream_auto_compacts(spark, sf_dir, index_dir):
+    """With compact_every=2 a 3-batch stream must leave the append
+    layout compacted mid-stream while probes keep answering."""
+    import glob
+
+    from rental_data_pipeline_spark.operators.similarity import kmeans_train
+    from rental_data_pipeline_spark.streaming.ann_stream import (
+        incremental_ann_index_stream,
+    )
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    a = embs.where(F.col("vec_id") % 3 != 0)
+    b = embs.where(F.col("vec_id") % 3 == 0)
+    centroids, _ = kmeans_train(a, k=8, n_iter=1)
+    build_ann_index(a, index_dir, n_cells=8, centroids=centroids)
+
+    base = tempfile.mkdtemp(prefix="ann_stream_compact_")
+    ref = tempfile.mkdtemp(prefix="ann_ref_")
+    landing, ckpt = f"{base}/landing", f"{base}/ckpt"
+    try:
+        for c in range(3):
+            b.where(F.pmod(F.col("vec_id"), F.lit(9)) == c * 3).coalesce(
+                1
+            ).write.mode("append").parquet(landing)
+        q = incremental_ann_index_stream(
+            spark.readStream.schema("vec_id long, embedding array<double>")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing),
+            index_dir, ckpt, compact_every=2,
+        )
+        q.awaitTermination(180)
+        # compaction ran at least once: fewer live b_* than batches
+        assert len(glob.glob(f"{index_dir}/appends/c_*")) >= 1
+        # the index still answers, with all of b visible
+        build_ann_index(embs, ref, n_cells=8, centroids=centroids)
+        got = _rows(ivf_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5))
+        want = _rows(ivf_topk_persisted(spark, ref, QUERY_IDS, top_k=5))
+        assert got == want and got
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+        shutil.rmtree(ref, ignore_errors=True)
