@@ -43,6 +43,9 @@ from rental_data_pipeline_spark.operators.normalize import (  # noqa: F401
     normalize_listings,
 )
 from rental_data_pipeline_spark.operators.profile import table_profile  # noqa: F401
+from rental_data_pipeline_spark.operators.textstats import (  # noqa: F401
+    tfidf_top_terms_from_vocab,
+)
 from rental_data_pipeline_spark.operators.zorder import (  # noqa: F401
     write_zordered,
     zorder_key,

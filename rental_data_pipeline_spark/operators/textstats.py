@@ -443,6 +443,41 @@ def tfidf_top_terms(
     )
 
 
+def tfidf_top_terms_from_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    n_docs: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    top_k: int = 5,
+) -> DataFrame:
+    """:func:`tfidf_top_terms`'s probe side: score ANY document batch
+    against a PERSISTED vocabulary (``(term, df)``, e.g. from
+    ``streaming/df_stream.py``) and corpus size — no corpus-wide df
+    recomputation, the vocabulary broadcasts onto the batch's tf.
+    With a vocabulary built over the same corpus this is byte-equal to
+    the batch operator; terms unseen by the vocabulary score with
+    df=0 (maximum smoothed idf — the correct cold-term reading)."""
+    t = _with_tokens(df, text_col, id_col)
+    pairs = t.select(F.col(id_col), F.explode("__toks").alias("term"))
+    tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    joined = tf.join(
+        F.broadcast(vocab.select("term", "df")), "term", "left"
+    ).withColumn("df", F.coalesce("df", F.lit(0)))
+    idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
+    scored = joined.select(
+        F.col(id_col),
+        "term",
+        "tf",
+        "df",
+        F.round(F.col("tf") * idf, 6).alias("tfidf"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= top_k
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     text_col: str = "text",

@@ -23,6 +23,12 @@ from rental_data_pipeline_spark.streaming.incremental import (  # noqa: F401
 from rental_data_pipeline_spark.streaming.ann_stream import (  # noqa: F401
     incremental_ann_index_stream,
 )
+from rental_data_pipeline_spark.streaming.df_stream import (  # noqa: F401
+    compact_df,
+    incremental_df_stream,
+    read_corpus_size,
+    read_df_table,
+)
 from rental_data_pipeline_spark.streaming.components import (  # noqa: F401
     bootstrap_components,
     catchup_components,

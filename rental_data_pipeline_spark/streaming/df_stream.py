@@ -1,0 +1,242 @@
+"""Incrementally-maintained TF-IDF vocabulary (document-frequency)
+table — the corpus-global artifact of keyword scoring, kept current
+per micro-batch.
+
+Batch ``textstats.tfidf_top_terms`` computes the vocabulary (term →
+document frequency) over the WHOLE corpus every run — O(corpus) per
+scoring job on a growing crawl. Document frequencies are ADDITIVE
+over disjoint doc sets (ids unique across the stream), so the table
+folds like the HLL registers: per batch, one ``df/b_*`` slice of
+``(term, df)`` for that batch's docs (hash-partitioned by
+bucket-of-term, count frozen in ``_meta.json``) and one tiny
+``counts/b_*`` row carrying the batch's doc count — written LAST, its
+``_SUCCESS`` is the batch commit. Reading sums the committed slices;
+compaction folds them into one ``c_*`` slice per table under the
+shared manifest protocol (SUM is the merge, the same associativity
+argument as the sketch stream).
+
+``textstats.tfidf_top_terms_from_vocab`` is the probe side: score ANY
+document batch against the persisted vocabulary (broadcast) without
+touching the corpus — with a vocabulary built over the same corpus it
+is byte-equal to the batch operator (the equivalence pytest), and at
+100 TB it is the only shape that scores new crawl batches without a
+corpus-wide df recomputation.
+
+Reference has no counterpart — beyond-reference training-data layer.
+"""
+
+from __future__ import annotations
+
+import json as _json
+import os as _os
+import shutil as _shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.streaming.incremental import (
+    _bucket_of,
+    _read_manifest,
+    atomic_json_write as _atomic_json_write,
+    sliced_committed,
+)
+
+_DFT = "df"
+_COUNTS = "counts"
+_TB = "term_bucket"
+N_TERM_BUCKETS = 64
+
+
+def _ensure_df_meta(state_path: str) -> int:
+    """Bucket count frozen at table creation (the shared discipline —
+    the bucket fn must never change under a live table)."""
+    _os.makedirs(state_path, exist_ok=True)
+    p = f"{state_path}/_meta.json"
+    if _os.path.exists(p):
+        with open(p) as f:
+            return int(_json.load(f)["n_buckets"])
+    _atomic_json_write(p, {"n_buckets": N_TERM_BUCKETS})
+    return N_TERM_BUCKETS
+
+
+def _bdir(root: str, sub: str, batch_id: int) -> str:
+    return f"{root}/{sub}/b_{batch_id:09d}"
+
+
+def _committed(root: str, sub: str) -> list[str]:
+    """Live slices, gated on the BATCH commit: a ``df`` slice is
+    visible only once its ``counts`` counterpart carries ``_SUCCESS``
+    (the fold writes counts LAST); ``c_*`` compactions pass through."""
+    dirs = sliced_committed(f"{root}/{sub}")
+    if sub == _COUNTS:
+        return dirs
+    return [
+        d
+        for d in dirs
+        if not _os.path.basename(d).startswith("b_")
+        or _os.path.exists(
+            f"{root}/{_COUNTS}/{_os.path.basename(d)}/_SUCCESS"
+        )
+    ]
+
+
+def _read_union(spark: SparkSession, root: str, sub: str) -> DataFrame | None:
+    dirs = _committed(root, sub)
+    if not dirs:
+        return None
+    out = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        out = out.unionByName(spark.read.parquet(d), allowMissingColumns=True)
+    return out
+
+
+def fold_docs_batch(
+    spark: SparkSession,
+    state_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> None:
+    """Fold one document batch into the vocabulary table. Idempotent
+    per ``batch_id``; crashed attempts rewritten wholesale. Uses the
+    SAME tokenizer as the batch operator — tokenizer agreement is the
+    equivalence linchpin."""
+    from rental_data_pipeline_spark.operators.textstats import _with_tokens
+
+    cdir = _bdir(state_path, _COUNTS, batch_id)
+    ddir = _bdir(state_path, _DFT, batch_id)
+    if _os.path.exists(f"{cdir}/_SUCCESS"):
+        return
+    nb = _ensure_df_meta(state_path)
+    for d in (ddir, cdir):
+        if _os.path.exists(d):
+            _shutil.rmtree(d, ignore_errors=True)
+
+    t = _with_tokens(batch, text_col, id_col)
+    dfreq = (
+        t.select(F.col(id_col), F.explode("__toks").alias("term"))
+        .distinct()
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .withColumn(_TB, _bucket_of("term", nb))
+    )
+    n_docs = batch.select(id_col).distinct().count()
+    if n_docs == 0:
+        # zero-row partitionBy writes no readable part file
+        spark.createDataFrame(
+            [], f"term string, df long, {_TB} int"
+        ).write.parquet(ddir)
+    else:
+        dp = spark.sparkContext.defaultParallelism
+        dfreq.repartition(dp, F.col(_TB)).write.partitionBy(_TB).parquet(
+            ddir
+        )
+    # counts LAST: its _SUCCESS commits the batch
+    spark.createDataFrame([(n_docs,)], "n_docs long").write.parquet(cdir)
+
+
+def read_df_table(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """Current ``(term, df)`` vocabulary — document frequencies summed
+    over every committed slice (df is additive across disjoint doc
+    sets)."""
+    u = _read_union(spark, state_path, _DFT)
+    if u is None:
+        return None
+    return u.groupBy("term").agg(F.sum("df").alias("df"))
+
+
+def read_corpus_size(spark: SparkSession, state_path: str) -> int:
+    u = _read_union(spark, state_path, _COUNTS)
+    if u is None:
+        return 0
+    return int(u.agg(F.coalesce(F.sum("n_docs"), F.lit(0))).collect()[0][0])
+
+
+def compact_df(
+    spark: SparkSession, state_path: str, min_slices: int = 2
+) -> bool:
+    """Fold the committed slices into one consolidated ``c_*`` slice
+    per table (SUM merge — same associativity as the sketch stream)
+    under the shared manifest protocol. Returns True when ran."""
+    import glob as _glob
+
+    nb = _ensure_df_meta(state_path)
+    ran = False
+    for sub in (_DFT, _COUNTS):
+        for c in _glob.glob(f"{state_path}/{sub}/c_*"):
+            if _read_manifest(f"{c}/_covered.json") is None:
+                _shutil.rmtree(c, ignore_errors=True)
+        dirs = _committed(state_path, sub)
+        if len(dirs) < min_slices:
+            continue
+        n = max(
+            (
+                int(_os.path.basename(d)[2:])
+                for d in _glob.glob(f"{state_path}/{sub}/c_*")
+            ),
+            default=-1,
+        ) + 1
+        cdir = f"{state_path}/{sub}/c_{n:09d}"
+        u = spark.read.parquet(dirs[0])
+        for d in dirs[1:]:
+            u = u.unionByName(spark.read.parquet(d), allowMissingColumns=True)
+        if sub == _DFT:
+            merged = u.groupBy("term").agg(F.sum("df").alias("df")).withColumn(
+                _TB, _bucket_of("term", nb)
+            )
+            if merged.limit(1).count() == 0:
+                spark.createDataFrame(
+                    [], f"term string, df long, {_TB} int"
+                ).write.parquet(cdir)
+            else:
+                dp = spark.sparkContext.defaultParallelism
+                merged.repartition(dp, F.col(_TB)).write.partitionBy(
+                    _TB
+                ).parquet(cdir)
+        else:
+            total = u.agg(F.coalesce(F.sum("n_docs"), F.lit(0))).collect()[0][0]
+            spark.createDataFrame(
+                [(int(total),)], "n_docs long"
+            ).write.parquet(cdir)
+        _atomic_json_write(
+            f"{cdir}/_covered.json",
+            sorted(_os.path.basename(d) for d in dirs),
+        )
+        for d in dirs:
+            _shutil.rmtree(d, ignore_errors=True)
+        ran = True
+    return ran
+
+
+def incremental_df_stream(
+    docs: DataFrame,
+    state_path: str,
+    checkpoint_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    available_now: bool = True,
+    compact_every: int = 16,
+):
+    """Fold a document stream into the vocabulary table; returns the
+    started StreamingQuery. ``id_col`` unique across the stream
+    (append-only corpus — the shared contract). Auto-compacts once
+    ``compact_every`` live slices accrete."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        fold_docs_batch(
+            spark, state_path, batch, batch_id,
+            text_col=text_col, id_col=id_col,
+        )
+        if len(_committed(state_path, _DFT)) >= compact_every:
+            compact_df(spark, state_path)
+
+    writer = (
+        docs.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_path)
+        .outputMode("update")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
