@@ -614,6 +614,8 @@ def incremental_merge_stream(
     keep_versions: int = 2,
     n_buckets: int = N_STATE_BUCKETS,
     compact_every: int = 8,
+    expectations: dict | None = None,
+    quarantine_path: str | None = None,
     **merge_kwargs,
 ):
     """T3: fold each micro-batch into the persistent state table via
@@ -643,6 +645,14 @@ def incremental_merge_stream(
     flat layout (or a fresh checkpoint over pipeline-written versions)
     is migrated by an immediate full snapshot. Read the result with
     :func:`read_state`.
+
+    ``expectations`` (name -> boolean Column, operators/expectations
+    contract) gates every batch BEFORE the fold: failing rows never
+    reach the state table; with ``quarantine_path`` they land in a
+    per-batch ``b_*`` dir (mode=overwrite, so crashed-batch replays
+    rewrite rather than double-append) tagged with their violations
+    and batch id — the streaming twin of the pipeline's A7-observed
+    gate.
     """
     order_cols = order_cols or ["updated_date", "event_id"]
 
@@ -659,6 +669,22 @@ def incremental_merge_stream(
             if d.endswith(suffix) and d not in committed:
                 _shutil.rmtree(d, ignore_errors=True)
         sess = batch.sparkSession
+        if expectations:
+            from rental_data_pipeline_spark.operators.expectations import (
+                VIOLATIONS_COL,
+                validate,
+            )
+
+            tagged = validate(batch, expectations)
+            if quarantine_path:
+                tagged.where(F.size(F.col(VIOLATIONS_COL)) > 0).withColumn(
+                    "_batch_id", F.lit(batch_id)
+                ).write.mode("overwrite").parquet(
+                    f"{quarantine_path}/b_{batch_id:09d}"
+                )
+            batch = tagged.where(
+                F.size(F.col(VIOLATIONS_COL)) == 0
+            ).drop(VIOLATIONS_COL)
         meta = _ensure_meta(state_path, key, n_buckets)
         n_bk = int(meta["n_buckets"])
         touched = sorted(

@@ -497,3 +497,70 @@ def test_time_travel_reads_each_committed_version(spark, tmpdirs):
     sh.rmtree(base)
     with pt.raises(StateVersionUnavailable):
         read_state(spark, state, as_of_version=log[1]["version"])
+
+
+def test_stream_expectations_gate_batches_before_fold(spark, tmpdirs):
+    """Row contracts on the stream: failing rows never reach the state
+    table; quarantined rows land per-batch with their violation tags
+    (overwrite-per-batch, so replays can't double-append). The folded
+    state equals a batch fold over only the clean rows."""
+    from rental_data_pipeline_spark.operators.merge import merge_listings
+    from rental_data_pipeline_spark.streaming.incremental import read_state
+
+    landing, state, ckpt = tmpdirs
+    qdir = landing.replace("landing", "quarantine")
+    snaps = _snapshots(spark)
+    # plant violations: negative price (key 9) in chunk 1, zero-price
+    # update for key 2 in chunk 3 (must not clobber the good row)
+    bad = spark.createDataFrame(
+        [
+            (9, "2024-01-01 12:00:00", -5.0, False, 90),
+            (2, "2024-01-03 12:00:00", 0.0, False, 91),
+        ],
+        "offer_id long, updated_date string, price_value double, "
+        "is_unpublished boolean, event_id long",
+    ).withColumn("updated_date", F.to_timestamp("updated_date"))
+    allrows = snaps.unionByName(bad)
+    for day in (1, 2, 3):
+        allrows.where(F.dayofmonth("updated_date") == day).coalesce(
+            1
+        ).write.mode("append").parquet(landing)
+
+    rules = {
+        "price_positive": F.col("price_value").isNull()
+        | (F.col("price_value") > 0)
+    }
+    stream = read_snapshot_stream(
+        spark, landing, SNAPSHOT_SCHEMA, max_files_per_trigger=1
+    )
+    q = incremental_merge_stream(
+        stream, state, ckpt, expectations=rules, quarantine_path=qdir
+    )
+    q.awaitTermination(120)
+
+    got = read_state(spark, state)
+    keys = {r.offer_id for r in got.select("offer_id").collect()}
+    assert keys == {1, 2, 3}  # key 9 never entered
+    p2 = got.where("offer_id = 2").collect()[0].price_value
+    assert p2 == 55.0  # the zero-price update was gated out
+
+    quarantined = spark.read.parquet(f"{qdir}/b_*")
+    qs = {(r.offer_id, r._violations[0]) for r in quarantined.collect()}
+    assert qs == {(9, "price_positive"), (2, "price_positive")}
+    assert {r._batch_id for r in quarantined.collect()} <= {0, 1, 2}
+
+    # equivalence: streamed-with-gate == batch merge over clean rows
+    clean = allrows.where(rules["price_positive"])
+    want = merge_listings(
+        clean.limit(0).drop("updated_date"), clean, key="offer_id",
+        order_cols=["updated_date", "event_id"],
+    )
+    gl = {
+        (r.offer_id, r.price_value, r.is_unpublished)
+        for r in got.select("offer_id", "price_value", "is_unpublished").collect()
+    }
+    wl = {
+        (r.offer_id, r.price_value, r.is_unpublished)
+        for r in want.select("offer_id", "price_value", "is_unpublished").collect()
+    }
+    assert gl == wl
