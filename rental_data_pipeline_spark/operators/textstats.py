@@ -232,7 +232,7 @@ def profile(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> Da
     return flat.join(ent, id_col, "left")
 
 
-def curate_corpus(
+def curation_scored(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
@@ -241,22 +241,14 @@ def curate_corpus(
     max_tokens: int = 5000,
     min_quality: float = 0.5,
 ) -> DataFrame:
-    """End-to-end corpus curation: language gate + length bounds +
-    quality threshold + exact dedup (keep the lowest id per content
-    hash) — the canonical pre-training filter chain, composed so the
-    whole thing is ONE scan projection (tokens materialized once, all
-    scores derived from it) followed by ONE shuffle (the dedup
-    aggregation). Filters run before the shuffle, so only surviving
-    rows are exchanged — at 100 TB the post-filter volume is what
-    crosses the wire.
-
-    Known trade-off: Catalyst pushes the filter below the projection by
-    substituting the score aliases, so the scoring expressions evaluate
-    ~2× in the map stage (once in the filter, once in the project).
-    That doubles map-side CPU on a fully-pipelined, shuffle-free stage;
-    the alternative (a barrier to stop pushdown) would either shuffle
-    unfiltered rows or materialize the corpus — both worse at scale.
-    """
+    """The map-side half of :func:`curate_corpus`: per-doc language
+    prediction, token count, quality score, content hash, already
+    gated on the curation thresholds — everything BEFORE the exact-
+    dedup shuffle. Factored out so the incremental curation fold
+    (``streaming/curation_stream.py``) scores each micro-batch with
+    the exact expressions the batch operator uses (one implementation,
+    so streamed state ≡ batch output is a merge property, not a
+    score-parity hope)."""
     df = _with_tokens(df, text_col, id_col)
     toks = F.col("__toks")
     n = F.size(toks)
@@ -284,7 +276,7 @@ def curate_corpus(
         6,
     )
 
-    scored = df.select(
+    return df.select(
         F.col(id_col),
         predicted.alias("predicted_lang"),
         n.alias("n_tokens"),
@@ -296,12 +288,54 @@ def curate_corpus(
         & (F.col("n_tokens") <= max_tokens)
         & (F.col("quality_score") >= min_quality)
     )
-    # exact dedup, deterministic keep: lowest id wins per content hash
+
+
+def curation_dedup(scored: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """The shuffle half of :func:`curate_corpus`: exact dedup with a
+    deterministic keep — lowest id wins per content hash. A pure keyed
+    min-fold (associative + commutative + idempotent), which is what
+    lets the incremental fold apply it per micro-batch against only
+    the touched buckets' stored rows."""
     keep = F.struct(F.col(id_col), "predicted_lang", "n_tokens", "quality_score")
     return (
         scored.groupBy("content_hash")
         .agg(F.min(keep).alias("__k"))
         .select("content_hash", "__k.*")
+    )
+
+
+def curate_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    languages: tuple[str, ...] = ("en",),
+    min_tokens: int = 10,
+    max_tokens: int = 5000,
+    min_quality: float = 0.5,
+) -> DataFrame:
+    """End-to-end corpus curation: language gate + length bounds +
+    quality threshold + exact dedup (keep the lowest id per content
+    hash) — the canonical pre-training filter chain, composed so the
+    whole thing is ONE scan projection (tokens materialized once, all
+    scores derived from it) followed by ONE shuffle (the dedup
+    aggregation). Filters run before the shuffle, so only surviving
+    rows are exchanged — at 100 TB the post-filter volume is what
+    crosses the wire.
+
+    Known trade-off: Catalyst pushes the filter below the projection by
+    substituting the score aliases, so the scoring expressions evaluate
+    ~2× in the map stage (once in the filter, once in the project).
+    That doubles map-side CPU on a fully-pipelined, shuffle-free stage;
+    the alternative (a barrier to stop pushdown) would either shuffle
+    unfiltered rows or materialize the corpus — both worse at scale.
+    """
+    return curation_dedup(
+        curation_scored(
+            df, text_col=text_col, id_col=id_col, languages=languages,
+            min_tokens=min_tokens, max_tokens=max_tokens,
+            min_quality=min_quality,
+        ),
+        id_col=id_col,
     )
 
 

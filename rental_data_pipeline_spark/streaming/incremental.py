@@ -604,6 +604,89 @@ def _prune_versions(state_path: str, keep_versions: int) -> None:
             _shutil.rmtree(v, ignore_errors=True)
 
 
+def bucketed_keyed_fold(
+    batch: DataFrame,
+    batch_id: int,
+    state_path: str,
+    key: str,
+    merge_fn,
+    n_buckets: int = N_STATE_BUCKETS,
+    keep_versions: int = 2,
+    compact_every: int = 8,
+    needs_full=None,
+) -> None:
+    """ONE micro-batch folded into a versioned, hash-bucketed state
+    table under an arbitrary keyed merge — the LSM commit protocol
+    (replay no-op, crashed-attempt cleanup, touched-bucket pruning,
+    delta version write, periodic ``_FULL`` compaction, retention
+    pruning) factored out of :func:`incremental_merge_stream` so every
+    keyed fold (CDC merge, curation min-fold, ...) shares one
+    crash-safety implementation instead of re-deriving it.
+
+    ``merge_fn(target, batch) -> DataFrame`` is the per-key merge:
+    ``target`` is the current state restricted to the batch's touched
+    buckets (or the FULL state on compaction commits, or None before
+    the first commit); it must be a pure keyed fold — a key absent
+    from the batch must pass through unchanged — because bucket-local
+    merge ≡ global merge is exactly what makes the pruned read sound.
+    ``needs_full(batch) -> bool`` forces a full-state merge + snapshot
+    for batches whose merge semantics reach beyond their own keys'
+    buckets (e.g. the CDC url-adoption path)."""
+    import shutil as _shutil
+
+    _assert_no_pending_rebucket(state_path)
+    suffix = f"_b{batch_id:09d}"
+    committed = _state_versions(state_path)
+    if any(v.endswith(suffix) for v in committed):
+        return  # this batch already committed; replay is a no-op
+    # clear garbage from a crashed attempt of this same batch
+    for d in _all_version_dirs(state_path):
+        if d.endswith(suffix) and d not in committed:
+            _shutil.rmtree(d, ignore_errors=True)
+    sess = batch.sparkSession
+    meta = _ensure_meta(state_path, key, n_buckets)
+    n_bk = int(meta["n_buckets"])
+    touched = sorted(
+        r[0]
+        for r in batch.select(_bucket_of(key, n_bk).alias("b"))
+        .where(F.col("b").isNotNull())
+        .distinct()
+        .collect()
+    )
+    if not touched:
+        return  # empty batch: nothing to fold, nothing to commit
+    # this commit's version counter — monotonic across prunes, so the
+    # compaction cadence is exactly every compact_every-th commit
+    # (counting surviving versions instead would fire early: pruning
+    # shrinks the committed list after every full snapshot)
+    all_dirs = _all_version_dirs(state_path)
+    n = _version_counter(all_dirs[-1]) + 1 if all_dirs else 0
+    full = (
+        not committed
+        or n % compact_every == 0
+        or (needs_full is not None and needs_full(batch))
+    )
+    if full:
+        target = read_state_or_legacy(sess, state_path)
+    else:
+        target = read_state_buckets(sess, state_path, touched)
+    merged = merge_fn(target, batch)
+    out = merged.withColumn(BUCKET_COL, _bucket_of(key, n_bk))
+    vdir = f"{state_path}/v_{n:09d}{suffix}"
+    # repartition by bucket so each bucket lands in ~one file (a
+    # key-partitioned merge output would otherwise scatter every
+    # bucket across every task → buckets x tasks tiny files); full
+    # snapshots keep the session's parallelism
+    dp = sess.sparkContext.defaultParallelism
+    n_parts = dp if full else max(1, min(len(touched), dp))
+    out.repartition(n_parts, F.col(BUCKET_COL)).write.mode(
+        "overwrite"
+    ).partitionBy(BUCKET_COL).parquet(vdir)
+    if full:
+        _mark_full(vdir)
+    _prune_versions(state_path, keep_versions)
+
+
 def incremental_merge_stream(
     snapshots: DataFrame,
     state_path: str,
@@ -656,19 +739,22 @@ def incremental_merge_stream(
     """
     order_cols = order_cols or ["updated_date", "event_id"]
 
-    def fold(batch: DataFrame, batch_id: int) -> None:
-        import shutil as _shutil
+    def merge_fn(target: DataFrame | None, batch: DataFrame) -> DataFrame:
+        if target is None:
+            target = batch.limit(0).drop("updated_date")
+        return merge_listings(
+            target, batch, key=key, order_cols=order_cols, **merge_kwargs
+        )
 
-        _assert_no_pending_rebucket(state_path)
-        suffix = f"_b{batch_id:09d}"
-        committed = _state_versions(state_path)
-        if any(v.endswith(suffix) for v in committed):
-            return  # this batch already committed; replay is a no-op
-        # clear garbage from a crashed attempt of this same batch
-        for d in _all_version_dirs(state_path):
-            if d.endswith(suffix) and d not in committed:
-                _shutil.rmtree(d, ignore_errors=True)
-        sess = batch.sparkSession
+    def needs_full(batch: DataFrame) -> bool:
+        # Full-state merge when the batch can adopt keys via offer_url
+        # (J5): adoption looks keys up in TARGET state, so a
+        # bucket-pruned target could silently miss the adopting row's
+        # true key — url batches must merge against full state.
+        url_col = merge_kwargs.get("url_col", "offer_url")
+        return url_col in batch.columns
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
         if expectations:
             from rental_data_pipeline_spark.operators.expectations import (
                 VIOLATIONS_COL,
@@ -685,58 +771,17 @@ def incremental_merge_stream(
             batch = tagged.where(
                 F.size(F.col(VIOLATIONS_COL)) == 0
             ).drop(VIOLATIONS_COL)
-        meta = _ensure_meta(state_path, key, n_buckets)
-        n_bk = int(meta["n_buckets"])
-        touched = sorted(
-            r[0]
-            for r in batch.select(_bucket_of(key, n_bk).alias("b"))
-            .where(F.col("b").isNotNull())
-            .distinct()
-            .collect()
+        bucketed_keyed_fold(
+            batch,
+            batch_id,
+            state_path,
+            key=key,
+            merge_fn=merge_fn,
+            n_buckets=n_buckets,
+            keep_versions=keep_versions,
+            compact_every=compact_every,
+            needs_full=needs_full,
         )
-        if not touched:
-            return  # empty batch: nothing to fold, nothing to commit
-        # Full snapshot when: first write (which also migrates a legacy
-        # flat root, folded in via read_state_or_legacy), the delta
-        # chain is due for compaction, or the batch can adopt keys via
-        # offer_url (J5): adoption looks keys up in TARGET state, so a
-        # bucket-pruned target could silently miss the adopting row's
-        # true key — url batches must merge against full state.
-        url_col = merge_kwargs.get("url_col", "offer_url")
-        # this commit's version counter — monotonic across prunes, so
-        # the compaction cadence is exactly every compact_every-th
-        # commit (counting surviving versions instead would fire early:
-        # pruning shrinks the committed list after every full snapshot)
-        all_dirs = _all_version_dirs(state_path)
-        n = _version_counter(all_dirs[-1]) + 1 if all_dirs else 0
-        full = (
-            not committed
-            or n % compact_every == 0
-            or url_col in batch.columns
-        )
-        if full:
-            target = read_state_or_legacy(sess, state_path)
-        else:
-            target = read_state_buckets(sess, state_path, touched)
-        if target is None:
-            target = batch.limit(0).drop("updated_date")
-        merged = merge_listings(
-            target, batch, key=key, order_cols=order_cols, **merge_kwargs
-        )
-        out = merged.withColumn(BUCKET_COL, _bucket_of(key, n_bk))
-        vdir = f"{state_path}/v_{n:09d}{suffix}"
-        # repartition by bucket so each bucket lands in ~one file (the
-        # merge's key-partitioned output would otherwise scatter every
-        # bucket across every task → buckets x tasks tiny files); full
-        # snapshots keep the session's parallelism
-        dp = sess.sparkContext.defaultParallelism
-        n_parts = dp if full else max(1, min(len(touched), dp))
-        out.repartition(n_parts, F.col(BUCKET_COL)).write.mode(
-            "overwrite"
-        ).partitionBy(BUCKET_COL).parquet(vdir)
-        if full:
-            _mark_full(vdir)
-        _prune_versions(state_path, keep_versions)
 
     writer = (
         snapshots.writeStream.foreachBatch(fold)
