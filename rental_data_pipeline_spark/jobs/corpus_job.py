@@ -79,18 +79,19 @@ def build_training_corpus(
 
     cfg = config or CorpusConfig()
 
-    # 0. expectations gate on the raw docs: one tagging pass + one agg
-    # for the per-rule report; quarantined rows exit before curation
-    expectation_counts: dict[str, int] = {}
+    # 0. expectations gate on the raw docs: ONE tagging pass; the
+    # per-rule report rides an Observation on the same computation the
+    # curation consumes (no second scan — the pipeline's A7 shape)
+    exp_obs = None
     quarantined = None
     if cfg.expectations:
         from rental_data_pipeline_spark.operators.expectations import (
-            expectation_metrics,
-            quarantine_invalid,
+            observed_quarantine,
         )
 
-        expectation_counts = expectation_metrics(docs, cfg.expectations)
-        docs, quarantined = quarantine_invalid(docs, cfg.expectations)
+        docs, quarantined, exp_obs = observed_quarantine(
+            docs, cfg.expectations
+        )
 
     # 1. gate + exact dedup (one scan + one shuffle)
     curated = curate_corpus(
@@ -150,8 +151,12 @@ def build_training_corpus(
         "n_corpus": clean.count(),
         "n_train_chunks": chunks.count(),
     }
-    if expectation_counts:
-        metrics["expectations"] = expectation_counts
+    if exp_obs is not None:
+        # available: the survivors localCheckpoint above already ran
+        # an action through the metrics node
+        metrics["expectations"] = {
+            k: int(v) for k, v in exp_obs.get.items()
+        }
     out = {
         "curated": curated,
         "pairs": pairs,

@@ -306,10 +306,24 @@ def append_ann_index(
     if batch_id is None:
         import glob as _glob
 
+        from rental_data_pipeline_spark.streaming.incremental import (
+            _read_manifest,
+        )
+
+        # max over on-disk b_* AND basenames covered by live c_*
+        # manifests: compaction deletes the b_* dirs but their ids stay
+        # claimed — restarting at 0 would write a slice a manifest
+        # already marks covered, making it permanently invisible to
+        # _append_slice_dirs (silent data loss)
         existing = [
             int(_os.path.basename(d)[2:])
             for d in _glob.glob(f"{index_path}/appends/b_*")
         ]
+        for c in _glob.glob(f"{index_path}/appends/c_*"):
+            covered = _read_manifest(f"{c}/_covered.json")
+            for name in covered or []:
+                if name.startswith("b_"):
+                    existing.append(int(name[2:]))
         batch_id = max(existing, default=-1) + 1
     sdir = f"{index_path}/appends/b_{batch_id:09d}"
     commit_sub = "codes" if meta.get("pq") else "assignments"

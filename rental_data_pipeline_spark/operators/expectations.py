@@ -51,6 +51,36 @@ def quarantine_invalid(
     return clean, bad
 
 
+def observed_quarantine(
+    df: DataFrame, rules: dict[str, Column], name: str = "expectations"
+):
+    """(clean, quarantined, observation): ONE tagging pass whose
+    per-rule violation counts ride a ``CollectMetrics`` node on the
+    same computation the caller consumes — zero extra scans (filters
+    are not pushed through the metrics node, so the counts cover every
+    raw row). ``observation.get`` yields ``_rows`` plus one count per
+    rule after the first action over either split — the gate shape
+    ``jobs/pipeline.py`` pioneered, shared here so every ingest
+    surface pays one scan, not two."""
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    tagged = validate(df, rules).observe(
+        obs,
+        F.count(F.lit(1)).alias("_rows"),
+        *[
+            F.coalesce(
+                F.sum(F.array_contains(F.col(VIOLATIONS_COL), n).cast("long")),
+                F.lit(0),
+            ).alias(n)
+            for n in sorted(rules)
+        ],
+    )
+    clean = tagged.where(F.size(F.col(VIOLATIONS_COL)) == 0).drop(VIOLATIONS_COL)
+    bad = tagged.where(F.size(F.col(VIOLATIONS_COL)) > 0)
+    return clean, bad, obs
+
+
 def expectation_metrics(df: DataFrame, rules: dict[str, Column]) -> dict[str, int]:
     """Violation count per rule plus ``_rows`` total — ONE aggregation
     pass over the tagged frame (map-side partials, single-row result),

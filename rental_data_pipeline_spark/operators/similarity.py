@@ -289,7 +289,15 @@ def semantic_dedup(
     via :func:`ivf_topk_trained`'s frame shape for the trained form.
     Beyond-reference training-data operator; no reference counterpart.
     """
-    corpus = _corpus(df, id_col, vec_col)
+    # zero-norm vectors are undirectional — cosine is an ANSI
+    # divide-by-zero; dropped uniformly with the other cosine paths
+    # (_unit_corpus / build_ann_index contract)
+    corpus = (
+        _corpus(df, id_col, vec_col)
+        .withColumn("_vn", norm(F.col("v")))
+        .where(F.col("_vn") > 0)
+        .drop("_vn")
+    )
     if centroids is None:
         centroids = (
             corpus.orderBy("vec_id").limit(n_cells)

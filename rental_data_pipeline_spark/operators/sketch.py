@@ -364,7 +364,14 @@ def heavy_hitters(df: DataFrame, value_col: str, k: int = 16) -> DataFrame:
         )
 
     partial = df.select(value_col).mapInPandas(mg, out_schema)
-    merged = partial.groupBy(value_col).agg(F.sum("__est").alias("__est"))
+    merged = partial.groupBy(value_col).agg(
+        F.sum("__est").alias("__est")
+    # pin ONE materialization: the MG compression inside mapInPandas
+    # depends on Arrow batching, so re-executing `merged` for the
+    # final select could yield counters inconsistent with the
+    # collected threshold (est<=true bound silently breaks). The
+    # checkpointed frame is bounded at k·P rows — tiny.
+    ).localCheckpoint(eager=True)
     top = (
         merged.select("__est")
         .orderBy(F.col("__est").desc())

@@ -349,3 +349,45 @@ def test_ann_stream_auto_compacts(spark, sf_dir, index_dir):
     finally:
         shutil.rmtree(base, ignore_errors=True)
         shutil.rmtree(ref, ignore_errors=True)
+
+
+def test_append_auto_id_skips_compaction_covered_ids(spark, sf_dir, index_dir):
+    """Regression (r7 ADVICE, medium): after compact_ann_appends the
+    b_* dirs are gone but their ids stay claimed by the c_* manifest.
+    An auto-id append must NOT reuse a covered id — reusing b_000000000
+    writes a slice the live manifest already marks covered, so it would
+    be permanently invisible to probes (silent data loss)."""
+    import glob
+
+    from rental_data_pipeline_spark.operators.ann_index import (
+        append_ann_index,
+        compact_ann_appends,
+    )
+    from rental_data_pipeline_spark.operators.similarity import kmeans_train
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    a = embs.where(F.col("vec_id") % 3 != 0)
+    b = embs.where(F.col("vec_id") % 3 == 0)
+    centroids, _ = kmeans_train(a, k=8, n_iter=1)
+    build_ann_index(a, index_dir, n_cells=8, centroids=centroids)
+
+    append_ann_index(b.where(F.pmod("vec_id", F.lit(9)) == 0), index_dir)
+    append_ann_index(b.where(F.pmod("vec_id", F.lit(9)) == 3), index_dir)
+    assert compact_ann_appends(spark, index_dir)
+    assert glob.glob(f"{index_dir}/appends/b_*") == []
+
+    # auto-id append AFTER compaction: must land at b_000000002, and
+    # its vectors must be probe-visible
+    tail = b.where(F.pmod("vec_id", F.lit(9)) == 6)
+    append_ann_index(tail, index_dir)
+    new = glob.glob(f"{index_dir}/appends/b_*")
+    assert [b_.split("/")[-1] for b_ in new] == ["b_000000002"]
+
+    ref = tempfile.mkdtemp(prefix="ann_ref_autoid_")
+    try:
+        build_ann_index(embs, ref, n_cells=8, centroids=centroids)
+        got = _rows(ivf_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5))
+        want = _rows(ivf_topk_persisted(spark, ref, QUERY_IDS, top_k=5))
+        assert got == want and got
+    finally:
+        shutil.rmtree(ref, ignore_errors=True)

@@ -611,6 +611,25 @@ def test_semantic_dedup_blocks_by_cell_and_drops_dominated(spark):
     assert got2 == {1: True, 2: True, 3: False, 4: True, 5: False, 6: True}
 
 
+def test_semantic_dedup_drops_zero_norm_vectors(spark):
+    """Regression (r7 ADVICE): a zero-norm embedding is undirectional —
+    cosine is an ANSI divide-by-zero. semantic_dedup must drop it
+    uniformly with the other cosine-metric paths, not crash."""
+    from rental_data_pipeline_spark.operators.similarity import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0]),
+        (2, [0.0, 0.0]),  # zero-norm: silently dropped
+        (3, [1.0, 0.001]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {
+        r.vec_id: r.is_kept
+        for r in semantic_dedup(df, threshold=0.95, n_cells=1).collect()
+    }
+    assert got == {1: True, 3: False}
+
+
 def test_connected_components_deep_path_graph_converges(spark):
     """Regression (round 7): each propagation round references the
     label frame twice, so without a per-iteration lineage barrier the
