@@ -96,14 +96,25 @@ def build_ann_index(
     asg = _assign_to_centroids(corpus, centroids).select(
         "vec_id", "v", "cid"
     ).withColumn("vb", _bucket_of("vec_id", n_vec_buckets))
-    # one write task per cell partition: the local corpus is tiny and a
-    # defaultParallelism fan-out would write n_cells·n_vec_buckets·32
-    # near-empty files; at scale raise this to the cluster's write
-    # parallelism (the partition columns, not the task count, carry the
-    # pruning contract)
-    asg.repartition(n_cells, F.col("cid")).write.partitionBy(
-        "cid", "vb"
-    ).mode("overwrite").parquet(f"{index_path}/assignments")
+    dt = df.schema[id_col].dataType.simpleString()
+    if asg.limit(1).count() == 0:
+        # an EMPTY base is a valid index: trained centroids + zero
+        # vectors, everything arriving later as append slices — the
+        # streaming corpus job's fully-append-only shape. partitionBy
+        # of zero rows writes no readable part file, so commit a
+        # schema-bearing plain-column frame (the shared guard).
+        spark.createDataFrame(
+            [], f"vec_id {dt}, v array<double>, cid int, vb int"
+        ).write.mode("overwrite").parquet(f"{index_path}/assignments")
+    else:
+        # one write task per cell partition: the local corpus is tiny
+        # and a defaultParallelism fan-out would write
+        # n_cells·n_vec_buckets·32 near-empty files; at scale raise
+        # this to the cluster's write parallelism (the partition
+        # columns, not the task count, carry the pruning contract)
+        asg.repartition(n_cells, F.col("cid")).write.partitionBy(
+            "cid", "vb"
+        ).mode("overwrite").parquet(f"{index_path}/assignments")
     spark.createDataFrame(
         spark.sparkContext.parallelize(list(enumerate(centroids)), 1),
         "cid int, cv array<double>",
@@ -130,11 +141,17 @@ def build_ann_index(
             spark.sparkContext.parallelize(rows, 1),
             "m int, cid int, cv array<double>",
         ).write.mode("overwrite").parquet(f"{index_path}/codebooks")
-        pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col).withColumn(
+        codes = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col).withColumn(
             "vb", _bucket_of("vec_id", n_vec_buckets)
-        ).repartition(1).write.partitionBy("vb").mode("overwrite").parquet(
-            f"{index_path}/codes"
         )
+        if codes.limit(1).count() == 0:
+            spark.createDataFrame(
+                [], f"vec_id {dt}, codes array<int>, vb int"
+            ).write.mode("overwrite").parquet(f"{index_path}/codes")
+        else:
+            codes.repartition(1).write.partitionBy("vb").mode(
+                "overwrite"
+            ).parquet(f"{index_path}/codes")
     # tmp + os.replace: a crash mid-write must not leave truncated
     # JSON that wedges every later read_meta
     tmp = f"{index_path}/{_META}.tmp"

@@ -85,7 +85,33 @@ def leakage_safe_split(
     """
     from rental_data_pipeline_spark.operators.dedup import connected_components
 
-    cc = connected_components(pairs).withColumnRenamed("node", id_col)
+    return split_from_components(
+        docs,
+        connected_components(pairs).withColumnRenamed("node", id_col),
+        fractions,
+        id_col=id_col,
+        salt=salt,
+        broadcast_components=broadcast_components,
+    )
+
+
+def split_from_components(
+    docs: DataFrame,
+    components: DataFrame,
+    fractions: dict[str, float],
+    id_col: str = "doc_id",
+    salt: str = "split",
+    broadcast_components: bool = True,
+) -> DataFrame:
+    """:func:`leakage_safe_split`'s assignment half, taking an
+    ALREADY-COMPUTED ``(id_col, component)`` map — what lets the
+    incremental corpus job assign splits from the PERSISTED label
+    table (``streaming/components.py``) instead of recomputing
+    connected components over the accumulated pair history. Streamed
+    labels are equal to batch CC over the same pairs (the components
+    equivalence tests), so both paths hash identical cluster ids →
+    identical splits."""
+    cc = components
     if broadcast_components:
         cc = F.broadcast(cc)
     labeled = docs.join(cc, id_col, "left").withColumn(

@@ -37,3 +37,8 @@ from rental_data_pipeline_spark.streaming.components import (  # noqa: F401
     read_components,
     rebucket_labels,
 )
+from rental_data_pipeline_spark.streaming.corpus_stream import (  # noqa: F401
+    fold_corpus_batch,
+    incremental_corpus_stream,
+    read_incremental_corpus,
+)

@@ -175,6 +175,160 @@ def read_emitted_pairs(spark: SparkSession, index_path: str) -> DataFrame | None
     return _read_union(spark, index_path, _PAIRS)
 
 
+def fold_index_batch(
+    spark: SparkSession,
+    index_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    threshold: float = 0.8,
+    k: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    compact_every: int = 16,
+    labels_path: str | None = None,
+) -> None:
+    """Fold ONE document batch into the incremental near-dup index —
+    the per-batch body of :func:`incremental_minhash_index_stream`,
+    module-level so the composed corpus fold
+    (``streaming/corpus_stream.py``) drives the same code path the
+    standalone stream does. Idempotent per ``batch_id`` (the pairs
+    commit is LAST; committed replays no-op, crashed attempts are
+    rewritten wholesale). With ``labels_path`` every committed pairs
+    batch is also caught up into the persisted union-find after the
+    pairs commit."""
+
+    def catchup(spark: SparkSession) -> None:
+        if labels_path is not None:
+            from rental_data_pipeline_spark.streaming.components import (
+                catchup_components,
+            )
+
+            catchup_components(spark, index_path, labels_path)
+
+    pairs_dir = _batch_dir(index_path, _PAIRS, batch_id)
+    if _os.path.exists(f"{pairs_dir}/_SUCCESS"):
+        catchup(spark)  # heal a crash between pairs and label commit
+        return  # committed replay: no-op
+    # clear garbage from a crashed attempt of this batch (pairs
+    # commit is LAST, so bands/shingles of an uncommitted attempt
+    # are rewritten wholesale)
+    for sub in (_BANDS, _SHINGLES, _PAIRS):
+        d = _batch_dir(index_path, sub, batch_id)
+        if _os.path.exists(d):
+            _shutil.rmtree(d, ignore_errors=True)
+    if batch.isEmpty():
+        # commit an empty batch through Spark so the pairs dir
+        # carries a schema-bearing part file — a bare hand-written
+        # _SUCCESS would make every later multi-dir parquet read of
+        # the pairs history fail schema inference
+        idt = batch.schema[id_col].dataType.simpleString()
+        spark.createDataFrame(
+            [], f"doc_a {idt}, doc_b {idt}, jaccard double, batch_id long"
+        ).write.parquet(pairs_dir)
+        catchup(spark)
+        return
+
+    bands, sh = minhash_index_frames(
+        batch, k=k, text_col=text_col, id_col=id_col
+    )
+    # the batch slices feed the candidate join, the verify, AND the
+    # index append: write them FIRST (cheapest materialization — at
+    # scale they are the index-table append), hash-partitioned by
+    # bucket so later probes prune, then read the written copies
+    # back so nothing below recomputes the signatures
+    dp = spark.sparkContext.defaultParallelism
+    nb = _ensure_index_meta(index_path)
+    bands.withColumn(_BB, _bucket_of_bkey(nb)).repartition(
+        dp, F.col(_BB)
+    ).write.partitionBy(_BB).parquet(_batch_dir(index_path, _BANDS, batch_id))
+    sh.withColumn(_DB, _bucket_of_doc(nb)).repartition(
+        dp, F.col(_DB)
+    ).write.partitionBy(_DB).parquet(_batch_dir(index_path, _SHINGLES, batch_id))
+    new_bands = spark.read.parquet(_batch_dir(index_path, _BANDS, batch_id))
+    new_sh = spark.read.parquet(
+        _batch_dir(index_path, _SHINGLES, batch_id)
+    ).drop(_DB)
+
+    # new-vs-new: banded self-join within the batch
+    a, b = new_bands.alias("a"), new_bands.alias("b")
+    cand_new = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    )
+    # new-vs-old: the small batch band set broadcasts; the stored
+    # index reads ONLY the band buckets the batch touches (<= 16
+    # band keys per batch doc → a pure function of the batch, never
+    # of corpus size) and streams them map-side — no shuffle, no
+    # full-index scan. Canonical a < b via least/greatest.
+    old_dirs = [
+        d
+        for d in _committed(index_path, _BANDS)
+        if d != _batch_dir(index_path, _BANDS, batch_id)
+    ]
+    touched_bb = [
+        r[0] for r in new_bands.select(_BB).distinct().collect()
+    ]
+    cands = [cand_new]
+    old_band_paths = _pruned_subdirs(old_dirs, _BB, touched_bb)
+    if old_band_paths:
+        old_bands = spark.read.parquet(*old_band_paths).alias("o")
+        n = new_bands.drop(_BB).alias("n")
+        cands.append(
+            old_bands.join(
+                F.broadcast(n),
+                (F.col("o.band") == F.col("n.band"))
+                & (F.col("o.bkey") == F.col("n.bkey"))
+                & (F.col("o.doc") != F.col("n.doc")),
+            ).select(
+                F.least(F.col("o.doc"), F.col("n.doc")).alias("doc_a"),
+                F.greatest(F.col("o.doc"), F.col("n.doc")).alias("doc_b"),
+            )
+        )
+    cand = cands[0]
+    for c in cands[1:]:
+        cand = cand.unionByName(c)
+    # materialize candidates once: they drive the doc-bucket pruning
+    # (a bounded distinct-collect) AND the verify join
+    cand = cand.distinct().localCheckpoint(eager=True)
+
+    # verify reads only the shingle buckets holding candidate docs
+    old_sh_dirs = [
+        d
+        for d in _committed(index_path, _SHINGLES)
+        if d != _batch_dir(index_path, _SHINGLES, batch_id)
+    ]
+    touched_db = [
+        r[0]
+        for r in cand.select(
+            F.explode(
+                F.array(
+                    _bucket_of_doc(nb, "doc_a"),
+                    _bucket_of_doc(nb, "doc_b"),
+                )
+            ).alias("db")
+        )
+        .distinct()
+        .collect()
+    ]
+    sh_all = new_sh
+    old_sh_paths = _pruned_subdirs(old_sh_dirs, _DB, touched_db)
+    if old_sh_paths:
+        sh_all = sh_all.unionByName(spark.read.parquet(*old_sh_paths))
+    pairs = verify_jaccard_pairs(cand, sh_all, threshold).withColumn(
+        "batch_id", F.lit(batch_id).cast("long")
+    )
+    # pairs commit marks the whole batch done (Spark writes _SUCCESS)
+    pairs.write.parquet(pairs_dir)
+    if len(_committed(index_path, _BANDS)) >= compact_every:
+        compact_index(spark, index_path)
+    catchup(spark)
+
+
 def incremental_minhash_index_stream(
     docs: DataFrame,
     index_path: str,
@@ -203,140 +357,15 @@ def incremental_minhash_index_stream(
     doc per near-dup group) stay current per micro-batch without ever
     recomputing over the accumulated pair history. The label fold sits
     AFTER the pairs commit with its own idempotent commit + watermark:
-    a crash between the two is healed by the next batch's catch-up."""
-
-    def catchup(spark: SparkSession) -> None:
-        if labels_path is not None:
-            from rental_data_pipeline_spark.streaming.components import (
-                catchup_components,
-            )
-
-            catchup_components(spark, index_path, labels_path)
+    a crash between the two is healed by the next batch's catch-up.
+    Per-batch work is :func:`fold_index_batch`."""
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        spark = batch.sparkSession
-        pairs_dir = _batch_dir(index_path, _PAIRS, batch_id)
-        if _os.path.exists(f"{pairs_dir}/_SUCCESS"):
-            catchup(spark)  # heal a crash between pairs and label commit
-            return  # committed replay: no-op
-        # clear garbage from a crashed attempt of this batch (pairs
-        # commit is LAST, so bands/shingles of an uncommitted attempt
-        # are rewritten wholesale)
-        for sub in (_BANDS, _SHINGLES, _PAIRS):
-            d = _batch_dir(index_path, sub, batch_id)
-            if _os.path.exists(d):
-                _shutil.rmtree(d, ignore_errors=True)
-        if batch.isEmpty():
-            # commit an empty batch through Spark so the pairs dir
-            # carries a schema-bearing part file — a bare hand-written
-            # _SUCCESS would make every later multi-dir parquet read of
-            # the pairs history fail schema inference
-            idt = batch.schema[id_col].dataType.simpleString()
-            spark.createDataFrame(
-                [], f"doc_a {idt}, doc_b {idt}, jaccard double, batch_id long"
-            ).write.parquet(pairs_dir)
-            catchup(spark)
-            return
-
-        bands, sh = minhash_index_frames(
-            batch, k=k, text_col=text_col, id_col=id_col
+        fold_index_batch(
+            batch.sparkSession, index_path, batch, batch_id,
+            threshold=threshold, k=k, text_col=text_col, id_col=id_col,
+            compact_every=compact_every, labels_path=labels_path,
         )
-        # the batch slices feed the candidate join, the verify, AND the
-        # index append: write them FIRST (cheapest materialization — at
-        # scale they are the index-table append), hash-partitioned by
-        # bucket so later probes prune, then read the written copies
-        # back so nothing below recomputes the signatures
-        dp = spark.sparkContext.defaultParallelism
-        nb = _ensure_index_meta(index_path)
-        bands.withColumn(_BB, _bucket_of_bkey(nb)).repartition(
-            dp, F.col(_BB)
-        ).write.partitionBy(_BB).parquet(_batch_dir(index_path, _BANDS, batch_id))
-        sh.withColumn(_DB, _bucket_of_doc(nb)).repartition(
-            dp, F.col(_DB)
-        ).write.partitionBy(_DB).parquet(_batch_dir(index_path, _SHINGLES, batch_id))
-        new_bands = spark.read.parquet(_batch_dir(index_path, _BANDS, batch_id))
-        new_sh = spark.read.parquet(
-            _batch_dir(index_path, _SHINGLES, batch_id)
-        ).drop(_DB)
-
-        # new-vs-new: banded self-join within the batch
-        a, b = new_bands.alias("a"), new_bands.alias("b")
-        cand_new = (
-            a.join(
-                b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.bkey") == F.col("b.bkey"))
-                & (F.col("a.doc") < F.col("b.doc")),
-            )
-            .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        )
-        # new-vs-old: the small batch band set broadcasts; the stored
-        # index reads ONLY the band buckets the batch touches (<= 16
-        # band keys per batch doc → a pure function of the batch, never
-        # of corpus size) and streams them map-side — no shuffle, no
-        # full-index scan. Canonical a < b via least/greatest.
-        old_dirs = [
-            d
-            for d in _committed(index_path, _BANDS)
-            if d != _batch_dir(index_path, _BANDS, batch_id)
-        ]
-        touched_bb = [
-            r[0] for r in new_bands.select(_BB).distinct().collect()
-        ]
-        cands = [cand_new]
-        old_band_paths = _pruned_subdirs(old_dirs, _BB, touched_bb)
-        if old_band_paths:
-            old_bands = spark.read.parquet(*old_band_paths).alias("o")
-            n = new_bands.drop(_BB).alias("n")
-            cands.append(
-                old_bands.join(
-                    F.broadcast(n),
-                    (F.col("o.band") == F.col("n.band"))
-                    & (F.col("o.bkey") == F.col("n.bkey"))
-                    & (F.col("o.doc") != F.col("n.doc")),
-                ).select(
-                    F.least(F.col("o.doc"), F.col("n.doc")).alias("doc_a"),
-                    F.greatest(F.col("o.doc"), F.col("n.doc")).alias("doc_b"),
-                )
-            )
-        cand = cands[0]
-        for c in cands[1:]:
-            cand = cand.unionByName(c)
-        # materialize candidates once: they drive the doc-bucket pruning
-        # (a bounded distinct-collect) AND the verify join
-        cand = cand.distinct().localCheckpoint(eager=True)
-
-        # verify reads only the shingle buckets holding candidate docs
-        old_sh_dirs = [
-            d
-            for d in _committed(index_path, _SHINGLES)
-            if d != _batch_dir(index_path, _SHINGLES, batch_id)
-        ]
-        touched_db = [
-            r[0]
-            for r in cand.select(
-                F.explode(
-                    F.array(
-                        _bucket_of_doc(nb, "doc_a"),
-                        _bucket_of_doc(nb, "doc_b"),
-                    )
-                ).alias("db")
-            )
-            .distinct()
-            .collect()
-        ]
-        sh_all = new_sh
-        old_sh_paths = _pruned_subdirs(old_sh_dirs, _DB, touched_db)
-        if old_sh_paths:
-            sh_all = sh_all.unionByName(spark.read.parquet(*old_sh_paths))
-        pairs = verify_jaccard_pairs(cand, sh_all, threshold).withColumn(
-            "batch_id", F.lit(batch_id).cast("long")
-        )
-        # pairs commit marks the whole batch done (Spark writes _SUCCESS)
-        pairs.write.parquet(pairs_dir)
-        if len(_committed(index_path, _BANDS)) >= compact_every:
-            compact_index(spark, index_path)
-        catchup(spark)
 
     writer = (
         docs.writeStream.foreachBatch(fold)

@@ -90,6 +90,30 @@ def compact_sketch(spark: SparkSession, state_path: str, min_slices: int = 2) ->
     return True
 
 
+def fold_registers_batch(
+    spark: SparkSession,
+    state_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+    compact_every: int = 16,
+) -> None:
+    """Fold ONE batch's register slice — the per-batch body of
+    :func:`incremental_hll_stream`, module-level so the composed
+    corpus fold (``streaming/corpus_stream.py``) drives the same code
+    path. Idempotent per ``batch_id``."""
+    bdir = f"{state_path}/b_{batch_id:09d}"
+    if _os.path.exists(f"{bdir}/_SUCCESS"):
+        return  # committed replay: no-op
+    if _os.path.exists(bdir):
+        _shutil.rmtree(bdir, ignore_errors=True)  # crashed attempt
+    hll_registers(batch, group_cols, value_col, p).write.parquet(bdir)
+    if len(_committed(state_path)) >= compact_every:
+        compact_sketch(spark, state_path)
+
+
 def incremental_hll_stream(
     events: DataFrame,
     state_path: str,
@@ -108,14 +132,10 @@ def incremental_hll_stream(
     stays bounded too."""
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        bdir = f"{state_path}/b_{batch_id:09d}"
-        if _os.path.exists(f"{bdir}/_SUCCESS"):
-            return  # committed replay: no-op
-        if _os.path.exists(bdir):
-            _shutil.rmtree(bdir, ignore_errors=True)  # crashed attempt
-        hll_registers(batch, group_cols, value_col, p).write.parquet(bdir)
-        if len(_committed(state_path)) >= compact_every:
-            compact_sketch(batch.sparkSession, state_path)
+        fold_registers_batch(
+            batch.sparkSession, state_path, batch, batch_id,
+            group_cols, value_col, p=p, compact_every=compact_every,
+        )
 
     writer = (
         events.writeStream.foreachBatch(fold)

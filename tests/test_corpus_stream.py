@@ -1,0 +1,252 @@
+"""End-to-end incremental corpus job: one foreachBatch folding every
+artifact equals the batch corpus job over the full corpus — including
+after a mid-batch crash + resume — and the monotonic-id contract is
+enforced loudly.
+"""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.jobs.corpus_job import (
+    CorpusConfig,
+    build_training_corpus,
+)
+from rental_data_pipeline_spark.sources.tables import load_table
+from rental_data_pipeline_spark.streaming.corpus_stream import (
+    fold_corpus_batch,
+    incremental_corpus_stream,
+    read_incremental_corpus,
+)
+
+CFG = dict(
+    languages=("en", "de", "fr", "es"), min_quality=0.0, min_tokens=1,
+    max_contamination=0.5,
+)
+# three id-range chunks: the arrival-order contract (monotonic ids)
+RANGES = [(0, 170), (170, 340), (340, 100000)]
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="corpus_stream_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _inputs(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    embs = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    streamed = docs.join(embs, "doc_id", "left")
+    holdout = docs.where(F.col("doc_id") % 5 == 0)
+    return docs, streamed, holdout
+
+
+def _ids(df, col="doc_id"):
+    return {r[0] for r in df.select(col).collect()}
+
+
+def test_streamed_corpus_equals_batch_job(spark, sf_dir, root):
+    from rental_data_pipeline_spark.operators.ann_index import (
+        build_ann_index,
+        ivf_topk_persisted,
+    )
+    from rental_data_pipeline_spark.operators.similarity import kmeans_train
+    from rental_data_pipeline_spark.operators.sketch import (
+        hll_estimate_from_registers,
+        hll_registers,
+    )
+    from rental_data_pipeline_spark.operators.textstats import (
+        tfidf_top_terms,
+        tfidf_top_terms_from_vocab,
+    )
+    from rental_data_pipeline_spark.streaming.sketch_stream import (
+        read_hll_estimate,
+    )
+
+    docs, streamed, holdout = _inputs(spark, sf_dir)
+    cfg = CorpusConfig(**CFG)
+    # centroids trained OFFLINE on the first chunk's embeddings — the
+    # trained-centroid composition (round-7 verdict item #4)
+    centroids, _ = kmeans_train(
+        load_table(spark, "embeddings", sf_dir).where("vec_id < 170"),
+        k=4, n_iter=2,
+    )
+
+    base = tempfile.mkdtemp(prefix="corpus_landing_")
+    landing, ckpt = f"{base}/landing", f"{base}/ckpt"
+    try:
+        for lo, hi in RANGES:
+            streamed.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ).coalesce(1).write.mode("append").parquet(landing)
+        q = incremental_corpus_stream(
+            spark.readStream.schema(streamed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing),
+            root, ckpt, config=cfg, holdout=holdout,
+            ann_centroids=centroids, vec_col="embedding",
+        )
+        q.awaitTermination(600)
+
+        want = build_training_corpus(docs, holdout, cfg)
+        got = read_incremental_corpus(spark, root, cfg)
+
+        # canonical corpus, keeper state, contaminated set
+        assert _ids(got["corpus"]) == _ids(want["corpus"])
+        assert _ids(got["curated"]) == _ids(want["curated"])
+        assert _ids(got["contaminated"]) == _ids(want["contaminated"])
+        # near-dup pairs with verified jaccard values
+        def pset(df):
+            return {
+                (r.doc_a, r.doc_b, round(r.jaccard, 6))
+                for r in df.select("doc_a", "doc_b", "jaccard").collect()
+            }
+
+        assert pset(got["pairs"]) == pset(want["pairs"])
+        # split assignment: identical doc -> split map (leakage-safe
+        # clustering hashed identically through the persisted labels)
+        want_split = {r.doc_id: r.split for r in want["split"].collect()}
+        got_split = {r.doc_id: r.split for r in got["split"].collect()}
+        assert got_split == want_split and got_split
+        # metrics roll-up
+        assert got["metrics"]["n_raw"] == docs.count()
+        assert got["metrics"]["n_keepers"] == want["metrics"]["n_curated"]
+        assert got["metrics"]["n_batches"] == 3
+
+        # TF-IDF: scoring the curated corpus from the streamed
+        # vocabulary == the batch operator over the same docs
+        survivors = docs.join(
+            F.broadcast(got["curated"].select("doc_id")), "doc_id"
+        )
+        def trows(df):
+            return sorted(
+                (r.doc_id, r.term, r.tf, r.df, r.tfidf, r.rank)
+                for r in df.collect()
+            )
+
+        assert trows(
+            tfidf_top_terms_from_vocab(
+                survivors, got["vocab"], got["corpus_size"]
+            )
+        ) == trows(tfidf_top_terms(survivors))
+        assert got["corpus_size"] == survivors.count()
+
+        # HLL: streamed register merge == batch registers over keepers
+        def hrows(df):
+            return sorted(
+                (r.predicted_lang, r.hll_estimate) for r in df.collect()
+            )
+
+        batch_est = hll_estimate_from_registers(
+            hll_registers(got["keepers"], ["predicted_lang"], "doc_id"),
+            ["predicted_lang"],
+        )
+        streamed_est = read_hll_estimate(spark, f"{root}/hll")
+        assert hrows(streamed_est) == hrows(batch_est) and hrows(streamed_est)
+
+        # ANN: probing the streamed index == probing an index built
+        # offline over the SAME keeper embeddings and centroids
+        keeper_embs = got["keepers"].where(
+            F.col("embedding").isNotNull()
+        ).select(F.col("doc_id").alias("vec_id"), "embedding")
+        qids = sorted(_ids(keeper_embs, "vec_id"))[:5]
+        ref = tempfile.mkdtemp(prefix="corpus_ann_ref_")
+        try:
+            build_ann_index(keeper_embs, ref, n_cells=4, centroids=centroids)
+            def arows(df):
+                return sorted(
+                    (r.query_id, r.vec_id, r.sim, r.rank) for r in df.collect()
+                )
+
+            got_ann = arows(
+                ivf_topk_persisted(spark, f"{root}/ann", qids, top_k=5)
+            )
+            assert got_ann == arows(
+                ivf_topk_persisted(spark, ref, qids, top_k=5)
+            ) and got_ann
+        finally:
+            shutil.rmtree(ref, ignore_errors=True)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_crash_mid_batch_then_resume_heals(spark, sf_dir, root, monkeypatch):
+    """A crash between sub-folds leaves the batch invisible to readers
+    (metrics-gated) and is healed by replaying the same batch — the
+    committed prefix no-ops, the suffix completes."""
+    import os
+
+    import rental_data_pipeline_spark.streaming.df_stream as df_stream
+
+    docs, streamed, holdout = _inputs(spark, sf_dir)
+    cfg = CorpusConfig(**CFG)
+    chunks = [
+        streamed.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).localCheckpoint(eager=True)
+        for lo, hi in RANGES
+    ]
+
+    fold_corpus_batch(spark, root, chunks[0], 0, cfg, holdout=holdout)
+
+    real = df_stream.fold_docs_batch
+
+    def boom(*a, **kw):
+        raise RuntimeError("injected crash before the vocabulary fold")
+
+    monkeypatch.setattr(df_stream, "fold_docs_batch", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        fold_corpus_batch(spark, root, chunks[1], 1, cfg, holdout=holdout)
+    monkeypatch.setattr(df_stream, "fold_docs_batch", real)
+
+    # keepers/pairs of batch 1 are committed but the batch is NOT
+    # (no metrics row): the read sees only batch 0
+    assert os.path.exists(f"{root}/keepers/b_000000001/_SUCCESS")
+    assert not os.path.exists(f"{root}/metrics/b_000000001/_SUCCESS")
+    partial = read_incremental_corpus(spark, root, cfg)
+    assert partial["metrics"]["n_batches"] == 1
+    assert _ids(partial["keepers"]) <= {
+        r.doc_id for r in chunks[0].collect()
+    }
+
+    # replay the crashed batch, then the rest
+    fold_corpus_batch(spark, root, chunks[1], 1, cfg, holdout=holdout)
+    fold_corpus_batch(spark, root, chunks[2], 2, cfg, holdout=holdout)
+    # replay of a fully-committed batch is a no-op
+    fold_corpus_batch(spark, root, chunks[2], 2, cfg, holdout=holdout)
+
+    want = build_training_corpus(docs, holdout, cfg)
+    got = read_incremental_corpus(spark, root, cfg)
+    assert _ids(got["corpus"]) == _ids(want["corpus"])
+    assert {r.doc_id: r.split for r in got["split"].collect()} == {
+        r.doc_id: r.split for r in want["split"].collect()
+    }
+    assert got["metrics"]["n_batches"] == 3
+
+
+def test_monotonic_id_contract_violation_raises(spark, root):
+    cfg = CorpusConfig(
+        languages=("en", "und"), min_quality=0.0, min_tokens=1
+    )
+    text = "the quick brown fox and the lazy dog of the meadow"
+    b0 = spark.createDataFrame(
+        [(100, text), (101, "another document with the words of note")],
+        "doc_id long, text string",
+    )
+    fold_corpus_batch(spark, root, b0, 0, cfg)
+    # same content hash, LOWER id than the stored keeper: must raise,
+    # not silently diverge from the batch operator's min-id keeper
+    b1 = spark.createDataFrame([(50, text)], "doc_id long, text string")
+    with pytest.raises(RuntimeError, match="arrival-order contract"):
+        fold_corpus_batch(spark, root, b1, 1, cfg)
+    # a same-hash HIGHER id is an ordinary cross-batch exact dup
+    b2 = spark.createDataFrame([(200, text)], "doc_id long, text string")
+    fold_corpus_batch(spark, root, b2, 1, cfg)
+    got = read_incremental_corpus(spark, root, cfg)
+    assert _ids(got["keepers"]) == {100, 101}
+    assert got["metrics"]["n_exact_dups"] == 1
