@@ -91,6 +91,18 @@ def _ensure_index_meta(index_path: str) -> int:
     return N_INDEX_BUCKETS
 
 
+_META_PENDING = "_meta.json.pending"
+
+
+def _assert_no_pending_rebucket(index_path: str) -> None:
+    if _os.path.exists(f"{index_path}/{_META_PENDING}"):
+        raise RuntimeError(
+            f"dedup index at {index_path} has an interrupted rebucket "
+            "migration (pending meta present); re-run rebucket_index() "
+            "to finish it before folding or probing"
+        )
+
+
 def _bucket_of_bkey(n: int):
     # bkey is an md5 string, so the shared cast-to-string bucket
     # function is a no-op cast — one bucket contract everywhere
@@ -159,12 +171,14 @@ def _read_union(spark: SparkSession, root: str, sub: str) -> DataFrame | None:
 def read_index_bands(spark: SparkSession, index_path: str) -> DataFrame | None:
     """The accumulated (doc, band, bkey) index, or None before the
     first fold."""
+    _assert_no_pending_rebucket(index_path)
     df = _read_union(spark, index_path, _BANDS)
     return df.drop(_BB) if df is not None else None
 
 
 def read_index_shingles(spark: SparkSession, index_path: str) -> DataFrame | None:
     """The accumulated (doc, sh) shingle arrays."""
+    _assert_no_pending_rebucket(index_path)
     df = _read_union(spark, index_path, _SHINGLES)
     return df.drop(_DB) if df is not None else None
 
@@ -209,6 +223,7 @@ def fold_index_batch(
     if _os.path.exists(f"{pairs_dir}/_SUCCESS"):
         catchup(spark)  # heal a crash between pairs and label commit
         return  # committed replay: no-op
+    _assert_no_pending_rebucket(index_path)
     # clear garbage from a crashed attempt of this batch (pairs
     # commit is LAST, so bands/shingles of an uncommitted attempt
     # are rewritten wholesale)
@@ -377,7 +392,13 @@ def incremental_minhash_index_stream(
     return writer.start()
 
 
-def compact_index(spark: SparkSession, index_path: str, min_slices: int = 2) -> bool:
+def compact_index(
+    spark: SparkSession,
+    index_path: str,
+    min_slices: int = 2,
+    n_buckets: int | None = None,
+    _during_rebucket: bool = False,
+) -> bool:
     """Merge the committed per-batch band/shingle slices into one
     consolidated slice each (same bucket partitioning, so probe pruning
     is unchanged) and drop the originals — the maintenance job that
@@ -390,9 +411,16 @@ def compact_index(spark: SparkSession, index_path: str, min_slices: int = 2) -> 
     dir listed in a committed manifest, so a crash between the
     consolidated write and the source deletion never double-counts.
     Emitted pairs are history, not index — never compacted here.
-    Returns True when a compaction ran."""
+    Returns True when a compaction ran. ``n_buckets`` overrides the
+    frozen meta count ONLY for :func:`rebucket_index` (whose pending
+    marker blocks every other reader/writer until the meta swap
+    commits); the bucket columns are recomputed from their keys either
+    way, so a same-count compaction is unchanged."""
     import json as _json
 
+    if not _during_rebucket:
+        _assert_no_pending_rebucket(index_path)
+    nb = n_buckets if n_buckets is not None else _ensure_index_meta(index_path)
     ran = False
     for sub in (_BANDS, _SHINGLES):
         # clear garbage from a compaction that crashed between the
@@ -401,7 +429,7 @@ def compact_index(spark: SparkSession, index_path: str, min_slices: int = 2) -> 
             if not _os.path.exists(f"{c}/_covered.json"):
                 _shutil.rmtree(c, ignore_errors=True)
         dirs = _committed(index_path, sub)
-        if len(dirs) < min_slices:
+        if not dirs or (not _during_rebucket and len(dirs) < min_slices):
             continue
         n = max(
             (
@@ -412,7 +440,10 @@ def compact_index(spark: SparkSession, index_path: str, min_slices: int = 2) -> 
         ) + 1
         cdir = f"{index_path}/{sub}/c_{n:09d}"
         part_col = _BB if sub == _BANDS else _DB
-        df = _read_union(spark, index_path, sub)
+        bucket = _bucket_of_bkey(nb) if sub == _BANDS else _bucket_of_doc(nb)
+        df = _read_union(spark, index_path, sub).drop(part_col).withColumn(
+            part_col, bucket
+        )
         dp = spark.sparkContext.defaultParallelism
         df.repartition(dp, F.col(part_col)).write.partitionBy(part_col).parquet(cdir)
         _atomic_json_write(f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in dirs))
@@ -420,3 +451,39 @@ def compact_index(spark: SparkSession, index_path: str, min_slices: int = 2) -> 
             _shutil.rmtree(d, ignore_errors=True)
         ran = True
     return ran
+
+
+def rebucket_index(
+    spark: SparkSession, index_path: str, new_n_buckets: int
+) -> bool:
+    """OFFLINE migration of a live dedup index to a new bucket count —
+    the path from the local default (64) to production scale without
+    re-shingling the accumulated corpus. The band AND shingle tables
+    share one frozen ``n_buckets`` (``_meta.json``); probes bucket-
+    prune with it, so a mismatched layout would silently drop
+    candidate pairs. Migration is a forced full compaction: rewrite
+    every committed band/shingle slice as ONE consolidated ``c_*``
+    slice each, bucket columns recomputed from their keys under the
+    NEW count (manifest-covering the old slices), then atomically swap
+    the meta. Emitted pairs carry no bucket layout and are untouched.
+
+    Crash-safe via a staged ``_meta.json.pending``: folds and pruned
+    probes refuse while it exists; re-running resumes (the compaction
+    read never bucket-prunes, so a half-done migration reads
+    correctly; the meta swap is the commit point). Must not run
+    concurrently with a fold — the shared offline discipline.
+    Returns True when a migration ran."""
+    old = _ensure_index_meta(index_path)
+    pending = f"{index_path}/{_META_PENDING}"
+    if old == int(new_n_buckets) and not _os.path.exists(pending):
+        return False
+    new_meta = {"n_buckets": int(new_n_buckets)}
+    _atomic_json_write(pending, new_meta)
+    compact_index(
+        spark, index_path,
+        n_buckets=int(new_n_buckets), _during_rebucket=True,
+    )
+    # commit point: swap the meta, clear the stage marker
+    _atomic_json_write(f"{index_path}/_meta.json", new_meta)
+    _os.remove(pending)
+    return True

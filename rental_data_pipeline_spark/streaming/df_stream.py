@@ -59,6 +59,18 @@ def _ensure_df_meta(state_path: str) -> int:
     return N_TERM_BUCKETS
 
 
+_META_PENDING = "_meta.json.pending"
+
+
+def _assert_no_pending_rebucket(state_path: str) -> None:
+    if _os.path.exists(f"{state_path}/{_META_PENDING}"):
+        raise RuntimeError(
+            f"df table at {state_path} has an interrupted rebucket "
+            "migration (pending meta present); re-run rebucket_df() to "
+            "finish it before folding or reading"
+        )
+
+
 def _bdir(root: str, sub: str, batch_id: int) -> str:
     return f"{root}/{sub}/b_{batch_id:09d}"
 
@@ -108,6 +120,7 @@ def fold_docs_batch(
     ddir = _bdir(state_path, _DFT, batch_id)
     if _os.path.exists(f"{cdir}/_SUCCESS"):
         return
+    _assert_no_pending_rebucket(state_path)
     nb = _ensure_df_meta(state_path)
     for d in (ddir, cdir):
         if _os.path.exists(d):
@@ -140,6 +153,7 @@ def read_df_table(spark: SparkSession, state_path: str) -> DataFrame | None:
     """Current ``(term, df)`` vocabulary — document frequencies summed
     over every committed slice (df is additive across disjoint doc
     sets)."""
+    _assert_no_pending_rebucket(state_path)
     u = _read_union(spark, state_path, _DFT)
     if u is None:
         return None
@@ -147,6 +161,7 @@ def read_df_table(spark: SparkSession, state_path: str) -> DataFrame | None:
 
 
 def read_corpus_size(spark: SparkSession, state_path: str) -> int:
+    _assert_no_pending_rebucket(state_path)
     u = _read_union(spark, state_path, _COUNTS)
     if u is None:
         return 0
@@ -154,21 +169,32 @@ def read_corpus_size(spark: SparkSession, state_path: str) -> int:
 
 
 def compact_df(
-    spark: SparkSession, state_path: str, min_slices: int = 2
+    spark: SparkSession,
+    state_path: str,
+    min_slices: int = 2,
+    n_buckets: int | None = None,
+    _during_rebucket: bool = False,
 ) -> bool:
     """Fold the committed slices into one consolidated ``c_*`` slice
     per table (SUM merge — same associativity as the sketch stream)
-    under the shared manifest protocol. Returns True when ran."""
+    under the shared manifest protocol. Returns True when ran.
+    ``n_buckets`` overrides the frozen meta count ONLY for
+    :func:`rebucket_df` (whose pending marker blocks every other
+    reader/writer until the meta swap commits); the term bucket is
+    recomputed from the key either way, so a same-count compaction is
+    unchanged."""
     import glob as _glob
 
-    nb = _ensure_df_meta(state_path)
+    if not _during_rebucket:
+        _assert_no_pending_rebucket(state_path)
+    nb = n_buckets if n_buckets is not None else _ensure_df_meta(state_path)
     ran = False
     for sub in (_DFT, _COUNTS):
         for c in _glob.glob(f"{state_path}/{sub}/c_*"):
             if _read_manifest(f"{c}/_covered.json") is None:
                 _shutil.rmtree(c, ignore_errors=True)
         dirs = _committed(state_path, sub)
-        if len(dirs) < min_slices:
+        if not dirs or (not _during_rebucket and len(dirs) < min_slices):
             continue
         n = max(
             (
@@ -182,9 +208,9 @@ def compact_df(
         for d in dirs[1:]:
             u = u.unionByName(spark.read.parquet(d), allowMissingColumns=True)
         if sub == _DFT:
-            merged = u.groupBy("term").agg(F.sum("df").alias("df")).withColumn(
-                _TB, _bucket_of("term", nb)
-            )
+            merged = u.drop(_TB).groupBy("term").agg(
+                F.sum("df").alias("df")
+            ).withColumn(_TB, _bucket_of("term", nb))
             if merged.limit(1).count() == 0:
                 spark.createDataFrame(
                     [], f"term string, df long, {_TB} int"
@@ -240,3 +266,39 @@ def incremental_df_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def rebucket_df(
+    spark: SparkSession, state_path: str, new_n_buckets: int
+) -> bool:
+    """OFFLINE migration of a live vocabulary table to a new bucket
+    count — the path from the local default (64) to production scale
+    without abandoning accumulated document frequencies, closing the
+    same stuck-at-local-default gap :func:`rebucket_labels` and
+    ``rebucket_state`` closed for their tables. ``n_buckets`` is
+    frozen in ``_meta.json`` (the bucket function must never change
+    under a live table), so migration is a forced full compaction:
+    SUM-merge every committed slice into ONE consolidated ``c_*``
+    slice partitioned under the NEW count (manifest-covering the old
+    slices), then atomically swap the meta.
+
+    Crash-safe via a staged ``_meta.json.pending``: folds, reads and
+    compactions refuse while it exists, and re-running this function
+    resumes (the SUM merge never bucket-prunes, so it reads a
+    half-done migration correctly; the meta swap is the commit
+    point). Must not run concurrently with a fold — the shared
+    offline discipline. Returns True when a migration ran."""
+    old = _ensure_df_meta(state_path)
+    pending = f"{state_path}/{_META_PENDING}"
+    if old == int(new_n_buckets) and not _os.path.exists(pending):
+        return False
+    new_meta = {"n_buckets": int(new_n_buckets)}
+    _atomic_json_write(pending, new_meta)
+    compact_df(
+        spark, state_path,
+        n_buckets=int(new_n_buckets), _during_rebucket=True,
+    )
+    # commit point: swap the meta, clear the stage marker
+    _atomic_json_write(f"{state_path}/_meta.json", new_meta)
+    _os.remove(pending)
+    return True

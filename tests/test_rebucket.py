@@ -130,3 +130,144 @@ def test_interrupted_rebucket_blocks_and_resumes(spark, tmpdirs):
     assert not os.path.exists(f"{state}/_meta.json.pending")
     assert _state_rows(spark, state) == before
     assert json.load(open(f"{state}/_meta.json"))["n_buckets"] == 64
+
+
+def _dedup_docs(spark):
+    from rental_data_pipeline_spark.sources.tables import load_table
+
+    return load_table(spark, "documents", "/root/testdata/sf0.001").select(
+        "doc_id", "text"
+    )
+
+
+def test_rebucket_dedup_index(spark):
+    """Dedup index: fold at the default count → rebucket → folds
+    continue, emitted pairs identical to a never-migrated run, stored
+    slices laid out under the NEW count, interrupted migration blocks
+    folds/reads and resumes."""
+    from rental_data_pipeline_spark.streaming.dedup_index import (
+        fold_index_batch,
+        read_emitted_pairs,
+        read_index_bands,
+        rebucket_index,
+    )
+
+    docs = _dedup_docs(spark)
+    chunks = [
+        docs.where(F.pmod("doc_id", F.lit(3)) == c).localCheckpoint(
+            eager=True
+        )
+        for c in range(3)
+    ]
+    base = tempfile.mkdtemp(prefix="rebucket_index_")
+    idx, ref = f"{base}/idx", f"{base}/ref"
+    try:
+        for c in range(2):
+            fold_index_batch(spark, idx, chunks[c], c)
+        # interrupted migration: pending marker blocks fold + reads
+        os.makedirs(idx, exist_ok=True)
+        with open(f"{idx}/_meta.json.pending", "w") as f:
+            json.dump({"n_buckets": 8}, f)
+        with pytest.raises(RuntimeError, match="rebucket"):
+            fold_index_batch(spark, idx, chunks[2], 2)
+        with pytest.raises(RuntimeError, match="rebucket"):
+            read_index_bands(spark, idx)
+        # re-running resumes and commits
+        assert rebucket_index(spark, idx, 8)
+        assert json.load(open(f"{idx}/_meta.json"))["n_buckets"] == 8
+        assert not os.path.exists(f"{idx}/_meta.json.pending")
+        # slices consolidated and laid out under the new count
+        assert glob.glob(f"{idx}/bands/b_*") == []
+        bb = {
+            int(os.path.basename(d).split("=")[1])
+            for c in glob.glob(f"{idx}/bands/c_*")
+            for d in glob.glob(f"{c}/band_bucket=*")
+        }
+        assert bb and max(bb) < 8
+        # folds continue under the new layout; pairs == un-migrated run
+        fold_index_batch(spark, idx, chunks[2], 2)
+        for c in range(3):
+            fold_index_batch(spark, ref, chunks[c], c)
+        def pset(p):
+            return {
+                (r.doc_a, r.doc_b, round(r.jaccard, 6))
+                for r in read_emitted_pairs(spark, p).collect()
+            }
+
+        assert pset(idx) == pset(ref) and pset(idx)
+        # same-count migration: no-op
+        assert rebucket_index(spark, idx, 8) is False
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_rebucket_df_vocab(spark):
+    """df-vocabulary table: fold → rebucket → reads identical, folds
+    continue under the new count, interrupted migration resumes."""
+    from rental_data_pipeline_spark.streaming.df_stream import (
+        fold_docs_batch,
+        read_corpus_size,
+        read_df_table,
+        rebucket_df,
+    )
+
+    docs = _dedup_docs(spark)
+    chunks = [
+        docs.where(F.pmod("doc_id", F.lit(3)) == c).localCheckpoint(
+            eager=True
+        )
+        for c in range(3)
+    ]
+    state = tempfile.mkdtemp(prefix="rebucket_df_")
+    try:
+        for c in range(2):
+            fold_docs_batch(spark, state, chunks[c], c)
+        before = {
+            (r.term, r.df) for r in read_df_table(spark, state).collect()
+        }
+        n_before = read_corpus_size(spark, state)
+
+        # interrupted migration blocks fold + reads, then resumes
+        with open(f"{state}/_meta.json.pending", "w") as f:
+            json.dump({"n_buckets": 8}, f)
+        with pytest.raises(RuntimeError, match="rebucket"):
+            fold_docs_batch(spark, state, chunks[2], 2)
+        with pytest.raises(RuntimeError, match="rebucket"):
+            read_df_table(spark, state)
+        assert rebucket_df(spark, state, 8)
+        assert json.load(open(f"{state}/_meta.json"))["n_buckets"] == 8
+
+        # reads identical across the migration
+        assert {
+            (r.term, r.df) for r in read_df_table(spark, state).collect()
+        } == before
+        assert read_corpus_size(spark, state) == n_before
+        tb = {
+            int(os.path.basename(d).split("=")[1])
+            for c in glob.glob(f"{state}/df/c_*")
+            for d in glob.glob(f"{c}/term_bucket=*")
+        }
+        assert tb and max(tb) < 8
+
+        # folds continue; totals == batch df over everything
+        fold_docs_batch(spark, state, chunks[2], 2)
+        from rental_data_pipeline_spark.operators.textstats import (
+            _with_tokens,
+        )
+
+        docs_all = chunks[0].unionByName(chunks[1]).unionByName(chunks[2])
+        want = {
+            (r.term, r.df)
+            for r in _with_tokens(docs_all, "text", "doc_id")
+            .select("doc_id", F.explode("__toks").alias("term"))
+            .distinct()
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .collect()
+        }
+        assert {
+            (r.term, r.df) for r in read_df_table(spark, state).collect()
+        } == want
+        assert rebucket_df(spark, state, 8) is False
+    finally:
+        shutil.rmtree(state, ignore_errors=True)
