@@ -45,6 +45,10 @@ class CorpusConfig:
     chunk_tokens: int = 50
     chunk_overlap: int = 10
     token_budget: int = 512
+    # SemDeDup stage (requires `embeddings` + `semantic_centroids` at
+    # call time): cosine threshold above which a lower-id same-cell
+    # neighbor dominates a doc
+    semantic_threshold: float | None = None
 
 
 def build_training_corpus(
@@ -53,6 +57,8 @@ def build_training_corpus(
     config: CorpusConfig | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    embeddings: DataFrame | None = None,
+    semantic_centroids: DataFrame | None = None,
 ) -> dict:
     """Run the full chain; returns the named stage outputs:
 
@@ -63,6 +69,18 @@ def build_training_corpus(
     ``chunks`` (train-split context windows), ``packed`` (chunk → bin
     assignment), ``profile`` (one-scan dataset card of the final
     corpus), ``metrics`` (row counts per stage — the run report).
+
+    With ``embeddings`` (``(id_col, embedding)``), TRAINED
+    ``semantic_centroids`` (a ``(cid, cv)`` frame — ``kmeans_train``
+    output via ``similarity``'s frame shape, or better
+    ``ann_index.index_centroids``: the persisted ANN index's cells,
+    trained once and shared by probes and dedup) and
+    ``config.semantic_threshold`` set, a SemDeDup stage runs on the
+    post-near-dup corpus: canonical docs dominated by a lower-id
+    same-Voronoi-cell neighbor at cosine ≥ threshold are dropped
+    before decontamination (``semantic_dropped`` in the outputs) —
+    the trained-centroid composition replacing
+    ``semantic_dedup``'s first-n-ids stand-in.
     """
     from rental_data_pipeline_spark.operators.dedup import (
         connected_components,
@@ -116,6 +134,38 @@ def build_training_corpus(
     )
     corpus = survivors.join(F.broadcast(dups), id_col, "left_anti")
 
+    # 2.5 SemDeDup on the canonical corpus with trained centroids
+    semantic_dropped = None
+    if (
+        cfg.semantic_threshold is not None
+        and embeddings is not None
+        and semantic_centroids is not None
+    ):
+        from rental_data_pipeline_spark.operators.similarity import (
+            semantic_dedup,
+        )
+
+        eid, evec = embeddings.columns[:2]
+        corpus_embs = (
+            embeddings.select(
+                F.col(eid).alias(id_col), F.col(evec).alias("embedding")
+            )
+            .join(F.broadcast(corpus.select(id_col)), id_col)
+            .select(F.col(id_col).alias("vec_id"), "embedding")
+        )
+        semantic_dropped = (
+            semantic_dedup(
+                corpus_embs,
+                threshold=cfg.semantic_threshold,
+                centroids=semantic_centroids,
+            )
+            .where(~F.col("is_kept"))
+            .select(F.col("vec_id").alias(id_col))
+        ).localCheckpoint(eager=True)  # two consumers: drop + metrics
+        corpus = corpus.join(
+            F.broadcast(semantic_dropped), id_col, "left_anti"
+        )
+
     # 3. eval decontamination on the POST-dedup corpus
     contaminated = contamination_report(
         corpus, holdout, text_col=text_col, id_col=id_col
@@ -148,6 +198,9 @@ def build_training_corpus(
         "n_near_dup_pairs": pairs.count(),
         "n_dropped_dups": dups.count(),
         "n_contaminated": contaminated.count(),
+        "n_semantic_dropped": (
+            semantic_dropped.count() if semantic_dropped is not None else 0
+        ),
         "n_corpus": clean.count(),
         "n_train_chunks": chunks.count(),
     }
@@ -170,4 +223,6 @@ def build_training_corpus(
     }
     if quarantined is not None:
         out["expectation_quarantine"] = quarantined
+    if semantic_dropped is not None:
+        out["semantic_dropped"] = semantic_dropped
     return out

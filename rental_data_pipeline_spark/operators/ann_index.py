@@ -168,6 +168,17 @@ def read_meta(index_path: str) -> dict:
         return _json.load(f)
 
 
+def index_centroids(spark: SparkSession, index_path: str) -> DataFrame:
+    """The persisted index's trained centroids as the ``(cid, cv)``
+    frame ``similarity.semantic_dedup`` / ``ivf_topk_trained`` accept —
+    the composition path that replaces semantic dedup's first-n-ids
+    stand-in with the index's already-trained cells (one training job,
+    two consumers: ANN probes and semantic dedup share the same
+    Voronoi geometry)."""
+    read_meta(index_path)  # raise early on a non-index path
+    return spark.read.parquet(f"{index_path}/centroids")
+
+
 def _read_centroids(spark: SparkSession, index_path: str) -> list[list[float]]:
     rows = spark.read.parquet(f"{index_path}/centroids").collect()
     out: list[list[float]] = [None] * len(rows)
