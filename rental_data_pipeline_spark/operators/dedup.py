@@ -44,7 +44,10 @@ SIMHASH_BANDS = 4  # 8 bits per band → candidates within Hamming radius
 
 
 def _materialize_release(
-    result: DataFrame, *cached: DataFrame, pairs_path: str | None = None
+    result: DataFrame,
+    *cached: DataFrame,
+    pairs_path: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Run the one consuming action INSIDE the operator: eagerly
     materialize ``result`` through its persisted intermediates, then
@@ -61,10 +64,16 @@ def _materialize_release(
     ``pairs_path`` for the cluster-safe form: the result is written as
     a parquet table and the read-back returned — storage-fault-tolerant,
     restartable, and the shape a 100 TB job wants anyway (the pair set
-    IS a dataset, not a transient)."""
+    IS a dataset, not a transient). ``checkpoint_dir`` is the middle
+    option: a reliable ``checkpoint()`` to the given directory
+    (``setCheckpointDir`` per call — storage-fault-tolerant like
+    ``pairs_path`` but managed by Spark, no table naming needed)."""
     if pairs_path is not None:
         result.write.mode("overwrite").parquet(pairs_path)
         out = result.sparkSession.read.parquet(pairs_path)
+    elif checkpoint_dir is not None:
+        result.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+        out = result.checkpoint(eager=True)
     else:
         out = result.localCheckpoint(eager=True)
     for f in cached:
@@ -249,6 +258,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
     pairs_path: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """n-gram Jaccard near-dup pairs via inverted-index join (no cross
     join): |A∩B| from shingle co-occurrence counts, |A∪B| = |A|+|B|−|A∩B|.
@@ -263,6 +273,7 @@ def jaccard_pairs(
         .where(F.col("jaccard") >= threshold),
         index,
         pairs_path=pairs_path,
+        checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -274,6 +285,7 @@ def overlap_pairs(
     id_col: str = "doc_id",
     max_doc_freq: int | None = None,
     pairs_path: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-subset pairs by the overlap coefficient
     |A∩B| / min(|A|, |B|) — catches doc-inside-doc duplication
@@ -291,6 +303,7 @@ def overlap_pairs(
         .where(F.col("score") >= threshold),
         index,
         pairs_path=pairs_path,
+        checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -303,6 +316,7 @@ def near_pair_suite(
     text_col: str = "text",
     id_col: str = "doc_id",
     pairs_path: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """All four near-dup detection paths over ONE materialized
     doc↔shingle index — the suite form of
@@ -360,6 +374,7 @@ def near_pair_suite(
         jac.unionByName(jac_capped).unionByName(mh).unionByName(ov),
         sh, exploded, counts, capped, bk,
         pairs_path=pairs_path,
+        checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -484,6 +499,7 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     pairs_path: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Full MinHash+LSH near-dup pipeline: signature → bands →
     candidate pairs (any shared band) → verify with exact Jaccard ≥
@@ -493,7 +509,7 @@ def minhash_lsh_pairs(
         "doc", shingles_of(F.col("toks"), k).alias("sh")
     ).persist()
     pairs, bk = _minhash_pairs_from_index(exploded, sh, threshold)
-    return _materialize_release(pairs, sh, bk, pairs_path=pairs_path)
+    return _materialize_release(pairs, sh, bk, pairs_path=pairs_path, checkpoint_dir=checkpoint_dir)
 
 
 def simhash_signatures(
@@ -528,6 +544,7 @@ def simhash_near_pairs(
     text_col: str = "text",
     id_col: str = "doc_id",
     pairs_path: str | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 32-bit signature into 4 bytes —
     any pair within Hamming distance 3 shares at least one exact byte
@@ -566,6 +583,7 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming),
         bk,
         pairs_path=pairs_path,
+        checkpoint_dir=checkpoint_dir,
     )
 
 
@@ -574,6 +592,7 @@ def connected_components(
     a_col: str = "doc_a",
     b_col: str = "doc_b",
     max_iter: int = 25,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Cluster near-dup *pairs* into duplicate groups: returns
     ``(node, component)`` where component = min doc id reachable —
@@ -590,7 +609,22 @@ def connected_components(
     path-shaped graphs. Convergence is detected by the monotonically
     decreasing sum of labels (one scalar collect per iteration — no
     data to the driver).
+
+    The per-round lineage barrier defaults to ``localCheckpoint``
+    (executor-resident blocks, NO recompute path — an executor loss
+    mid-iteration kills the job; fine in local mode). Pass
+    ``checkpoint_dir`` for the cluster-reliable form: each round's
+    labels go through a reliable ``checkpoint()`` to storage, so the
+    iteration survives executor loss — the recovery trade documented
+    at :func:`_materialize_release`, now optional here too.
     """
+    barrier = (
+        (lambda df: df.localCheckpoint(eager=True))
+        if checkpoint_dir is None
+        else (lambda df: df.checkpoint(eager=True))
+    )
+    if checkpoint_dir is not None:
+        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(
@@ -608,11 +642,10 @@ def connected_components(
     # scan per round — the standard iterative-graph shape on Spark (the
     # executor-resident-blocks recovery trade is the same one
     # _materialize_release documents).
-    labels = (
+    labels = barrier(
         edges.select(F.col("src").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("component"))
-        .localCheckpoint(eager=True)
     )
     total = labels.agg(F.sum("component")).collect()[0][0]
     converged = False
@@ -647,7 +680,7 @@ def connected_components(
                     F.coalesce("__pc", "component").alias("component"),
                 )
             )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = barrier(new_labels)
         new_total = new_labels.agg(F.sum("component")).collect()[0][0]
         labels = new_labels
         if new_total == total:

@@ -670,3 +670,55 @@ def test_connected_components_raises_rather_than_wrong_labels(spark):
     )
     with _pytest.raises(ValueError, match="not converged"):
         connected_components(pairs, max_iter=3)
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir= switches the per-round lineage barrier (and the
+    pair materialization) from executor-resident localCheckpoint to a
+    reliable storage checkpoint: identical labels, files actually land
+    in the checkpoint dir (zero executor-resident-only state)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rental_data_pipeline_spark.operators.dedup import (
+        connected_components,
+        jaccard_pairs,
+    )
+
+    # diameter-8 path graph: forces multiple rounds through the barrier
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "doc_a long, doc_b long"
+    )
+    want = {
+        (r.node, r.component) for r in connected_components(pairs).collect()
+    }
+    ckpt = str(tmp_path / "cc_ckpt")
+    got = {
+        (r.node, r.component)
+        for r in connected_components(pairs, checkpoint_dir=ckpt).collect()
+    }
+    assert got == want and got == {(i, 0) for i in range(9)}
+    walked = [
+        f for _, _, fs in os.walk(ckpt) for f in fs if not f.startswith(".")
+    ]
+    assert walked  # rounds really went through reliable storage
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "completely different words here now"),
+        ],
+        "doc_id long, text string",
+    )
+    p_ck = str(tmp_path / "pairs_ckpt")
+    a = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    b = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in jaccard_pairs(docs, threshold=0.5, checkpoint_dir=p_ck).collect()
+    }
+    assert a == b == {(1, 2, 1.0)}
