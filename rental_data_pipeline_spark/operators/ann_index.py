@@ -72,6 +72,8 @@ def build_ann_index(
     vec_col: str = "embedding",
     centroids: list[list[float]] | None = None,
     codebooks: list[list[list[float]]] | None = None,
+    default_nprobe: int = 2,
+    default_shortlist: int = 50,
 ) -> None:
     """The offline training job: k-means cells (and optionally PQ
     codebooks/codes) persisted under ``index_path``. One corpus scan
@@ -125,6 +127,14 @@ def build_ann_index(
         "n_iter": n_iter,
         "n_vec_buckets": n_vec_buckets,
         "pq": {"m": m, "k": k, "n_iter": pq_iter} if pq else None,
+        # probe-time recall knobs, FROZEN as build defaults: probes
+        # passing None use these, so an index ships with a measured
+        # recall operating point (scripts/ann_recall.py; README table)
+        # while callers can still trade recall for cost per query
+        "defaults": {
+            "nprobe": int(default_nprobe),
+            "shortlist": int(default_shortlist),
+        },
     }
     if pq:
         if codebooks is None:
@@ -421,7 +431,7 @@ def ivf_topk_persisted(
     spark: SparkSession,
     index_path: str,
     query_ids: list[int],
-    nprobe: int = 2,
+    nprobe: int | None = None,
     top_k: int = 5,
 ) -> DataFrame:
     """Probe the persisted IVF index: rank the broadcast centroids per
@@ -429,8 +439,13 @@ def ivf_topk_persisted(
     ``_ivf_probe``), then scan ONLY the ``nprobe`` probed cell
     partitions for the exact-cosine top-k. No training, no full
     assignment pass — the query-path cost is nprobe/n_cells of one
-    scan, which is the artifact's whole point."""
+    scan, which is the artifact's whole point. ``nprobe=None`` uses
+    the build-time default frozen in ``_meta.json`` (the measured
+    operating point); pass an explicit value to trade recall for
+    probe cost per query."""
     meta = read_meta(index_path)
+    if nprobe is None:
+        nprobe = int(meta.get("defaults", {}).get("nprobe", 2))
     cent = spark.read.parquet(f"{index_path}/centroids")
     qframe = _query_vectors(spark, index_path, query_ids, meta)
 
@@ -467,15 +482,18 @@ def pq_topk_persisted(
     index_path: str,
     query_ids: list[int],
     top_k: int = 5,
-    shortlist: int = 50,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """Probe the persisted PQ artifact: per-query ADC lookup tables
     from the stored codebooks, a lookup-only scan of the codes table
     for the shortlist, exact cosine re-rank over the shortlisted raw
     vectors (fetched through vb partition pruning). Identical
     expression forms to ``pq_topk``, so the output is byte-equal on
-    the same build parameters."""
+    the same build parameters. ``shortlist=None`` uses the build-time
+    default frozen in ``_meta.json``."""
     meta = read_meta(index_path)
+    if shortlist is None:
+        shortlist = int(meta.get("defaults", {}).get("shortlist", 50))
     if not meta.get("pq"):
         raise ValueError(f"index at {index_path} was built without pq=True")
     m, k = meta["pq"]["m"], meta["pq"]["k"]

@@ -391,3 +391,56 @@ def test_append_auto_id_skips_compaction_covered_ids(spark, sf_dir, index_dir):
         assert got == want and got
     finally:
         shutil.rmtree(ref, ignore_errors=True)
+
+
+def test_probe_defaults_from_meta_and_recall(spark, sf_dir, index_dir):
+    """The probe knobs' build-time defaults are frozen in _meta.json
+    and used when the caller passes None; recall@5 at the default
+    operating point is pinned against exact cosine top-5, and raising
+    the knob to n_cells recovers the exact answer (recall 1.0)."""
+    from rental_data_pipeline_spark.operators.similarity import cosine_topk
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    build_ann_index(
+        embs, index_dir, n_cells=8, n_iter=3, pq=True,
+        default_nprobe=2, default_shortlist=50,
+    )
+    meta = read_meta(index_dir)
+    assert meta["defaults"] == {"nprobe": 2, "shortlist": 50}
+
+    qids = [r.vec_id for r in embs.select("vec_id").limit(10).collect()]
+
+    def topk_sets(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, set()).add(r.vec_id)
+        return out
+
+    def recall(got, want):
+        num = sum(len(got.get(q, set()) & want[q]) for q in want)
+        return num / sum(len(want[q]) for q in want)
+
+    truth = topk_sets(cosine_topk(embs, qids, top_k=5))
+    # None → meta default: identical output to the explicit value
+    by_default = ivf_topk_persisted(spark, index_dir, qids, top_k=5)
+    explicit = ivf_topk_persisted(spark, index_dir, qids, nprobe=2, top_k=5)
+    assert _rows(by_default) == _rows(explicit)
+    assert recall(topk_sets(by_default), truth) >= 0.5
+    # exhaustive probe = exact
+    assert recall(
+        topk_sets(ivf_topk_persisted(spark, index_dir, qids, nprobe=8, top_k=5)),
+        truth,
+    ) == 1.0
+    # PQ: None → meta default, and a larger shortlist never hurts
+    pq_default = pq_topk_persisted(spark, index_dir, qids, top_k=5)
+    assert _rows(pq_default) == _rows(
+        pq_topk_persisted(spark, index_dir, qids, top_k=5, shortlist=50)
+    )
+    r50 = recall(topk_sets(pq_default), truth)
+    r200 = recall(
+        topk_sets(
+            pq_topk_persisted(spark, index_dir, qids, top_k=5, shortlist=200)
+        ),
+        truth,
+    )
+    assert 0.3 <= r50 <= r200
