@@ -109,15 +109,52 @@ def main() -> None:
         qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         spark.catalog.clearCache()
 
+    from pyspark.sql import functions as F  # noqa: E402
+
+    def sched_sample() -> float:
+        # one sample of the fixed 3-stage shuffle job (see probe_sched)
+        t0 = time.perf_counter()
+        (
+            spark.range(0, 1_000_000, 1, 32)
+            .repartition(32, F.pmod("id", F.lit(997)))
+            .groupBy(F.pmod("id", F.lit(1009)).alias("g"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.sum("n")).collect()
+        )
+        return round(time.perf_counter() - t0, 3)
+
+    # Per-slot noise bracketing (round-7 verdict): the host stalls in
+    # bursts (calib_sched swung 0.69→2.24→0.71 within ONE session, and
+    # r7 recorded a 3.7x phantom regression on an untouched query), so
+    # a single per-run calibration can't tell a slow query from a slow
+    # MINUTE. The heaviest slots get a scheduling-probe sample
+    # immediately before and after EACH timed rep; a recorded time
+    # whose bracket is inflated is host noise, not a regression.
+    HEAVY = {
+        "pipeline_end_to_end", "ann_topk_methods", "dedup_components",
+        "streaming_merge_state", "extract_listing_fields",
+    }
+
     # Two timed repetitions, min per query: the min is the standard
     # noise-robust estimator for a deterministic workload — it reports
     # the machine-limited runtime, not transient host interference.
     timings: dict[str, float] = {}
+    query_calib: dict[str, dict] = {}
     for _rep in range(2):
         for name in names:
+            heavy = name in HEAVY
+            if heavy:
+                b = sched_sample()
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.perf_counter() - t0, 3)
+            if heavy:
+                a = sched_sample()
+                slot = query_calib.setdefault(
+                    name, {"sched_before": [], "sched_after": []}
+                )
+                slot["sched_before"].append(b)
+                slot["sched_after"].append(a)
             timings[name] = min(timings.get(name, dt), dt)
             # queries are independent jobs: drop any operator-level persisted
             # intermediates so one query's cache doesn't skew the next
@@ -128,8 +165,6 @@ def main() -> None:
     # round, so cross-round query-time comparisons can be normalized for
     # host-speed drift (round-3 measurement: the same committed queries
     # ran ~2x slower than round 2 on an otherwise idle VM).
-    from pyspark.sql import functions as F  # local import keeps module light
-
     # Three samples, median: the normalizer is load-bearing for every
     # cross-round comparison, so one GC pause or cron wakeup must not
     # be able to skew a whole round's normalization (a min-of-2 can be
@@ -191,6 +226,7 @@ def main() -> None:
         "calib_long_samples": calib_long_samples,
         "calib_sched_sec": sorted(calib_sched_samples)[1],
         "calib_sched_samples": calib_sched_samples,
+        "query_calib": query_calib,
         "sf": sf,
     }
     # tear down streams + session BEFORE emitting the JSON line so a
