@@ -382,3 +382,35 @@ def heavy_hitters(df: DataFrame, value_col: str, k: int = 16) -> DataFrame:
     return merged.select(
         value_col, (F.col("__est") - thr).alias("est_count")
     ).where(F.col("est_count") > 0)
+
+
+def certified_heavy_hitters(
+    df: DataFrame, value_col: str, k: int = 255
+) -> DataFrame:
+    """The DETERMINISTIC heavy-hitter set: every value whose true
+    frequency exceeds ``n/(k+1)``, found without ever shuffling one
+    row per distinct value — the standard two-pass shape at scale:
+
+    1. :func:`heavy_hitters` (Misra-Gries) produces a CANDIDATE set.
+       The MG guarantee (``true - est ≤ n/(k+1)``, for any
+       partitioning) means every over-threshold value survives the
+       compressions with a positive counter — the candidate set is a
+       superset of the answer, bounded at ~k rows.
+    2. one exact recount of just the candidates: the tiny candidate
+       set broadcasts, the corpus is filtered map-side, and the
+       groupBy shuffles only candidate rows.
+
+    Unlike the raw MG estimates (which depend on Arrow batching /
+    partitioning), the output is a pure function of the data —
+    ``(value, freq)`` with exact frequencies — so it is
+    oracle-checkable: it equals ``GROUP BY value HAVING count(*) >
+    n/(k+1)`` while touching k·P counters instead of every distinct
+    value. ``n`` is one column-pruned count job (driver scalar)."""
+    n = df.count()
+    cand = heavy_hitters(df, value_col, k=k).select(value_col)
+    return (
+        df.join(F.broadcast(cand), value_col, "left_semi")
+        .groupBy(value_col)
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") > n / (k + 1))
+    )

@@ -1423,6 +1423,9 @@ from rental_data_pipeline_spark.operators.sketch import hll_oracle_sql as _hll_s
 
 
 _CM_DEPTH, _CM_WIDTH = 4, 256
+# Misra-Gries summary size for the certified-heavy-hitters branch:
+# threshold = |events| / (k+1)
+_MG_K = 255
 
 _CM_SQL = f"""
 cmsk AS (
@@ -1467,16 +1470,26 @@ theta AS (
 exact AS (
   SELECT event_type, count(DISTINCT user_id) AS exact_distinct
   FROM events GROUP BY event_type),
+heavy AS (
+  SELECT user_id FROM (
+    SELECT user_id, count(*) AS c FROM events GROUP BY user_id)
+  WHERE c > (SELECT count(*) FROM events) / {_MG_K + 1}.0),
+hh AS (
+  SELECT ev.event_type, count(DISTINCT ev.user_id) AS n_heavy_users
+  FROM events ev JOIN heavy h ON ev.user_id = h.user_id
+  GROUP BY ev.event_type),
 {_CM_SQL}
 SELECT e.event_type AS event_type, e.exact_distinct,
        hll.hll_estimate, theta.theta_estimate,
        topu.user_id AS top_user, topu.top_user_freq,
-       cmtop.cm_top_user_freq
+       cmtop.cm_top_user_freq,
+       CAST(coalesce(hh.n_heavy_users, 0) AS BIGINT) AS n_heavy_users
 FROM exact e
 LEFT JOIN hll ON hll.event_type = e.event_type
 LEFT JOIN theta ON theta.event_type = e.event_type
 LEFT JOIN topu ON topu.event_type = e.event_type
 LEFT JOIN cmtop ON cmtop.event_type = e.event_type
+LEFT JOIN hh ON hh.event_type = e.event_type
 """.format(hll=_hll_sql("events", ["event_type"], "user_id")),
 )
 def sketch_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1494,6 +1507,7 @@ def sketch_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     from rental_data_pipeline_spark.operators.sketch import (
+        certified_heavy_hitters,
         countmin_lookup,
         countmin_sketch,
         hll_distinct,
@@ -1526,11 +1540,26 @@ def sketch_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         topu.select("event_type", F.col("top_user").alias("user_id")),
         ["event_type"], "user_id", _CM_DEPTH, _CM_WIDTH,
     ).select("event_type", F.col("cm_estimate").alias("cm_top_user_freq"))
+    # certified heavy hitters (Misra-Gries candidates → exact recount):
+    # the over-threshold user set is a pure function of the data, so
+    # the branch oracle-checks while touching k·P counters instead of
+    # one row per distinct user; per event type, how many certified
+    # heavy users appear
+    heavy = certified_heavy_hitters(ev, "user_id", k=_MG_K).select("user_id")
+    hh = (
+        ev.join(F.broadcast(heavy), "user_id", "left_semi")
+        .groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n_heavy_users"))
+    )
     return (
         exact.join(hll, "event_type", "left")
         .join(theta, "event_type", "left")
         .join(topu, "event_type", "left")
         .join(cm, "event_type", "left")
+        .join(hh, "event_type", "left")
+        .withColumn(
+            "n_heavy_users", F.coalesce("n_heavy_users", F.lit(0)).cast("long")
+        )
     )
 
 

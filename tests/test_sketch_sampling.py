@@ -273,3 +273,42 @@ def test_heavy_hitters_misra_gries_bounds(spark):
             if c > eps_n:
                 assert v in got, (v, c, eps_n)
         assert 1000 in got and 2000 in got
+
+
+def test_certified_heavy_hitters_deterministic_exact(spark):
+    """Two-pass MG→exact-recount: output == GROUP BY HAVING over the
+    full data (a pure function of the data, unlike raw MG estimates),
+    for any partitioning."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from rental_data_pipeline_spark.operators.sketch import (
+        certified_heavy_hitters,
+    )
+
+    rng = random.Random(7)
+    # zipf-ish: a few hot values + a long tail
+    vals = (
+        ["hot_a"] * 400 + ["hot_b"] * 250 + ["warm"] * 60
+        + [f"tail_{rng.randrange(5000)}" for _ in range(1290)]
+    )
+    rng.shuffle(vals)
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    n, k = len(vals), 15
+    want = {
+        (r.v, r.freq)
+        for r in df.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .where(F.col("freq") > n / (k + 1))
+        .collect()
+    }
+    assert {v for v, _ in want} >= {"hot_a", "hot_b"}
+    for parts in (1, 7, 32):
+        got = {
+            (r.v, r.freq)
+            for r in certified_heavy_hitters(
+                df.repartition(parts, "v"), "v", k=k
+            ).collect()
+        }
+        assert got == want
