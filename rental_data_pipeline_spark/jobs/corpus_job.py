@@ -75,12 +75,13 @@ def build_training_corpus(
     output via ``similarity``'s frame shape, or better
     ``ann_index.index_centroids``: the persisted ANN index's cells,
     trained once and shared by probes and dedup) and
-    ``config.semantic_threshold`` set, a SemDeDup stage runs on the
-    post-near-dup corpus: canonical docs dominated by a lower-id
-    same-Voronoi-cell neighbor at cosine ≥ threshold are dropped
+    ``config.semantic_threshold`` set, a SemDeDup stage runs over the
+    curated survivors: corpus docs dominated by a lower-id
+    same-Voronoi-cell survivor at cosine ≥ threshold are dropped
     before decontamination (``semantic_dropped`` in the outputs) —
     the trained-centroid composition replacing
-    ``semantic_dedup``'s first-n-ids stand-in.
+    ``semantic_dedup``'s first-n-ids stand-in, in the
+    incrementally-foldable form (see stage 2.5 comment).
     """
     from rental_data_pipeline_spark.operators.dedup import (
         connected_components,
@@ -134,7 +135,13 @@ def build_training_corpus(
     )
     corpus = survivors.join(F.broadcast(dups), id_col, "left_anti")
 
-    # 2.5 SemDeDup on the canonical corpus with trained centroids
+    # 2.5 SemDeDup with trained centroids. Domination runs over ALL
+    # curated survivors (not just minhash-canonical docs): the keeper
+    # set is insert-only under the crawl's monotonic-id contract while
+    # canonical status can be demoted by later cluster merges — using
+    # survivors as the dominator side is what makes the stage
+    # incrementally foldable (streaming/semantic_stream.py) with
+    # batch-equal labels. Reported drops are restricted to the corpus.
     semantic_dropped = None
     if (
         cfg.semantic_threshold is not None
@@ -146,21 +153,22 @@ def build_training_corpus(
         )
 
         eid, evec = embeddings.columns[:2]
-        corpus_embs = (
+        survivor_embs = (
             embeddings.select(
                 F.col(eid).alias(id_col), F.col(evec).alias("embedding")
             )
-            .join(F.broadcast(corpus.select(id_col)), id_col)
+            .join(F.broadcast(survivors.select(id_col)), id_col)
             .select(F.col(id_col).alias("vec_id"), "embedding")
         )
         semantic_dropped = (
             semantic_dedup(
-                corpus_embs,
+                survivor_embs,
                 threshold=cfg.semantic_threshold,
                 centroids=semantic_centroids,
             )
             .where(~F.col("is_kept"))
             .select(F.col("vec_id").alias(id_col))
+            .join(corpus.select(id_col), id_col, "left_semi")
         ).localCheckpoint(eager=True)  # two consumers: drop + metrics
         corpus = corpus.join(
             F.broadcast(semantic_dropped), id_col, "left_anti"

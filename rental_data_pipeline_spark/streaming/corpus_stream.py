@@ -23,6 +23,9 @@ that drives all of them, per batch, in commit order:
       6. label catch-up           → ``labels/{members,forest}/b_*``
       7. vocabulary fold          → ``vocab/{df,counts}/b_*``
       8. ANN append               → ``ann/appends/b_*`` (optional)
+     8b. SemDeDup labels          → ``semantic/b_*`` (optional; the
+         just-appended index doubles as the blocking structure —
+         ``streaming/semantic_stream.py``)
       9. HLL register fold        → ``hll/b_*`` (optional)
      10. metrics row              → ``metrics/b_*``  ← the BATCH commit
 
@@ -131,6 +134,7 @@ def fold_corpus_batch(
     hll_p: int = 8,
     compact_every: int = 16,
     n_state_buckets: int = N_STATE_BUCKETS,
+    semantic_threshold: float | None = None,
 ) -> None:
     """Fold ONE raw document batch through the whole corpus pipeline —
     the per-batch body of :func:`incremental_corpus_stream`. Idempotent
@@ -336,6 +340,21 @@ def fold_corpus_batch(
         ):
             compact_ann_appends(spark, ann_path)
 
+        # ---- 8b. incremental SemDeDup labels: the just-appended index
+        # slices double as the blocking structure (monotonic ids make
+        # the labels append-only facts — streaming/semantic_stream.py)
+        if semantic_threshold is not None:
+            from rental_data_pipeline_spark.streaming.semantic_stream import (
+                fold_semantic_batch,
+            )
+
+            fold_semantic_batch(
+                spark, ann_path, f"{root}/semantic",
+                keepers.where(F.col(vec_col).isNotNull()), batch_id,
+                threshold=semantic_threshold,
+                id_col=id_col, vec_col=vec_col,
+            )
+
     # ---- 9. HLL register fold (distinct keepers per group) -----------
     if hll_group_cols is None:
         hll_group_cols = ["predicted_lang"]
@@ -383,6 +402,7 @@ def incremental_corpus_stream(
     compact_every: int = 16,
     available_now: bool = True,
     n_state_buckets: int = N_STATE_BUCKETS,
+    semantic_threshold: float | None = None,
 ):
     """The end-to-end incremental corpus job: fold a raw document
     stream (optionally carrying an ``vec_col`` embedding column)
@@ -400,6 +420,7 @@ def incremental_corpus_stream(
             id_col=id_col, text_col=text_col, vec_col=vec_col, k=k,
             hll_group_cols=hll_group_cols, hll_p=hll_p,
             compact_every=compact_every, n_state_buckets=n_state_buckets,
+            semantic_threshold=semantic_threshold,
         )
 
     writer = (
@@ -467,6 +488,25 @@ def read_incremental_corpus(
             F.col(id_col), F.col(id_col).alias("component")
         )
 
+    # SemDeDup labels (present when the fold ran with a threshold):
+    # dominated docs leave the canonical corpus, mirroring the batch
+    # job's stage 2.5; reported drops restricted to the corpus
+    from rental_data_pipeline_spark.streaming.semantic_stream import (
+        read_semantic_labels,
+    )
+
+    sem = read_semantic_labels(spark, f"{root}/semantic")
+    semantic_dropped = None
+    if sem is not None:
+        semantic_dropped = (
+            sem.where(~F.col("is_kept"))
+            .select(F.col("vec_id").alias(id_col))
+            .join(corpus.select(id_col), id_col, "left_semi")
+        )
+        corpus = corpus.join(
+            F.broadcast(semantic_dropped), id_col, "left_anti"
+        )
+
     flagged = _read_slices(spark, root, "contaminated")
     if flagged is not None:
         contaminated = (
@@ -512,7 +552,7 @@ def read_incremental_corpus(
         metrics = {k: int(v) for k, v in agg.asDict().items()}
 
     curated = read_state_or_legacy(spark, f"{root}/curation_state")
-    return {
+    out = {
         "curated": curated,
         "keepers": keepers,
         "pairs": pairs.drop("batch_id") if pairs is not None else None,
@@ -526,3 +566,6 @@ def read_incremental_corpus(
         "corpus_size": read_corpus_size(spark, f"{root}/vocab"),
         "metrics": metrics,
     }
+    if semantic_dropped is not None:
+        out["semantic_dropped"] = semantic_dropped
+    return out

@@ -141,31 +141,34 @@ def test_semantic_dedup_with_index_centroids(spark, sf_dir):
         kept = {row.doc_id for row in r["corpus"].collect()}
         assert not (dropped & kept)
         assert not (dropped & {row.doc_id for row in r["split"].collect()})
-        # the same docs the operator drops directly on the pre-semantic
-        # canonical corpus with the same trained centroids
-        pre = docs.join(
-            F.broadcast(r["curated"].select("doc_id")), "doc_id"
-        )  # recompute the pre-semantic canonical set: curated minus
+        # the same docs the operator drops directly: domination over
+        # ALL curated survivors (the foldable form), reported drops
+        # restricted to the pre-semantic canonical corpus
         from rental_data_pipeline_spark.operators.dedup import (
             connected_components,
         )
 
-        cc = connected_components(r["pairs"])
-        nd = cc.where(F.col("node") != F.col("component")).select(
-            F.col("node").alias("doc_id")
-        )
-        pre = pre.join(F.broadcast(nd), "doc_id", "left_anti")
-        pre_embs = embs.join(
-            F.broadcast(pre.select(F.col("doc_id").alias("vec_id"))),
+        surv_embs = embs.join(
+            F.broadcast(
+                r["curated"].select(F.col("doc_id").alias("vec_id"))
+            ),
             "vec_id",
         ).select("vec_id", "embedding")
-        want = {
+        dominated = {
             row.vec_id
-            for row in semantic_dedup(pre_embs, threshold=0.3, centroids=cents)
+            for row in semantic_dedup(surv_embs, threshold=0.3, centroids=cents)
             .where(~F.col("is_kept"))
             .collect()
         }
-        assert dropped == want
+        cc = connected_components(r["pairs"])
+        nd = {
+            row.node
+            for row in cc.where(F.col("node") != F.col("component")).collect()
+        }
+        pre_corpus = {
+            row.doc_id for row in r["curated"].collect()
+        } - nd
+        assert dropped == (dominated & pre_corpus)
         # without the knobs the stage is off and outputs are unchanged
         r0 = build_training_corpus(docs, holdout, CorpusConfig(
             languages=("en", "de", "fr", "es"), min_quality=0.0,

@@ -90,11 +90,27 @@ def test_streamed_corpus_equals_batch_job(spark, sf_dir, root):
             .parquet(landing),
             root, ckpt, config=cfg, holdout=holdout,
             ann_centroids=centroids, vec_col="embedding",
+            semantic_threshold=0.3,
         )
         q.awaitTermination(600)
 
-        want = build_training_corpus(docs, holdout, cfg)
+        cfg_sem = CorpusConfig(**CFG, semantic_threshold=0.3)
+        cents_frame = spark.createDataFrame(
+            list(enumerate(centroids)), "cid int, cv array<double>"
+        )
+        want = build_training_corpus(
+            docs, holdout, cfg_sem,
+            embeddings=load_table(spark, "embeddings", sf_dir).select(
+                "vec_id", "embedding"
+            ),
+            semantic_centroids=cents_frame,
+        )
         got = read_incremental_corpus(spark, root, cfg)
+
+        # incremental SemDeDup labels == the batch stage's drops
+        assert _ids(got["semantic_dropped"]) == _ids(
+            want["semantic_dropped"]
+        ) and _ids(got["semantic_dropped"])
 
         # canonical corpus, keeper state, contaminated set
         assert _ids(got["corpus"]) == _ids(want["corpus"])
