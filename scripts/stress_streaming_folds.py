@@ -192,11 +192,78 @@ def labels_fold_sec(spark, n_pairs: int, batch_pairs: int) -> float:
         shutil.rmtree(base, ignore_errors=True)
 
 
+# ---------------------------------------------------------------------------
+# corpus: the COMPOSED end-to-end incremental corpus fold
+# ---------------------------------------------------------------------------
+
+
+def _corpus_docs(spark, n: int, start: int = 0):
+    # unique token streams (the index-cost rationale of _docs) plus a
+    # deterministic nonzero embedding column for the ANN fold
+    return _docs(spark, n, start).withColumn(
+        "embedding",
+        F.array(*[
+            (
+                F.pmod(F.col("doc_id") * (17 + j), F.lit(997)).cast("double")
+                / 997.0
+                + 0.001
+            )
+            for j in range(8)
+        ]),
+    )
+
+
+def corpus_fold_sec(spark, n_docs: int, batch_docs: int) -> float:
+    """One fold_corpus_batch call with every artifact enabled except
+    SemDeDup (whose per-batch cost is the blocking trade — O(batch x
+    N/n_cells), flat only when n_cells grows ~sqrt(N) with the corpus;
+    every other component here is designed O(batch))."""
+    from rental_data_pipeline_spark.jobs.corpus_job import CorpusConfig
+    from rental_data_pipeline_spark.streaming.corpus_stream import (
+        fold_corpus_batch,
+    )
+
+    base = tempfile.mkdtemp(prefix="fold_stress_corpus_")
+    try:
+        cfg = CorpusConfig(
+            languages=("und",), min_tokens=1, min_quality=0.0,
+        )
+        holdout = _docs(spark, 50, start=900_000_000)
+        cents = [
+            [((c * 31 + j) % 97) / 97.0 + 0.01 for j in range(8)]
+            for c in range(8)
+        ]
+        # seed: the whole corpus folds as batch 0 (bootstrap)
+        fold_corpus_batch(
+            spark, base, _corpus_docs(spark, n_docs), 0, cfg,
+            holdout=holdout, ann_centroids=cents, vec_col="embedding",
+            compact_every=1000,
+        )
+        times = []
+        for i in range(2):
+            batch = _corpus_docs(
+                spark, batch_docs, start=10_000_000 * (i + 1)
+            )
+            times.append(
+                _timed(
+                    lambda: fold_corpus_batch(
+                        spark, base, batch, i + 1, cfg,
+                        holdout=holdout, ann_centroids=cents,
+                        vec_col="embedding", compact_every=1000,
+                    )
+                )
+            )
+        return min(times)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 FOLDS = {
     # (fn, 1x size, 10x size, fixed batch size)
     "cdc": (cdc_fold_sec, 100_000, 1_000_000, 500),
     "index": (index_fold_sec, 2_000, 20_000, 200),
     "labels": (labels_fold_sec, 20_000, 200_000, 200),
+    "corpus": (corpus_fold_sec, 2_000, 20_000, 200),
 }
 
 
