@@ -88,10 +88,6 @@ def _bdir(root: str, sub: str, batch_id: int) -> str:
     return f"{root}/{sub}/b_{batch_id:09d}"
 
 
-def _batch_committed(root: str, sub: str, batch_id: int) -> bool:
-    return _os.path.exists(f"{_bdir(root, sub, batch_id)}/_SUCCESS")
-
-
 def _fully_committed(root: str, sub: str) -> list[str]:
     """Slice dirs of ``sub`` whose batch reached the metrics commit —
     the read-side gate: a batch is visible only once EVERY artifact of
