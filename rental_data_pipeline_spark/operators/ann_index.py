@@ -367,6 +367,24 @@ def append_ann_index(
     commit_sub = "codes" if meta.get("pq") else "assignments"
     if _os.path.exists(f"{sdir}/{commit_sub}/_SUCCESS"):
         return  # committed replay: no-op
+    # a batch id a live compaction manifest covers was folded then
+    # compacted away: committed replay — no-op, like the _SUCCESS path
+    # (rewriting it would produce a permanently invisible slice; the
+    # content already lives in the consolidated c_*). This layout
+    # commits c_* via the commit_sub's _SUCCESS, so check manifests
+    # directly rather than incremental.slice_id_compacted.
+    import glob as _glob
+
+    from rental_data_pipeline_spark.streaming.incremental import (
+        _read_manifest,
+    )
+
+    for c in _glob.glob(f"{index_path}/appends/c_*"):
+        covered = _read_manifest(f"{c}/_covered.json")
+        if covered and _os.path.exists(f"{c}/{commit_sub}/_SUCCESS") and (
+            f"b_{batch_id:09d}" in covered
+        ):
+            return
     if _os.path.exists(sdir):
         _shutil.rmtree(sdir, ignore_errors=True)
 

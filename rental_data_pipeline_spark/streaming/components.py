@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 from rental_data_pipeline_spark.streaming.incremental import (
     _bucket_of,
     atomic_json_write as _atomic_json_write,
+    slice_id_compacted as _slice_id_compacted,
     sliced_committed,
 )
 
@@ -171,6 +172,8 @@ def fold_pairs_batch(
     mdir = _bdir(labels_path, _MEMBERS, batch_id)
     if _os.path.exists(f"{fdir}/_SUCCESS"):
         return
+    if _slice_id_compacted(f"{labels_path}/{_FOREST}", batch_id):
+        return  # folded then compacted away: committed replay
     _assert_no_pending_rebucket(labels_path)
     nb = _ensure_label_meta(labels_path)
     for d in (mdir, fdir):

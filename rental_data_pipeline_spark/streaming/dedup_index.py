@@ -56,6 +56,7 @@ from rental_data_pipeline_spark.operators.dedup import (
 from rental_data_pipeline_spark.streaming.incremental import (
     atomic_json_write as _atomic_json_write,
     _bucket_of,
+    slice_id_compacted as _slice_id_compacted,
     sliced_committed,
 )
 
@@ -224,6 +225,15 @@ def fold_index_batch(
         catchup(spark)  # heal a crash between pairs and label commit
         return  # committed replay: no-op
     _assert_no_pending_rebucket(index_path)
+    if any(
+        _slice_id_compacted(f"{index_path}/{sub}", batch_id)
+        for sub in (_BANDS, _SHINGLES)
+    ):
+        # folded then compacted away (pairs never compact, so normally
+        # the pairs _SUCCESS no-ops first; this covers layouts healed
+        # by hand or partially restored) — committed replay
+        catchup(spark)
+        return
     # clear garbage from a crashed attempt of this batch (pairs
     # commit is LAST, so bands/shingles of an uncommitted attempt
     # are rewritten wholesale)

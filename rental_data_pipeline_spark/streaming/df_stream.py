@@ -38,6 +38,7 @@ from rental_data_pipeline_spark.streaming.incremental import (
     _bucket_of,
     _read_manifest,
     atomic_json_write as _atomic_json_write,
+    slice_id_compacted as _slice_id_compacted,
     sliced_committed,
 )
 
@@ -120,6 +121,8 @@ def fold_docs_batch(
     ddir = _bdir(state_path, _DFT, batch_id)
     if _os.path.exists(f"{cdir}/_SUCCESS"):
         return
+    if _slice_id_compacted(f"{state_path}/{_COUNTS}", batch_id):
+        return  # folded then compacted away: committed replay
     _assert_no_pending_rebucket(state_path)
     nb = _ensure_df_meta(state_path)
     for d in (ddir, cdir):

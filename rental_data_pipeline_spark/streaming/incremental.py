@@ -177,6 +177,23 @@ def manifest_covered(root: str) -> set[str]:
     return out
 
 
+def slice_id_compacted(root: str, batch_id: int) -> bool:
+    """Whether slice ``b_<batch_id>`` was folded AND compacted away
+    (its name appears in a committed ``c_*`` manifest under ``root``).
+    Folds must treat a covered id as a COMMITTED REPLAY and no-op —
+    the slice-commit marker the usual replay check looks for is
+    deleted by compaction, but the batch's content lives on in the
+    consolidated slice. Without this check a crash in the window
+    between a fold's inline compaction and the stream checkpoint
+    commit would make the replay rewrite the batch as a permanently
+    invisible (covered) slice — wasted work at best, and for
+    non-idempotent downstreams a divergence. (Same-id-means-same-batch
+    is the stream contract; a fresh checkpoint pointed at existing
+    state violates it with ids that still exist on disk just the
+    same.)"""
+    return f"b_{batch_id:09d}" in manifest_covered(root)
+
+
 def atomic_json_write(path: str, obj) -> None:
     """tmp + os.replace — a crash mid-write must never leave truncated
     JSON behind. The one writer for manifests, watermarks and meta."""

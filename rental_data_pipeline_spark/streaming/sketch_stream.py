@@ -32,6 +32,7 @@ from rental_data_pipeline_spark.operators.sketch import (
 )
 from rental_data_pipeline_spark.streaming.incremental import (
     atomic_json_write as _atomic_json_write,
+    slice_id_compacted as _slice_id_compacted,
     sliced_committed,
 )
 
@@ -107,6 +108,8 @@ def fold_registers_batch(
     bdir = f"{state_path}/b_{batch_id:09d}"
     if _os.path.exists(f"{bdir}/_SUCCESS"):
         return  # committed replay: no-op
+    if _slice_id_compacted(state_path, batch_id):
+        return  # folded then compacted away: committed replay
     if _os.path.exists(bdir):
         _shutil.rmtree(bdir, ignore_errors=True)  # crashed attempt
     hll_registers(batch, group_cols, value_col, p).write.parquet(bdir)

@@ -444,3 +444,31 @@ def test_probe_defaults_from_meta_and_recall(spark, sf_dir, index_dir):
         truth,
     )
     assert 0.3 <= r50 <= r200
+
+
+def test_compacted_append_id_replays_as_noop(spark, sf_dir, index_dir):
+    """An append batch id folded then compacted away must no-op on
+    replay — rewriting it would leave a permanently invisible slice."""
+    import glob
+
+    from rental_data_pipeline_spark.operators.ann_index import (
+        append_ann_index,
+        compact_ann_appends,
+    )
+    from rental_data_pipeline_spark.operators.similarity import kmeans_train
+
+    embs = load_table(spark, "embeddings", sf_dir)
+    a = embs.where(F.col("vec_id") % 3 != 0)
+    b = embs.where(F.col("vec_id") % 3 == 0)
+    centroids, _ = kmeans_train(a, k=8, n_iter=1)
+    build_ann_index(a, index_dir, n_cells=8, centroids=centroids)
+    append_ann_index(b.where(F.pmod("vec_id", F.lit(9)) == 0), index_dir, 0)
+    append_ann_index(b.where(F.pmod("vec_id", F.lit(9)) == 3), index_dir, 1)
+    assert compact_ann_appends(spark, index_dir)
+    want = _rows(ivf_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5))
+    # crash-window replay of batch 0 with (stream-contract) same id
+    append_ann_index(b.where(F.pmod("vec_id", F.lit(9)) == 0), index_dir, 0)
+    assert glob.glob(f"{index_dir}/appends/b_*") == []
+    assert _rows(
+        ivf_topk_persisted(spark, index_dir, QUERY_IDS, top_k=5)
+    ) == want

@@ -127,3 +127,28 @@ def test_fold_is_idempotent_and_commit_gated(spark, sf_dir, state_dir):
     assert read_corpus_size(spark, state_dir) == docs.count()
     got = {(r.term, r.df) for r in read_df_table(spark, state_dir).collect()}
     assert ("zzz_ghost", 99) not in got
+
+
+def test_compacted_batch_id_replays_as_noop(spark, sf_dir, state_dir):
+    """A batch id folded then compacted away must no-op on replay —
+    the crash window between a fold's inline compaction and the
+    stream-checkpoint commit."""
+    import glob
+
+    from rental_data_pipeline_spark.streaming.df_stream import (
+        fold_docs_batch,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    fold_docs_batch(spark, state_dir, docs.where("doc_id % 2 = 0"), 0)
+    fold_docs_batch(spark, state_dir, docs.where("doc_id % 2 = 1"), 1)
+    assert compact_df(spark, state_dir)
+    want = {(r.term, r.df) for r in read_df_table(spark, state_dir).collect()}
+    n = read_corpus_size(spark, state_dir)
+    fold_docs_batch(spark, state_dir, docs.limit(5), 0)  # replay
+    assert glob.glob(f"{state_dir}/df/b_*") == []
+    assert glob.glob(f"{state_dir}/counts/b_*") == []
+    assert {
+        (r.term, r.df) for r in read_df_table(spark, state_dir).collect()
+    } == want
+    assert read_corpus_size(spark, state_dir) == n

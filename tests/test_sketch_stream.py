@@ -121,3 +121,45 @@ def test_sketch_compaction_preserves_estimates(spark, sf_dir, tmpdirs):
         for r in hll_distinct(arrived, ["event_type"], "user_id").collect()
     }
     assert after == want
+
+
+def test_compacted_batch_id_replays_as_noop(spark, sf_dir, tmpdirs):
+    """A batch id whose slice was folded then compacted away must
+    no-op on replay (its content lives in the consolidated c_* slice);
+    rewriting it would produce a permanently invisible slice."""
+    from pyspark.sql import functions as F
+
+    from rental_data_pipeline_spark.sources.tables import load_table
+    from rental_data_pipeline_spark.streaming.sketch_stream import (
+        compact_sketch,
+        fold_registers_batch,
+        read_hll_estimate,
+    )
+
+    _, state_dir, _ = tmpdirs
+    ev = load_table(spark, "events", sf_dir)
+    fold_registers_batch(
+        spark, state_dir, ev.where("event_id % 2 = 0"), 0,
+        ["event_type"], "user_id",
+    )
+    fold_registers_batch(
+        spark, state_dir, ev.where("event_id % 2 = 1"), 1,
+        ["event_type"], "user_id",
+    )
+    assert compact_sketch(spark, state_dir)
+    want = {
+        (r.event_type, r.hll_estimate)
+        for r in read_hll_estimate(spark, state_dir).collect()
+    }
+    # crash-window replay of batch 0 (stream checkpoint uncommitted):
+    # must not change the merged state or leave a new b_* dir
+    fold_registers_batch(
+        spark, state_dir, ev.limit(7), 0, ["event_type"], "user_id"
+    )
+    import glob
+
+    assert glob.glob(f"{state_dir}/b_*") == []
+    assert {
+        (r.event_type, r.hll_estimate)
+        for r in read_hll_estimate(spark, state_dir).collect()
+    } == want
