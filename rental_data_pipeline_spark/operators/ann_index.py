@@ -58,6 +58,17 @@ N_VEC_BUCKETS = 16
 _META = "_meta.json"
 
 
+def _has_part_files(root: str) -> bool:
+    """Whether a just-written parquet root contains any data files —
+    the post-write emptiness check (a zero-row partitionBy write
+    leaves only ``_SUCCESS``, which wedges later schema inference)."""
+    for dirpath, _dirs, files in _os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                return True
+    return False
+
+
 def build_ann_index(
     df: DataFrame,
     index_path: str,
@@ -99,24 +110,26 @@ def build_ann_index(
         "vec_id", "v", "cid"
     ).withColumn("vb", _bucket_of("vec_id", n_vec_buckets))
     dt = df.schema[id_col].dataType.simpleString()
-    if asg.limit(1).count() == 0:
+    # one write task per cell partition: the local corpus is tiny and a
+    # defaultParallelism fan-out would write n_cells·n_vec_buckets·32
+    # near-empty files; at scale raise this to the cluster's write
+    # parallelism (the partition columns, not the task count, carry the
+    # pruning contract)
+    asg.repartition(n_cells, F.col("cid")).write.partitionBy(
+        "cid", "vb"
+    ).mode("overwrite").parquet(f"{index_path}/assignments")
+    if not _has_part_files(f"{index_path}/assignments"):
         # an EMPTY base is a valid index: trained centroids + zero
         # vectors, everything arriving later as append slices — the
         # streaming corpus job's fully-append-only shape. partitionBy
         # of zero rows writes no readable part file, so commit a
-        # schema-bearing plain-column frame (the shared guard).
+        # schema-bearing plain-column frame (the shared guard). The
+        # emptiness check is a filesystem walk AFTER the write — a
+        # pre-write limit(1).count() would cost an extra job per build
+        # on the hot (non-empty) path.
         spark.createDataFrame(
             [], f"vec_id {dt}, v array<double>, cid int, vb int"
         ).write.mode("overwrite").parquet(f"{index_path}/assignments")
-    else:
-        # one write task per cell partition: the local corpus is tiny
-        # and a defaultParallelism fan-out would write
-        # n_cells·n_vec_buckets·32 near-empty files; at scale raise
-        # this to the cluster's write parallelism (the partition
-        # columns, not the task count, carry the pruning contract)
-        asg.repartition(n_cells, F.col("cid")).write.partitionBy(
-            "cid", "vb"
-        ).mode("overwrite").parquet(f"{index_path}/assignments")
     spark.createDataFrame(
         spark.sparkContext.parallelize(list(enumerate(centroids)), 1),
         "cid int, cv array<double>",
@@ -151,17 +164,15 @@ def build_ann_index(
             spark.sparkContext.parallelize(rows, 1),
             "m int, cid int, cv array<double>",
         ).write.mode("overwrite").parquet(f"{index_path}/codebooks")
-        codes = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col).withColumn(
+        pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col).withColumn(
             "vb", _bucket_of("vec_id", n_vec_buckets)
+        ).repartition(1).write.partitionBy("vb").mode("overwrite").parquet(
+            f"{index_path}/codes"
         )
-        if codes.limit(1).count() == 0:
+        if not _has_part_files(f"{index_path}/codes"):
             spark.createDataFrame(
                 [], f"vec_id {dt}, codes array<int>, vb int"
             ).write.mode("overwrite").parquet(f"{index_path}/codes")
-        else:
-            codes.repartition(1).write.partitionBy("vb").mode(
-                "overwrite"
-            ).parquet(f"{index_path}/codes")
     # tmp + os.replace: a crash mid-write must not leave truncated
     # JSON that wedges every later read_meta
     tmp = f"{index_path}/{_META}.tmp"
@@ -398,30 +409,26 @@ def append_ann_index(
         "vec_id", "v", "cid"
     ).withColumn("vb", _bucket_of("vec_id", meta["n_vec_buckets"]))
     dt = df.schema[id_col].dataType.simpleString()
-    if asg.limit(1).count() == 0:
+    asg.repartition(1).write.partitionBy("cid", "vb").parquet(
+        f"{sdir}/assignments"
+    )
+    if not _has_part_files(f"{sdir}/assignments"):
         # zero-row partitionBy writes no readable part file — commit a
-        # schema-bearing plain-column frame instead (the shared guard)
+        # schema-bearing plain-column frame instead (the shared guard;
+        # checked post-write to keep the hot path at one job)
         spark.createDataFrame(
             [], f"vec_id {dt}, v array<double>, cid int, vb int"
-        ).write.parquet(f"{sdir}/assignments")
-    else:
-        asg.repartition(1).write.partitionBy("cid", "vb").parquet(
-            f"{sdir}/assignments"
-        )
+        ).write.mode("overwrite").parquet(f"{sdir}/assignments")
     if meta.get("pq"):
         m, k = meta["pq"]["m"], meta["pq"]["k"]
         codebooks = _read_codebooks(spark, index_path, m, k)
-        codes = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col).withColumn(
+        pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col).withColumn(
             "vb", _bucket_of("vec_id", meta["n_vec_buckets"])
-        )
-        if codes.limit(1).count() == 0:
+        ).repartition(1).write.partitionBy("vb").parquet(f"{sdir}/codes")
+        if not _has_part_files(f"{sdir}/codes"):
             spark.createDataFrame(
                 [], f"vec_id {dt}, codes array<int>, vb int"
-            ).write.parquet(f"{sdir}/codes")
-        else:
-            codes.repartition(1).write.partitionBy("vb").parquet(
-                f"{sdir}/codes"
-            )
+            ).write.mode("overwrite").parquet(f"{sdir}/codes")
 
 
 def _query_vectors(
