@@ -41,6 +41,7 @@ from rental_data_pipeline_spark.streaming.corpus_stream import (  # noqa: F401
     fold_corpus_batch,
     incremental_corpus_stream,
     read_incremental_corpus,
+    rebucket_corpus,
 )
 from rental_data_pipeline_spark.streaming.semantic_stream import (  # noqa: F401
     fold_semantic_batch,

@@ -565,3 +565,71 @@ def read_incremental_corpus(
     if semantic_dropped is not None:
         out["semantic_dropped"] = semantic_dropped
     return out
+
+
+def rebucket_corpus(
+    spark: SparkSession,
+    root: str,
+    state_n_buckets: int | None = None,
+    index_n_buckets: int | None = None,
+    labels_n_buckets: int | None = None,
+    vocab_n_buckets: int | None = None,
+) -> dict[str, bool]:
+    """OFFLINE migration of every bucketed table under a corpus root
+    in one call — the operation a deployment runs when moving from
+    local defaults to production bucket counts without abandoning
+    accumulated state. Each table migrates under its own pending-meta
+    protocol (crash-safe, resumable: re-running this function finishes
+    any interrupted migration), so a crash between tables leaves the
+    completed ones committed and the interrupted one refusing
+    folds/reads until the re-run. Pass only the counts you want to
+    change; ``None`` leaves a table untouched (an interrupted
+    migration of that table still resumes, at its staged count).
+    Must not run concurrently with the stream — stop the query first,
+    migrate, restart with the same checkpoint. Returns table → whether
+    a migration ran."""
+    from rental_data_pipeline_spark.streaming.components import (
+        _ensure_label_meta,
+        rebucket_labels,
+    )
+    from rental_data_pipeline_spark.streaming.dedup_index import (
+        _ensure_index_meta,
+        rebucket_index,
+    )
+    from rental_data_pipeline_spark.streaming.df_stream import (
+        _ensure_df_meta,
+        rebucket_df,
+    )
+    from rental_data_pipeline_spark.streaming.incremental import (
+        _read_meta,
+        rebucket_state,
+    )
+
+    ran: dict[str, bool] = {}
+    state_path = f"{root}/curation_state"
+    meta = _read_meta(state_path)
+    if meta is not None:  # table exists only after the first fold
+        ran["curation_state"] = rebucket_state(
+            spark, state_path,
+            state_n_buckets if state_n_buckets is not None
+            else int(meta["n_buckets"]),
+        )
+    if _os.path.exists(f"{root}/index/_meta.json"):
+        ran["index"] = rebucket_index(
+            spark, f"{root}/index",
+            index_n_buckets if index_n_buckets is not None
+            else _ensure_index_meta(f"{root}/index"),
+        )
+    if _os.path.exists(f"{root}/labels/_meta.json"):
+        ran["labels"] = rebucket_labels(
+            spark, f"{root}/labels",
+            labels_n_buckets if labels_n_buckets is not None
+            else _ensure_label_meta(f"{root}/labels"),
+        )
+    if _os.path.exists(f"{root}/vocab/_meta.json"):
+        ran["vocab"] = rebucket_df(
+            spark, f"{root}/vocab",
+            vocab_n_buckets if vocab_n_buckets is not None
+            else _ensure_df_meta(f"{root}/vocab"),
+        )
+    return ran

@@ -266,3 +266,64 @@ def test_monotonic_id_contract_violation_raises(spark, root):
     got = read_incremental_corpus(spark, root, cfg)
     assert _ids(got["keepers"]) == {100, 101}
     assert got["metrics"]["n_exact_dups"] == 1
+
+
+def test_rebucket_corpus_migrates_all_tables(spark, sf_dir, root):
+    """One offline call migrates every bucketed table under the corpus
+    root; reads are identical across the migration and folds continue
+    under the new layouts."""
+    import json
+    import os
+
+    from rental_data_pipeline_spark.streaming.corpus_stream import (
+        rebucket_corpus,
+    )
+
+    docs, streamed, holdout = _inputs(spark, sf_dir)
+    cfg = CorpusConfig(**CFG)
+    chunks = [
+        streamed.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).localCheckpoint(eager=True)
+        for lo, hi in RANGES
+    ]
+    for i in range(2):
+        fold_corpus_batch(spark, root, chunks[i], i, cfg, holdout=holdout)
+    before = read_incremental_corpus(spark, root, cfg)
+    want_corpus = _ids(before["corpus"])
+    want_vocab = {(r.term, r.df) for r in before["vocab"].collect()}
+
+    ran = rebucket_corpus(
+        spark, root,
+        state_n_buckets=64, index_n_buckets=8,
+        labels_n_buckets=8, vocab_n_buckets=8,
+    )
+    assert ran == {
+        "curation_state": True, "index": True,
+        "labels": True, "vocab": True,
+    }
+    for table, key in (
+        ("curation_state", "n_buckets"), ("index", "n_buckets"),
+        ("labels", "n_buckets"), ("vocab", "n_buckets"),
+    ):
+        meta = json.load(open(f"{root}/{table}/_meta.json"))
+        assert meta[key] in (64, 8), (table, meta)
+        assert not os.path.exists(f"{root}/{table}/_meta.json.pending")
+
+    mid = read_incremental_corpus(spark, root, cfg)
+    assert _ids(mid["corpus"]) == want_corpus
+    assert {(r.term, r.df) for r in mid["vocab"].collect()} == want_vocab
+
+    # folds continue under the new layouts; final == batch over all
+    fold_corpus_batch(spark, root, chunks[2], 2, cfg, holdout=holdout)
+    want = build_training_corpus(docs, holdout, cfg)
+    got = read_incremental_corpus(spark, root, cfg)
+    assert _ids(got["corpus"]) == _ids(want["corpus"])
+    assert {r.doc_id: r.split for r in got["split"].collect()} == {
+        r.doc_id: r.split for r in want["split"].collect()
+    }
+    # same-count re-run: all no-ops
+    assert rebucket_corpus(spark, root) == {
+        "curation_state": False, "index": False,
+        "labels": False, "vocab": False,
+    }
