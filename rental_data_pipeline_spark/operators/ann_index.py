@@ -52,21 +52,13 @@ from rental_data_pipeline_spark.operators.similarity import (
     pq_encode,
     pq_train,
 )
-from rental_data_pipeline_spark.streaming.incremental import _bucket_of
+from rental_data_pipeline_spark.streaming.incremental import (
+    _bucket_of,
+    has_part_files as _has_part_files,
+)
 
 N_VEC_BUCKETS = 16
 _META = "_meta.json"
-
-
-def _has_part_files(root: str) -> bool:
-    """Whether a just-written parquet root contains any data files —
-    the post-write emptiness check (a zero-row partitionBy write
-    leaves only ``_SUCCESS``, which wedges later schema inference)."""
-    for dirpath, _dirs, files in _os.walk(root):
-        for f in files:
-            if f.endswith(".parquet"):
-                return True
-    return False
 
 
 def build_ann_index(

@@ -56,6 +56,7 @@ from rental_data_pipeline_spark.operators.dedup import (
 from rental_data_pipeline_spark.streaming.incremental import (
     atomic_json_write as _atomic_json_write,
     _bucket_of,
+    has_part_files as _has_part_files,
     slice_id_compacted as _slice_id_compacted,
     sliced_committed,
 )
@@ -269,6 +270,24 @@ def fold_index_batch(
     sh.withColumn(_DB, _bucket_of_doc(nb)).repartition(
         dp, F.col(_DB)
     ).write.partitionBy(_DB).parquet(_batch_dir(index_path, _SHINGLES, batch_id))
+    # a NON-empty batch can still emit ZERO bands/shingles (every doc
+    # shorter than the k-shingle window) — the zero-row partitionBy
+    # leaves no readable part file and would wedge this read-back and
+    # every later probe. Overwrite with schema-bearing empty frames
+    # (post-write check: no extra job on the hot path).
+    idt = batch.schema[id_col].dataType.simpleString()
+    if not _has_part_files(_batch_dir(index_path, _BANDS, batch_id)):
+        spark.createDataFrame(
+            [], f"doc {idt}, band int, bkey string, {_BB} int"
+        ).write.mode("overwrite").parquet(
+            _batch_dir(index_path, _BANDS, batch_id)
+        )
+    if not _has_part_files(_batch_dir(index_path, _SHINGLES, batch_id)):
+        spark.createDataFrame(
+            [], f"doc {idt}, sh array<string>, {_DB} int"
+        ).write.mode("overwrite").parquet(
+            _batch_dir(index_path, _SHINGLES, batch_id)
+        )
     new_bands = spark.read.parquet(_batch_dir(index_path, _BANDS, batch_id))
     new_sh = spark.read.parquet(
         _batch_dir(index_path, _SHINGLES, batch_id)
@@ -456,6 +475,12 @@ def compact_index(
         )
         dp = spark.sparkContext.defaultParallelism
         df.repartition(dp, F.col(part_col)).write.partitionBy(part_col).parquet(cdir)
+        if not _has_part_files(cdir):
+            # all-empty source slices (short-doc batches): keep the
+            # consolidated slice schema-bearing
+            spark.createDataFrame([], df.schema).write.mode(
+                "overwrite"
+            ).parquet(cdir)
         _atomic_json_write(f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in dirs))
         for d in dirs:  # now shadowed by the manifest; best-effort delete
             _shutil.rmtree(d, ignore_errors=True)

@@ -38,6 +38,7 @@ from rental_data_pipeline_spark.streaming.incremental import (
     _bucket_of,
     _read_manifest,
     atomic_json_write as _atomic_json_write,
+    has_part_files as _has_part_files,
     slice_id_compacted as _slice_id_compacted,
     sliced_committed,
 )
@@ -148,6 +149,12 @@ def fold_docs_batch(
         dfreq.repartition(dp, F.col(_TB)).write.partitionBy(_TB).parquet(
             ddir
         )
+        if not _has_part_files(ddir):
+            # n_docs > 0 but zero distinct terms (all-empty texts):
+            # the zero-row partitionBy left no readable part file
+            spark.createDataFrame(
+                [], f"term string, df long, {_TB} int"
+            ).write.mode("overwrite").parquet(ddir)
     # counts LAST: its _SUCCESS commits the batch
     spark.createDataFrame([(n_docs,)], "n_docs long").write.parquet(cdir)
 

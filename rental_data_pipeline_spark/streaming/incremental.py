@@ -194,6 +194,23 @@ def slice_id_compacted(root: str, batch_id: int) -> bool:
     return f"b_{batch_id:09d}" in manifest_covered(root)
 
 
+def has_part_files(root: str) -> bool:
+    """Whether a just-written parquet root contains any data files —
+    the post-write emptiness check shared by every slice writer: a
+    zero-ROW ``partitionBy`` write leaves only ``_SUCCESS`` (no
+    readable part file), which wedges every later schema-inferring
+    read of the dir. Writers that detect this overwrite the dir with a
+    schema-bearing plain-column empty frame. Checked after the write
+    so the hot (non-empty) path costs no extra Spark job."""
+    import os as _os
+
+    for _dirpath, _dirs, files in _os.walk(root):
+        for f in files:
+            if f.endswith(".parquet"):
+                return True
+    return False
+
+
 def atomic_json_write(path: str, obj) -> None:
     """tmp + os.replace — a crash mid-write must never leave truncated
     JSON behind. The one writer for manifests, watermarks and meta."""

@@ -152,3 +152,32 @@ def test_compacted_batch_id_replays_as_noop(spark, sf_dir, state_dir):
         (r.term, r.df) for r in read_df_table(spark, state_dir).collect()
     } == want
     assert read_corpus_size(spark, state_dir) == n
+
+
+def test_all_empty_text_batch_does_not_wedge_vocab(spark, state_dir):
+    """Regression sibling of the short-doc index wedge. Note the
+    shared tokenizer maps an empty/whitespace text to one
+    empty-string token (``split(trim(x), r"\\s+") == [""]``), so
+    empty-text docs contribute the ``""`` term — identical in the
+    batch operator and the fold (tokenizer agreement is the
+    equivalence linchpin); a truly term-free slice can only come from
+    a zero-doc batch, which the schema-bearing-empty guard covers."""
+    from rental_data_pipeline_spark.streaming.df_stream import (
+        fold_docs_batch,
+    )
+
+    empty_texts = spark.createDataFrame(
+        [(1, ""), (2, "   ")], "doc_id long, text string"
+    )
+    fold_docs_batch(spark, state_dir, empty_texts, 0)
+    assert read_corpus_size(spark, state_dir) == 2
+    assert {
+        (r.term, r.df) for r in read_df_table(spark, state_dir).collect()
+    } == {("", 2)}
+    normal = spark.createDataFrame(
+        [(3, "alpha beta alpha")], "doc_id long, text string"
+    )
+    fold_docs_batch(spark, state_dir, normal, 1)
+    assert {
+        (r.term, r.df) for r in read_df_table(spark, state_dir).collect()
+    } == {("", 2), ("alpha", 1), ("beta", 1)}

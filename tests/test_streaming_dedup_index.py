@@ -363,3 +363,44 @@ def test_index_bucket_count_is_frozen_in_meta(spark, tmp_path):
         ).collect()
     }
     assert got == want and (1, 1040) in got
+
+
+def test_all_short_doc_batch_does_not_wedge_index(spark):
+    """Regression (found by the curation-fold property test): a
+    NON-empty batch where every doc is shorter than the k-shingle
+    window emits zero bands/shingles; the zero-row partitionBy used to
+    leave an unreadable slice that wedged the fold's read-back and
+    every later probe. Folds must survive and later batches must still
+    emit pairs."""
+    import shutil
+    import tempfile
+
+    from rental_data_pipeline_spark.streaming.dedup_index import (
+        fold_index_batch,
+        read_emitted_pairs,
+        read_index_bands,
+    )
+
+    base = tempfile.mkdtemp(prefix="short_doc_idx_")
+    try:
+        short = spark.createDataFrame(
+            [(1, "the"), (2, "of a")], "doc_id long, text string"
+        )
+        fold_index_batch(spark, base, short, 0)
+        assert read_index_bands(spark, base).count() == 0
+        # a later normal batch folds and pairs with itself fine
+        normal = spark.createDataFrame(
+            [
+                (10, "alpha beta gamma delta epsilon"),
+                (11, "alpha beta gamma delta epsilon"),
+            ],
+            "doc_id long, text string",
+        )
+        fold_index_batch(spark, base, normal, 1)
+        got = {
+            (r.doc_a, r.doc_b)
+            for r in read_emitted_pairs(spark, base).collect()
+        }
+        assert got == {(10, 11)}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
