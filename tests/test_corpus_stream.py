@@ -327,3 +327,37 @@ def test_rebucket_corpus_migrates_all_tables(spark, sf_dir, root):
         "curation_state": False, "index": False,
         "labels": False, "vocab": False,
     }
+
+
+def test_rejected_and_empty_batches_fold_cleanly(spark, root):
+    """Batches that contribute nothing (all docs gate-rejected, or
+    zero rows) still commit: every artifact stays readable and later
+    batches fold normally."""
+    cfg = CorpusConfig(
+        languages=("en",), min_quality=0.0, min_tokens=3,
+        expectations={"has_text": F.col("text").isNotNull()},
+    )
+    # batch 0: one null-text row (expectation quarantine) + one
+    # too-short row (gate rejection) -> zero keepers
+    b0 = spark.createDataFrame(
+        [(1, None), (2, "the cat")], "doc_id long, text string"
+    )
+    fold_corpus_batch(spark, root, b0, 0, cfg)
+    # batch 1: zero rows
+    b1 = spark.createDataFrame([], "doc_id long, text string")
+    fold_corpus_batch(spark, root, b1, 1, cfg)
+    got = read_incremental_corpus(spark, root, cfg)
+    assert got["metrics"] == {
+        "n_batches": 2, "n_raw": 2, "n_quarantined": 1,
+        "n_gate_rejected": 1, "n_exact_dups": 0, "n_keepers": 0,
+    }
+    assert got["corpus"].count() == 0
+    assert got["split"].count() == 0
+    # batch 2: a real doc folds normally after the empty prefix
+    b2 = spark.createDataFrame(
+        [(3, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    fold_corpus_batch(spark, root, b2, 2, cfg)
+    got = read_incremental_corpus(spark, root, cfg)
+    assert _ids(got["corpus"]) == {3}
+    assert got["metrics"]["n_keepers"] == 1
