@@ -88,15 +88,20 @@ def _bdir(root: str, sub: str, batch_id: int) -> str:
     return f"{root}/{sub}/b_{batch_id:09d}"
 
 
-def _fully_committed(root: str, sub: str) -> list[str]:
+def _fully_committed(
+    root: str, sub: str, as_of_batch: int | None = None
+) -> list[str]:
     """Slice dirs of ``sub`` whose batch reached the metrics commit —
     the read-side gate: a batch is visible only once EVERY artifact of
-    it is folded (metrics is written last)."""
+    it is folded (metrics is written last). ``as_of_batch`` restricts
+    to batch ids ≤ it (the time-travel read)."""
     import glob as _glob
 
     out = []
     for d in sorted(_glob.glob(f"{root}/{sub}/b_*")):
         b = _os.path.basename(d)
+        if as_of_batch is not None and int(b[2:]) > as_of_batch:
+            continue
         if _os.path.exists(f"{d}/_SUCCESS") and _os.path.exists(
             f"{root}/metrics/{b}/_SUCCESS"
         ):
@@ -104,8 +109,13 @@ def _fully_committed(root: str, sub: str) -> list[str]:
     return out
 
 
-def _read_slices(spark: SparkSession, root: str, sub: str) -> DataFrame | None:
-    dirs = _fully_committed(root, sub)
+def _read_slices(
+    spark: SparkSession,
+    root: str,
+    sub: str,
+    as_of_batch: int | None = None,
+) -> DataFrame | None:
+    dirs = _fully_committed(root, sub, as_of_batch)
     if not dirs:
         return None
     out = spark.read.parquet(dirs[0])
@@ -435,6 +445,7 @@ def read_incremental_corpus(
     config: CorpusConfig | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    as_of_batch: int | None = None,
 ) -> dict:
     """Compose the persisted artifacts into the batch job's output
     contract (``jobs.corpus_job.build_training_corpus`` keys):
@@ -446,7 +457,21 @@ def read_incremental_corpus(
     batches (metrics-gated), so a crashed batch is invisible until its
     replay completes. No stage here re-scans raw history: labels come
     from the persisted union-find, pairs from the emitted history,
-    vocabulary from the summed df slices."""
+    vocabulary from the summed df slices.
+
+    ``as_of_batch=N`` TIME-TRAVELS: the corpus exactly as it stood
+    after batch N fully committed — "the corpus the run that trained
+    model X saw". The per-batch ``keepers``, ``pairs``, ``semantic``
+    and ``contaminated`` slices are never compacted, so together they
+    form a durable event log and EVERY historical state is
+    reconstructible without retained versions: labels re-derive as
+    batch connected components over pairs ≤ N (equal to the persisted
+    union-find at that point — the streamed-labels equivalence), the
+    vocabulary/corpus-size re-derive from keepers ≤ N, and the curated
+    state is exactly the keeper log ≤ N (insert-only under the
+    arrival-order contract). Audit reads pay recomputation over the
+    log instead of extra storage — the deliberate trade; the live read
+    (``None``) touches only the incrementally-maintained artifacts."""
     from rental_data_pipeline_spark.operators.profile import table_profile
     from rental_data_pipeline_spark.operators.sampling import (
         split_from_components,
@@ -467,11 +492,25 @@ def read_incremental_corpus(
     )
 
     cfg = config or CorpusConfig()
-    keepers = _read_slices(spark, root, "keepers")
+    keepers = _read_slices(spark, root, "keepers", as_of_batch)
     if keepers is None:
         raise FileNotFoundError(f"no committed corpus batches under {root}")
 
-    labels = read_components(spark, f"{root}/labels")
+    pairs = read_emitted_pairs(spark, f"{root}/index")
+    if as_of_batch is None:
+        labels = read_components(spark, f"{root}/labels")
+    else:
+        if pairs is not None:
+            pairs = pairs.where(F.col("batch_id") <= as_of_batch)
+        from rental_data_pipeline_spark.operators.dedup import (
+            connected_components,
+        )
+
+        labels = (
+            connected_components(pairs)
+            if pairs is not None and not pairs.isEmpty()
+            else None
+        )
     if labels is not None:
         dups = labels.where(F.col("node") != F.col("component")).select(
             F.col("node").alias(id_col)
@@ -491,7 +530,7 @@ def read_incremental_corpus(
         read_semantic_labels,
     )
 
-    sem = read_semantic_labels(spark, f"{root}/semantic")
+    sem = read_semantic_labels(spark, f"{root}/semantic", as_of_batch)
     semantic_dropped = None
     if sem is not None:
         semantic_dropped = (
@@ -503,7 +542,7 @@ def read_incremental_corpus(
             F.broadcast(semantic_dropped), id_col, "left_anti"
         )
 
-    flagged = _read_slices(spark, root, "contaminated")
+    flagged = _read_slices(spark, root, "contaminated", as_of_batch)
     if flagged is not None:
         contaminated = (
             flagged.where(F.col("contamination") > cfg.max_contamination)
@@ -531,8 +570,7 @@ def read_incremental_corpus(
         token_budget=cfg.token_budget,
     )
 
-    pairs = read_emitted_pairs(spark, f"{root}/index")
-    metrics_rows = _read_slices(spark, root, "metrics")
+    metrics_rows = _read_slices(spark, root, "metrics", as_of_batch)
     metrics: dict = {}
     if metrics_rows is not None:
         agg = metrics_rows.agg(
@@ -547,7 +585,26 @@ def read_incremental_corpus(
         ).collect()[0]
         metrics = {k: int(v) for k, v in agg.asDict().items()}
 
-    curated = read_state_or_legacy(spark, f"{root}/curation_state")
+    if as_of_batch is None:
+        curated = read_state_or_legacy(spark, f"{root}/curation_state")
+        vocab = read_df_table(spark, f"{root}/vocab")
+        corpus_size = read_corpus_size(spark, f"{root}/vocab")
+    else:
+        # as-of: re-derive from the keeper log (insert-only, so the
+        # state at batch N is exactly the keepers folded through N)
+        curated = keepers.select("content_hash", id_col, *_META_COLS[1:])
+        from rental_data_pipeline_spark.operators.textstats import (
+            _with_tokens,
+        )
+
+        vocab = (
+            _with_tokens(keepers, text_col, id_col)
+            .select(F.col(id_col), F.explode("__toks").alias("term"))
+            .distinct()
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("df"))
+        )
+        corpus_size = keepers.count()
     out = {
         "curated": curated,
         "keepers": keepers,
@@ -558,8 +615,8 @@ def read_incremental_corpus(
         "chunks": chunks,
         "packed": packed,
         "profile": table_profile(clean),
-        "vocab": read_df_table(spark, f"{root}/vocab"),
-        "corpus_size": read_corpus_size(spark, f"{root}/vocab"),
+        "vocab": vocab,
+        "corpus_size": corpus_size,
         "metrics": metrics,
     }
     if semantic_dropped is not None:

@@ -128,12 +128,20 @@ def fold_semantic_batch(
 
 
 def read_semantic_labels(
-    spark: SparkSession, sem_path: str
+    spark: SparkSession, sem_path: str, as_of_batch: int | None = None
 ) -> DataFrame | None:
     """Accumulated ``(vec_id, cid, is_kept)`` labels, or None before
     the first fold. Labels are append-only facts (monotonic ids), so
-    the read is a plain union of committed slices."""
+    the read is a plain union of committed slices; ``as_of_batch``
+    restricts to slices ≤ it (slices are never compacted — they are
+    part of the corpus event log)."""
     dirs = sliced_committed(sem_path)
+    if as_of_batch is not None:
+        dirs = [
+            d
+            for d in dirs
+            if int(_os.path.basename(d)[2:]) <= as_of_batch
+        ]
     if not dirs:
         return None
     out = spark.read.parquet(dirs[0])

@@ -361,3 +361,53 @@ def test_rejected_and_empty_batches_fold_cleanly(spark, root):
     got = read_incremental_corpus(spark, root, cfg)
     assert _ids(got["corpus"]) == {3}
     assert got["metrics"]["n_keepers"] == 1
+
+
+def test_as_of_batch_time_travel(spark, sf_dir, root):
+    """read_incremental_corpus(as_of_batch=N) reconstructs the corpus
+    exactly as it stood after batch N committed — the keeper/pair/
+    semantic/contaminated slices are a durable event log, so history
+    needs no retained versions."""
+    from rental_data_pipeline_spark.operators.similarity import kmeans_train
+
+    docs, streamed, holdout = _inputs(spark, sf_dir)
+    cfg = CorpusConfig(**CFG)
+    centroids, _ = kmeans_train(
+        load_table(spark, "embeddings", sf_dir).where("vec_id < 170"),
+        k=4, n_iter=2,
+    )
+    chunks = [
+        streamed.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).localCheckpoint(eager=True)
+        for lo, hi in RANGES
+    ]
+
+    def snap(r):
+        return {
+            "corpus": _ids(r["corpus"]),
+            "split": {x.doc_id: x.split for x in r["split"].collect()},
+            "curated": _ids(r["curated"]),
+            "vocab": {(x.term, x.df) for x in r["vocab"].collect()},
+            "size": r["corpus_size"],
+            "sem": _ids(r["semantic_dropped"]),
+            "contaminated": _ids(r["contaminated"]),
+            "metrics": r["metrics"],
+        }
+
+    live = []
+    for i in range(3):
+        fold_corpus_batch(
+            spark, root, chunks[i], i, cfg, holdout=holdout,
+            ann_centroids=centroids, vec_col="embedding",
+            semantic_threshold=0.3,
+        )
+        live.append(snap(read_incremental_corpus(spark, root, cfg)))
+
+    for i in range(3):
+        got = snap(
+            read_incremental_corpus(spark, root, cfg, as_of_batch=i)
+        )
+        assert got == live[i], f"as_of_batch={i} diverges"
+    # growth really happened (the snapshots differ)
+    assert live[0]["corpus"] < live[2]["corpus"]
