@@ -67,7 +67,7 @@ from __future__ import annotations
 import os as _os
 import shutil as _shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from rental_data_pipeline_spark.jobs.corpus_job import CorpusConfig
@@ -163,9 +163,17 @@ def fold_corpus_batch(
     if _os.path.exists(mdir):
         _shutil.rmtree(mdir, ignore_errors=True)
     # one materialization of the raw batch feeds every consumer below
-    # (gate, scoring, keeper join) — the pipeline's shared-scan pattern
-    batch = batch.localCheckpoint(eager=True)
-    n_raw = batch.count()
+    # (gate, scoring, keeper join) — the pipeline's shared-scan pattern.
+    # Per-batch counters ride Observations on jobs that run anyway
+    # (this checkpoint, the quarantine write, the keeper-bucket probe)
+    # instead of standalone count() jobs: at a per-minute trigger the
+    # fixed job count per batch is scheduler overhead a 1000-executor
+    # cluster pays on every fold.
+    obs_raw = Observation()
+    batch = batch.observe(
+        obs_raw, F.count(F.lit(1)).alias("n")
+    ).localCheckpoint(eager=True)
+    n_raw = int(obs_raw.get["n"])
 
     # ---- 1. expectations gate → quarantine slice --------------------
     n_quarantined = 0
@@ -179,25 +187,30 @@ def fold_corpus_batch(
         qdir = _bdir(root, "quarantine", batch_id)
         if _os.path.exists(qdir):
             _shutil.rmtree(qdir, ignore_errors=True)
-        bad = tagged.where(F.size(F.col(VIOLATIONS_COL)) > 0).withColumn(
-            "_batch_id", F.lit(batch_id).cast("long")
+        obs_q = Observation()
+        bad = (
+            tagged.where(F.size(F.col(VIOLATIONS_COL)) > 0)
+            .withColumn("_batch_id", F.lit(batch_id).cast("long"))
+            .observe(obs_q, F.count(F.lit(1)).alias("n"))
         )
         bad.write.parquet(qdir)
-        n_quarantined = spark.read.parquet(qdir).count()
+        n_quarantined = int(obs_q.get["n"])
         batch = tagged.where(F.size(F.col(VIOLATIONS_COL)) == 0).drop(
             VIOLATIONS_COL
         )
 
     # ---- 2. curation + cross-batch exact dedup → keepers slice ------
+    obs_scored = Observation()
     scored = curation_scored(
         batch, text_col=text_col, id_col=id_col, languages=cfg.languages,
         min_tokens=cfg.min_tokens, max_tokens=cfg.max_tokens,
         min_quality=cfg.min_quality,
-    )
-    n_scored = scored.count()
+    ).observe(obs_scored, F.count(F.lit(1)).alias("n"))
     kdir = _bdir(root, "keepers", batch_id)
     state_path = f"{root}/curation_state"
-    if not _os.path.exists(f"{kdir}/_SUCCESS"):
+    replayed = _os.path.exists(f"{kdir}/_SUCCESS")
+    n_keepers = 0
+    if not replayed:
         if _os.path.exists(kdir):
             _shutil.rmtree(kdir, ignore_errors=True)
         batch_keep = curation_dedup(scored, id_col)
@@ -226,9 +239,18 @@ def fold_corpus_batch(
                 "left",
             )
         # one materialization: the contract check and the keeper split
-        # read the same bucket-pruned lookup
+        # read the same bucket-pruned lookup; one agg job yields both
+        # the violation count and the new-keeper count
         joined = joined.localCheckpoint(eager=True)
-        n_viol = joined.where(F.col(id_col) < F.col("_stored_id")).count()
+        stats = joined.agg(
+            F.count(
+                F.when(F.col(id_col) < F.col("_stored_id"), 1)
+            ).alias("viol"),
+            F.count(
+                F.when(F.col("_stored_id").isNull(), 1)
+            ).alias("new"),
+        ).collect()[0]
+        n_viol = int(stats["viol"])
         if n_viol:
             raise RuntimeError(
                 f"corpus stream batch {batch_id}: {n_viol} doc(s) share a "
@@ -244,8 +266,16 @@ def fold_corpus_batch(
         )
         keepers = new_keep.join(batch.select(*data_cols), id_col)
         keepers.write.parquet(kdir)
+        # ids are unique within a batch (monotonic mint contract), so
+        # the inner join is 1:1 and the written keeper count is the
+        # new-keeper count from the contract-check agg
+        n_keepers = int(stats["new"])
     keepers = spark.read.parquet(kdir)
-    n_keepers = keepers.count()
+    if replayed:
+        n_keepers = keepers.count()
+    n_scored = (
+        scored.count() if replayed else int(obs_scored.get["n"])
+    )
 
     # ---- 3. curation state fold (LSM insert-if-absent) --------------
     def merge_fn(target: DataFrame | None, b: DataFrame) -> DataFrame:
