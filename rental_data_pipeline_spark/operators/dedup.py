@@ -158,6 +158,168 @@ def fingerprint_duplicate_groups(
     )
 
 
+def span_hashes_of(toks: Column, window: int) -> Column:
+    """Fingerprints of every length-``window`` token span (POSITIONAL,
+    unlike :func:`shingles_of` which is distinct-set semantics): element
+    ``i`` is the md5 of tokens ``[i, i+window)``. Built over a
+    *column reference* for the same O(tokens²) reason as shingles_of."""
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n - (window - 1))
+    return F.when(n >= window, F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, window)))
+    )).otherwise(F.array().cast("array<string>"))
+
+
+def _span_positions(
+    df: DataFrame, text_col: str, id_col: str, window: int
+) -> DataFrame:
+    """(doc, pos, span_hash) — one row per token position that starts a
+    length-``window`` span. posexplode keeps the position so extent
+    reconstruction (maximal-span merging) stays possible downstream."""
+    return _tokenized(df, text_col, id_col).select(
+        "doc",
+        F.posexplode(span_hashes_of(F.col("toks"), window)).alias(
+            "pos0", "span_hash"
+        ),
+    ).select("doc", (F.col("pos0") + 1).alias("pos"), "span_hash")
+
+
+def duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """SUBSTRING-level exact dedup (the suffix-array dedup of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better",
+    re-expressed for Spark): every length-``window`` token span that
+    recurs in ≥ ``min_docs`` DISTINCT documents, with its keeper (min
+    doc id), total occurrence count and distinct-doc count. Catches
+    boilerplate / quotation overlap that document-level hashing
+    (:func:`exact_duplicates`) misses entirely.
+
+    Spark-first shape: the sliding windows are a native
+    ``transform(sequence(...))`` over the materialized token array
+    (whole-stage codegen, no UDF); the per-(span,doc) pre-aggregation
+    runs BEFORE the global agg so the shuffle carries one row per
+    (span, doc) instead of one per occurrence, and the distinct-doc
+    count becomes a plain ``count(*)`` — no expensive count-distinct
+    expand at the corpus-wide level. A true suffix array is a
+    sequential structure with no distributed counterpart; the
+    fixed-window fingerprint scan is the standard scale-out equivalent
+    (duplicated substrings ≥ window always contain a duplicated
+    window, so recall for spans ≥ window is exact).
+    """
+    per_doc = (
+        _span_positions(df, text_col, id_col, window)
+        .groupBy("span_hash", "doc")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    return (
+        per_doc.groupBy("span_hash")
+        .agg(
+            F.min("doc").alias("keeper_id"),
+            F.sum("n_occ").alias("n_copies"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
+def duplicated_span_extents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """MAXIMAL duplicated extents per document: the positions whose
+    length-``window`` span recurs across ≥ ``min_docs`` docs, merged
+    into maximal token intervals (two duplicated windows merge when
+    their spans overlap or touch, i.e. position gap ≤ ``window``).
+    Output: (doc, span_start, span_end, n_dup_windows) with 1-based
+    inclusive token offsets — the "cut these ranges" worklist of
+    substring-level dedup, the per-doc-pair analogue of the suffix
+    array's maximal repeat extraction.
+
+    Plan shape: the duplicated span-hash set joins back to the
+    positions on span_hash — both sides hash-partitioned on span_hash
+    by the agg, so the join reuses that exchange; the island merge is
+    one window function over (doc, pos), partitioned on doc.
+    """
+    pos = _span_positions(df, text_col, id_col, window)
+    dup = (
+        pos.groupBy("span_hash")
+        .agg(F.count_distinct("doc").alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("span_hash")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc").orderBy("pos")
+    flagged = (
+        pos.join(dup, "span_hash")
+        .select("doc", "pos")
+        .withColumn(
+            "brk",
+            F.when(
+                F.col("pos") - F.lag("pos").over(w) > window, F.lit(1)
+            ).otherwise(F.lit(0)),
+        )
+        .withColumn("island", F.sum("brk").over(w))
+    )
+    return flagged.groupBy("doc", "island").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + window - 1).alias("span_end"),
+        F.count(F.lit(1)).alias("n_dup_windows"),
+    ).drop("island")
+
+
+def cross_doc_span_coverage(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Per-document fraction of tokens covered by cross-document
+    duplicated extents (:func:`duplicated_span_extents`) — the
+    repetition-gate signal "how much of this doc is boilerplate shared
+    with other docs". Returns every input doc: (id, dup_span_tokens,
+    dup_span_frac), zeros when nothing recurs. Maximal-extent merging
+    matters here: summing raw window hits would double-count
+    overlapping windows and overshoot past 1.0."""
+    ext = duplicated_span_extents(
+        df, text_col=text_col, id_col=id_col,
+        window=window, min_docs=min_docs,
+    )
+    covered = ext.groupBy("doc").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
+            "dup_span_tokens"
+        )
+    )
+    n_tok = df.select(
+        F.col(id_col).alias("doc"),
+        F.size(tokens(text_col)).alias("__n_tokens"),
+    )
+    return (
+        n_tok.join(covered, "doc", "left")
+        .select(
+            F.col("doc").alias(id_col),
+            F.coalesce("dup_span_tokens", F.lit(0)).alias("dup_span_tokens"),
+            F.when(
+                F.col("__n_tokens") > 0,
+                F.round(
+                    F.coalesce("dup_span_tokens", F.lit(0))
+                    / F.col("__n_tokens"),
+                    6,
+                ),
+            ).otherwise(F.lit(0.0)).alias("dup_span_frac"),
+        )
+    )
+
+
 def _shingle_pairs(
     df: DataFrame, text_col: str, id_col: str, k: int
 ) -> tuple[DataFrame, DataFrame]:

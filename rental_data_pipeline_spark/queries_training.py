@@ -196,16 +196,50 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_exact",
-    oracle="""
-SELECT md5(text) AS content_hash,
+    oracle=f"""
+SELECT 'doc' AS method,
+       md5(text) AS content_hash,
        min(doc_id) AS keeper_id,
-       count(*) AS n_copies
+       count(*) AS n_copies,
+       count(*) AS n_docs
 FROM documents GROUP BY md5(text)
+UNION ALL
+SELECT 'span10' AS method, span_hash AS content_hash,
+       min(doc_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 8),
+           i -> md5(array_to_string(list_slice(toks, i, i + 9), ' ')))) AS span_hash
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= 10)
+GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
 """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup: one hash aggregation on md5(text)."""
-    return D.exact_duplicates(load_table(spark, "documents", sf_dir))
+    """Exact dedup at BOTH granularities: 'doc' = one hash aggregation
+    on md5(text) (`dedup.exact_duplicates`); 'span10' = substring-level
+    dedup (`dedup.duplicated_spans`, the Lee-et-al suffix-array dedup
+    re-expressed as a distributed sliding-window fingerprint scan) —
+    every 10-token span recurring across ≥2 distinct docs, with keeper,
+    occurrence count and doc count."""
+    docs = load_table(spark, "documents", sf_dir)
+    doc_b = D.exact_duplicates(docs).select(
+        F.lit("doc").alias("method"),
+        "content_hash",
+        "keeper_id",
+        "n_copies",
+        F.col("n_copies").alias("n_docs"),
+    )
+    span_b = D.duplicated_spans(docs, window=10).select(
+        F.lit("span10").alias("method"),
+        F.col("span_hash").alias("content_hash"),
+        "keeper_id",
+        "n_copies",
+        "n_docs",
+    )
+    return doc_b.unionByName(span_b)
 
 
 @register(
@@ -1064,8 +1098,27 @@ g AS (SELECT doc_id, toks,
     i -> array_to_string(list_slice(toks, i, i + 1), ' ')) ELSE [] END AS g2,
   CASE WHEN len(toks) >= 3 THEN list_transform(range(1, len(toks) - 1),
     i -> array_to_string(list_slice(toks, i, i + 2), ' ')) ELSE [] END AS g3
-  FROM t)
-SELECT doc_id,
+  FROM t),
+p0 AS (SELECT doc_id, unnest(range(1, len(toks) - 8)) AS i, toks
+       FROM t WHERE len(toks) >= 10),
+w AS (SELECT doc_id, i,
+        md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS span_hash
+      FROM p0),
+dup AS (SELECT span_hash FROM w
+        GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2),
+p AS (SELECT doc_id, i FROM w JOIN dup USING (span_hash)),
+f AS (SELECT doc_id, i,
+        CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i) > 10
+             THEN 1 ELSE 0 END AS brk
+      FROM p),
+isl AS (SELECT doc_id, i,
+          sum(brk) OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM f),
+ext AS (SELECT doc_id, min(i) AS s, max(i) + 9 AS e
+        FROM isl GROUP BY doc_id, island),
+cov AS (SELECT doc_id, CAST(sum(e - s + 1) AS BIGINT) AS dup_span_tokens
+        FROM ext GROUP BY doc_id)
+SELECT g.doc_id,
   CAST(len(toks) AS BIGINT) AS n_tokens,
   {_dup_ratio_sql('toks')} AS dup_token_ratio,
   {_dup_ratio_sql('g2')} AS dup_2gram_ratio,
@@ -1073,16 +1126,29 @@ SELECT doc_id,
   CASE WHEN len(toks) > 0 THEN round(
     CAST(list_max(list_transform(list_distinct(toks),
       tk -> len(list_filter(toks, x -> x = tk)))) AS DOUBLE) / len(toks), 6)
-  ELSE 0.0 END AS top_token_share
-FROM g
+  ELSE 0.0 END AS top_token_share,
+  coalesce(cov.dup_span_tokens, 0) AS dup_span_tokens,
+  CASE WHEN len(toks) > 0 THEN
+    round(CAST(coalesce(cov.dup_span_tokens, 0) AS DOUBLE) / len(toks), 6)
+  ELSE 0.0 END AS dup_span_frac
+FROM g LEFT JOIN cov ON g.doc_id = cov.doc_id
 """,
 )
 def text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per doc: duplicate token /
     2-gram / 3-gram fractions + top-token share — the
     repetitive-document quality gate, all native array expressions
-    (`textstats.repetition_stats`)."""
-    return TS.repetition_stats(load_table(spark, "documents", sf_dir))
+    (`textstats.repetition_stats`) — PLUS the cross-document
+    boilerplate signal: the fraction of the doc's tokens covered by
+    MAXIMAL 10-token spans shared with ≥2 docs
+    (`dedup.cross_doc_span_coverage`, built on the substring-dedup
+    extent merge `dedup.duplicated_span_extents` — the oracle
+    replicates the island merge with window functions, a full
+    value-hash check of the extent algebra)."""
+    docs = load_table(spark, "documents", sf_dir)
+    return TS.repetition_stats(docs).join(
+        D.cross_doc_span_coverage(docs, window=10), "doc_id"
+    )
 
 
 @register(

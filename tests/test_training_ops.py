@@ -43,6 +43,59 @@ def test_exact_dedup_partitions_corpus(docs):
     assert agg[1] <= total
 
 
+def test_duplicated_spans_counts_and_keeper(spark):
+    # docs 1 and 2 share the 10-token run "t1..t10"; doc 2 repeats it
+    # internally; doc 3 is disjoint; doc 4 is shorter than the window
+    run = " ".join(f"t{i}" for i in range(1, 11))
+    df = spark.createDataFrame(
+        [
+            (1, run),
+            (2, f"{run} sep {run}"),
+            (3, "totally different words " * 5),
+            (4, "a b c"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = D.duplicated_spans(df, window=10, min_docs=2).collect()
+    hit = [r for r in rows if r["n_docs"] == 2]
+    assert len(hit) == 1  # only the exact shared 10-gram
+    assert hit[0]["keeper_id"] == 1
+    assert hit[0]["n_copies"] == 3  # once in doc 1, twice in doc 2
+    # min_docs honored: doc 2's internal-only repeats don't leak through
+    assert all(r["n_docs"] >= 2 for r in rows)
+
+
+def test_span_extents_merge_overlaps_and_split_gaps(spark):
+    # shared region A (tokens 1-12 of doc 1) yields 3 overlapping
+    # duplicated windows that must merge into ONE extent; region B sits
+    # > window tokens later and must stay a SEPARATE extent
+    a = " ".join(f"a{i}" for i in range(1, 13))  # 12 tokens
+    gap = " ".join(f"g{i}" for i in range(1, 15))  # 14 unique tokens
+    b = " ".join(f"b{i}" for i in range(1, 11))  # 10 tokens
+    df = spark.createDataFrame(
+        [(1, f"{a} {gap} {b}"), (2, a), (3, b)],
+        "doc_id long, text string",
+    )
+    ext = {
+        (r["doc"], r["span_start"]): r
+        for r in D.duplicated_span_extents(df, window=10).collect()
+    }
+    assert ext[(1, 1)]["span_end"] == 12  # merged maximal extent A
+    assert ext[(1, 27)]["span_end"] == 36  # extent B after the gap
+    assert ext[(2, 1)]["span_end"] == 12
+    assert ext[(3, 1)]["span_end"] == 10
+    assert len(ext) == 4
+
+
+def test_cross_doc_span_coverage_bounds(docs):
+    cov = D.cross_doc_span_coverage(docs, window=10).collect()
+    assert len(cov) == docs.count()  # every doc reported
+    assert all(0.0 <= r["dup_span_frac"] <= 1.0 for r in cov)
+    # extent merging is what keeps the fraction ≤ 1 despite windows
+    # overlapping; a raw window-hit sum would overshoot on near-dups
+    assert any(r["dup_span_frac"] > 0 for r in cov)  # sf dirs have near-dups
+
+
 def test_minhash_lsh_matches_bruteforce_jaccard(docs):
     brute = {
         (r.doc_a, r.doc_b): r.jaccard
