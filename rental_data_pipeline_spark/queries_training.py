@@ -215,6 +215,18 @@ FROM (
   FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
   WHERE len(toks) >= 10)
 GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+UNION ALL
+SELECT 'span10_streamed' AS method, span_hash AS content_hash,
+       min(doc_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 8),
+           i -> md5(array_to_string(list_slice(toks, i, i + 9), ' ')))) AS span_hash
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= 10)
+GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
 """,
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -223,7 +235,17 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup (`dedup.duplicated_spans`, the Lee-et-al suffix-array dedup
     re-expressed as a distributed sliding-window fingerprint scan) —
     every 10-token span recurring across ≥2 distinct docs, with keeper,
-    occurrence count and doc count."""
+    occurrence count and doc count. The 'span10_streamed' branch folds
+    the SAME corpus in two deterministic chunks through the persisted
+    incremental span-hash state (`streaming/span_stream.py` — the
+    bucketed LSM fold a growing crawl maintains instead of rescanning
+    O(corpus) token windows) and must report identical duplicated
+    spans — cross-batch promotion (a span singleton in chunk 0
+    becoming duplicated by chunk 1) exercised against the same
+    recursive-free SQL oracle."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
     docs = load_table(spark, "documents", sf_dir)
     doc_b = D.exact_duplicates(docs).select(
         F.lit("doc").alias("method"),
@@ -239,7 +261,31 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         "n_docs",
     )
-    return doc_b.unionByName(span_b)
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        fold_spans_batch,
+        read_duplicated_spans,
+    )
+
+    base = _tempfile.mkdtemp(prefix="rdp_span_state_q_")
+    for i in range(2):
+        fold_spans_batch(
+            spark, base,
+            docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == i),
+            i, window=10,
+        )
+    streamed = (
+        read_duplicated_spans(spark, base)
+        .select(
+            F.lit("span10_streamed").alias("method"),
+            F.col("span_hash").alias("content_hash"),
+            "keeper_id",
+            "n_copies",
+            "n_docs",
+        )
+        .localCheckpoint(eager=True)  # detach from temp files pre-cleanup
+    )
+    _shutil.rmtree(base, ignore_errors=True)
+    return doc_b.unionByName(span_b).unionByName(streamed)
 
 
 @register(

@@ -141,6 +141,7 @@ def fold_corpus_batch(
     compact_every: int = 16,
     n_state_buckets: int = N_STATE_BUCKETS,
     semantic_threshold: float | None = None,
+    span_window: int | None = None,
 ) -> None:
     """Fold ONE raw document batch through the whole corpus pipeline —
     the per-batch body of :func:`incremental_corpus_stream`. Idempotent
@@ -150,7 +151,9 @@ def fold_corpus_batch(
     ``similarity.kmeans_train`` output or an existing index's centroid
     table — the round-7 verdict's trained-centroid composition) enables
     the ANN fold over ``vec_col``; ``hll_group_cols`` (defaults to
-    ``["predicted_lang"]``) enables the distinct-doc sketch fold."""
+    ``["predicted_lang"]``) enables the distinct-doc sketch fold;
+    ``span_window`` enables the substring-level span-hash fold
+    (``streaming/span_stream.py``) over the batch's keepers."""
     from rental_data_pipeline_spark.operators.textstats import (
         curation_dedup,
         curation_scored,
@@ -331,6 +334,18 @@ def fold_corpus_batch(
         compact_every=compact_every, labels_path=f"{root}/labels",
     )
 
+    # ---- 6b. substring span-hash fold (optional) ---------------------
+    if span_window is not None:
+        from rental_data_pipeline_spark.streaming.span_stream import (
+            fold_spans_batch,
+        )
+
+        fold_spans_batch(
+            spark, f"{root}/spans", keepers, batch_id,
+            window=span_window, text_col=text_col, id_col=id_col,
+            compact_every=compact_every, n_state_buckets=n_state_buckets,
+        )
+
     # ---- 7. vocabulary fold ------------------------------------------
     from rental_data_pipeline_spark.streaming.df_stream import (
         compact_df,
@@ -439,6 +454,7 @@ def incremental_corpus_stream(
     available_now: bool = True,
     n_state_buckets: int = N_STATE_BUCKETS,
     semantic_threshold: float | None = None,
+    span_window: int | None = None,
 ):
     """The end-to-end incremental corpus job: fold a raw document
     stream (optionally carrying an ``vec_col`` embedding column)
@@ -456,7 +472,7 @@ def incremental_corpus_stream(
             id_col=id_col, text_col=text_col, vec_col=vec_col, k=k,
             hll_group_cols=hll_group_cols, hll_p=hll_p,
             compact_every=compact_every, n_state_buckets=n_state_buckets,
-            semantic_threshold=semantic_threshold,
+            semantic_threshold=semantic_threshold, span_window=span_window,
         )
 
     writer = (
@@ -635,6 +651,28 @@ def read_incremental_corpus(
             .agg(F.count(F.lit(1)).alias("df"))
         )
         corpus_size = keepers.count()
+    # substring-span report (present when the fold ran with a window):
+    # live read = the maintained state; as-of read = re-derive from the
+    # keeper log ≤ N with the batch operator (the event-log trade)
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        read_duplicated_spans,
+        read_span_window,
+    )
+
+    spans = None
+    span_w = read_span_window(f"{root}/spans")
+    if span_w is not None:
+        if as_of_batch is None:
+            spans = read_duplicated_spans(spark, f"{root}/spans")
+        else:
+            from rental_data_pipeline_spark.operators.dedup import (
+                duplicated_spans,
+            )
+
+            spans = duplicated_spans(
+                keepers, text_col=text_col, id_col=id_col, window=span_w
+            )
+
     out = {
         "curated": curated,
         "keepers": keepers,
@@ -651,6 +689,8 @@ def read_incremental_corpus(
     }
     if semantic_dropped is not None:
         out["semantic_dropped"] = semantic_dropped
+    if spans is not None:
+        out["duplicated_spans"] = spans
     return out
 
 

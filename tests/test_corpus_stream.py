@@ -90,7 +90,7 @@ def test_streamed_corpus_equals_batch_job(spark, sf_dir, root):
             .parquet(landing),
             root, ckpt, config=cfg, holdout=holdout,
             ann_centroids=centroids, vec_col="embedding",
-            semantic_threshold=0.3,
+            semantic_threshold=0.3, span_window=10,
         )
         q.awaitTermination(600)
 
@@ -116,6 +116,21 @@ def test_streamed_corpus_equals_batch_job(spark, sf_dir, root):
         assert _ids(got["corpus"]) == _ids(want["corpus"])
         assert _ids(got["curated"]) == _ids(want["curated"])
         assert _ids(got["contaminated"]) == _ids(want["contaminated"])
+        # substring-span state == the batch operator over the keepers
+        from rental_data_pipeline_spark.operators.dedup import (
+            duplicated_spans,
+        )
+
+        def srows(df):
+            return sorted(
+                (r.span_hash, r.keeper_id, r.n_copies, r.n_docs)
+                for r in df.collect()
+            )
+
+        got_spans = srows(got["duplicated_spans"])
+        assert got_spans == srows(
+            duplicated_spans(got["keepers"], window=10)
+        ) and got_spans
         # near-dup pairs with verified jaccard values
         def pset(df):
             return {
@@ -208,7 +223,8 @@ def test_crash_mid_batch_then_resume_heals(spark, sf_dir, root, monkeypatch):
         for lo, hi in RANGES
     ]
 
-    fold_corpus_batch(spark, root, chunks[0], 0, cfg, holdout=holdout)
+    fold_corpus_batch(spark, root, chunks[0], 0, cfg, holdout=holdout,
+                      span_window=10)
 
     real = df_stream.fold_docs_batch
 
@@ -217,7 +233,8 @@ def test_crash_mid_batch_then_resume_heals(spark, sf_dir, root, monkeypatch):
 
     monkeypatch.setattr(df_stream, "fold_docs_batch", boom)
     with pytest.raises(RuntimeError, match="injected crash"):
-        fold_corpus_batch(spark, root, chunks[1], 1, cfg, holdout=holdout)
+        fold_corpus_batch(spark, root, chunks[1], 1, cfg, holdout=holdout,
+                          span_window=10)
     monkeypatch.setattr(df_stream, "fold_docs_batch", real)
 
     # keepers/pairs of batch 1 are committed but the batch is NOT
@@ -231,10 +248,13 @@ def test_crash_mid_batch_then_resume_heals(spark, sf_dir, root, monkeypatch):
     }
 
     # replay the crashed batch, then the rest
-    fold_corpus_batch(spark, root, chunks[1], 1, cfg, holdout=holdout)
-    fold_corpus_batch(spark, root, chunks[2], 2, cfg, holdout=holdout)
+    fold_corpus_batch(spark, root, chunks[1], 1, cfg, holdout=holdout,
+                      span_window=10)
+    fold_corpus_batch(spark, root, chunks[2], 2, cfg, holdout=holdout,
+                      span_window=10)
     # replay of a fully-committed batch is a no-op
-    fold_corpus_batch(spark, root, chunks[2], 2, cfg, holdout=holdout)
+    fold_corpus_batch(spark, root, chunks[2], 2, cfg, holdout=holdout,
+                      span_window=10)
 
     want = build_training_corpus(docs, holdout, cfg)
     got = read_incremental_corpus(spark, root, cfg)
@@ -393,6 +413,12 @@ def test_as_of_batch_time_travel(spark, sf_dir, root):
             "sem": _ids(r["semantic_dropped"]),
             "contaminated": _ids(r["contaminated"]),
             "metrics": r["metrics"],
+            # live = streamed span state; as-of = batch operator over
+            # keepers ≤ N: equality per prefix proves the span fold
+            "spans": sorted(
+                (x.span_hash, x.keeper_id, x.n_copies, x.n_docs)
+                for x in r["duplicated_spans"].collect()
+            ),
         }
 
     live = []
@@ -400,7 +426,7 @@ def test_as_of_batch_time_travel(spark, sf_dir, root):
         fold_corpus_batch(
             spark, root, chunks[i], i, cfg, holdout=holdout,
             ann_centroids=centroids, vec_col="embedding",
-            semantic_threshold=0.3,
+            semantic_threshold=0.3, span_window=10,
         )
         live.append(snap(read_incremental_corpus(spark, root, cfg)))
 
