@@ -701,6 +701,7 @@ def rebucket_corpus(
     index_n_buckets: int | None = None,
     labels_n_buckets: int | None = None,
     vocab_n_buckets: int | None = None,
+    spans_n_buckets: int | None = None,
 ) -> dict[str, bool]:
     """OFFLINE migration of every bucketed table under a corpus root
     in one call — the operation a deployment runs when moving from
@@ -740,6 +741,14 @@ def rebucket_corpus(
             spark, state_path,
             state_n_buckets if state_n_buckets is not None
             else int(meta["n_buckets"]),
+        )
+    spans_path = f"{root}/spans"
+    smeta = _read_meta(spans_path)
+    if smeta is not None:  # same versioned layout as the curation state
+        ran["spans"] = rebucket_state(
+            spark, spans_path,
+            spans_n_buckets if spans_n_buckets is not None
+            else int(smeta["n_buckets"]),
         )
     if _os.path.exists(f"{root}/index/_meta.json"):
         ran["index"] = rebucket_index(

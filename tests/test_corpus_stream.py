@@ -308,43 +308,65 @@ def test_rebucket_corpus_migrates_all_tables(spark, sf_dir, root):
         for lo, hi in RANGES
     ]
     for i in range(2):
-        fold_corpus_batch(spark, root, chunks[i], i, cfg, holdout=holdout)
+        fold_corpus_batch(spark, root, chunks[i], i, cfg, holdout=holdout,
+                          span_window=10)
     before = read_incremental_corpus(spark, root, cfg)
     want_corpus = _ids(before["corpus"])
     want_vocab = {(r.term, r.df) for r in before["vocab"].collect()}
+    want_spans = {
+        (r.span_hash, r.keeper_id, r.n_copies, r.n_docs)
+        for r in before["duplicated_spans"].collect()
+    }
 
     ran = rebucket_corpus(
         spark, root,
         state_n_buckets=64, index_n_buckets=8,
-        labels_n_buckets=8, vocab_n_buckets=8,
+        labels_n_buckets=8, vocab_n_buckets=8, spans_n_buckets=32,
     )
     assert ran == {
-        "curation_state": True, "index": True,
+        "curation_state": True, "spans": True, "index": True,
         "labels": True, "vocab": True,
     }
     for table, key in (
         ("curation_state", "n_buckets"), ("index", "n_buckets"),
         ("labels", "n_buckets"), ("vocab", "n_buckets"),
+        ("spans", "n_buckets"),
     ):
         meta = json.load(open(f"{root}/{table}/_meta.json"))
-        assert meta[key] in (64, 8), (table, meta)
+        assert meta[key] in (64, 32, 8), (table, meta)
         assert not os.path.exists(f"{root}/{table}/_meta.json.pending")
 
     mid = read_incremental_corpus(spark, root, cfg)
     assert _ids(mid["corpus"]) == want_corpus
     assert {(r.term, r.df) for r in mid["vocab"].collect()} == want_vocab
+    assert {
+        (r.span_hash, r.keeper_id, r.n_copies, r.n_docs)
+        for r in mid["duplicated_spans"].collect()
+    } == want_spans
 
     # folds continue under the new layouts; final == batch over all
-    fold_corpus_batch(spark, root, chunks[2], 2, cfg, holdout=holdout)
+    fold_corpus_batch(spark, root, chunks[2], 2, cfg, holdout=holdout,
+                      span_window=10)
     want = build_training_corpus(docs, holdout, cfg)
     got = read_incremental_corpus(spark, root, cfg)
     assert _ids(got["corpus"]) == _ids(want["corpus"])
     assert {r.doc_id: r.split for r in got["split"].collect()} == {
         r.doc_id: r.split for r in want["split"].collect()
     }
+    # streamed span state survives migration + new fold == batch op
+    from rental_data_pipeline_spark.operators.dedup import duplicated_spans
+
+    got_spans = {
+        (r.span_hash, r.keeper_id, r.n_copies, r.n_docs)
+        for r in got["duplicated_spans"].collect()
+    }
+    assert got_spans == {
+        (r.span_hash, r.keeper_id, r.n_copies, r.n_docs)
+        for r in duplicated_spans(got["keepers"], window=10).collect()
+    }
     # same-count re-run: all no-ops
     assert rebucket_corpus(spark, root) == {
-        "curation_state": False, "index": False,
+        "curation_state": False, "spans": False, "index": False,
         "labels": False, "vocab": False,
     }
 
