@@ -276,6 +276,67 @@ def duplicated_span_extents(
     ).drop("island")
 
 
+def cut_duplicated_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    window: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """The substring-dedup REWRITE (the step Lee et al. apply to the
+    training corpus): every cross-document duplicated span keeps its
+    keeper-document occurrence and is CUT from every other document.
+    Returns (id, text) with the text rebuilt from the surviving tokens
+    (whitespace-normalized: tokens re-joined with single spaces).
+
+    Policy, stated precisely: a token position is cut iff it is
+    covered by some length-``window`` span whose fingerprint recurs in
+    ≥ ``min_docs`` docs AND this doc is not that fingerprint's keeper
+    (min doc id). Keeper docs keep all their occurrences (including
+    internal repeats); non-keeper docs lose all of theirs.
+
+    Plan shape: the cut-position set is built from the same
+    (span, doc) scan as :func:`duplicated_spans` and collapses to one
+    array per affected doc (bounded by doc length); the rewrite is a
+    native ``filter`` over the token array against that array — no
+    UDF, no per-token shuffle, and unaffected docs pass through on
+    the null side of a left join.
+    """
+    pos = _span_positions(df, text_col, id_col, window)
+    dup = (
+        pos.groupBy("span_hash")
+        .agg(
+            F.count_distinct("doc").alias("n_docs"),
+            F.min("doc").alias("keeper"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+        .select("span_hash", "keeper")
+    )
+    cut = (
+        pos.join(dup, "span_hash")
+        .where(F.col("doc") != F.col("keeper"))
+        .select(
+            "doc",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + window - 1)
+            ).alias("cp"),
+        )
+        .distinct()
+        .groupBy("doc")
+        .agg(F.collect_list("cp").alias("__cuts"))
+    )
+    t = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    kept = F.when(F.col("__cuts").isNull(), F.col("__toks")).otherwise(
+        F.filter(
+            F.col("__toks"),
+            lambda tk, i: ~F.array_contains(F.col("__cuts"), i + 1),
+        )
+    )
+    return t.join(
+        cut.withColumnRenamed("doc", id_col), id_col, "left"
+    ).select(F.col(id_col), F.concat_ws(" ", kept).alias(text_col))
+
+
 def cross_doc_span_coverage(
     df: DataFrame,
     text_col: str = "text",

@@ -1218,26 +1218,63 @@ reach AS (
   UNION
   SELECT e.dst AS node, r.lbl AS lbl FROM reach r JOIN edges e ON e.src = r.node),
 drop_ids AS (SELECT node FROM reach GROUP BY node HAVING node <> min(lbl))
-SELECT d.doc_id, md5(d.text) AS text_md5
+SELECT 'doc_removal' AS method, d.doc_id, md5(d.text) AS text_md5
 FROM documents d LEFT JOIN drop_ids x ON d.doc_id = x.node
 WHERE x.node IS NULL
+UNION ALL
+SELECT 'span_cut' AS method, doc_id, md5(text2) AS text_md5
+FROM (
+  WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+  p0 AS (SELECT doc_id, unnest(range(1, len(toks) - 8)) AS i, toks
+         FROM t WHERE len(toks) >= 10),
+  w AS (SELECT doc_id, i,
+          md5(array_to_string(list_slice(toks, i, i + 9), ' ')) AS span_hash
+        FROM p0),
+  dup AS (SELECT span_hash, min(doc_id) AS keeper FROM w
+          GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2),
+  cutp AS (SELECT DISTINCT doc_id, cp FROM (
+             SELECT w.doc_id, unnest(range(w.i, w.i + 10)) AS cp
+             FROM w JOIN dup USING (span_hash)
+             WHERE w.doc_id <> dup.keeper)),
+  cl AS (SELECT doc_id, list(cp) AS cps FROM cutp GROUP BY doc_id)
+  SELECT t.doc_id,
+         coalesce(array_to_string(
+           CASE WHEN cl.cps IS NULL THEN t.toks
+                ELSE list_filter(t.toks,
+                       (tk, i) -> NOT list_contains(cl.cps, i)) END,
+           ' '), '') AS text2
+  FROM t LEFT JOIN cl ON t.doc_id = cl.doc_id)
 """,
 )
 def dedup_canonical_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end near-dup removal: Jaccard pairs → connected
-    components → drop every non-canonical member (keep component
-    representatives and untouched docs). The drop set is tiny next to
-    the corpus → broadcast anti-join, so the corpus never shuffles.
-    Returns the surviving corpus as (doc_id, text_md5)."""
+    """End-to-end dedup REWRITES of the corpus, two granularities.
+    'doc_removal': Jaccard pairs → connected components → drop every
+    non-canonical member (keep component representatives and untouched
+    docs); the drop set is tiny next to the corpus → broadcast
+    anti-join, so the corpus never shuffles. 'span_cut': the
+    substring-level rewrite (`dedup.cut_duplicated_spans`, the Lee-et-
+    al corpus edit) — every cross-doc duplicated 10-token span keeps
+    its keeper occurrence and is cut from every other doc, text
+    rebuilt from surviving tokens by a native array filter. Both
+    branches return (doc_id, md5-of-surviving-text), so the oracle
+    value-hash pins the EXACT rewritten bytes."""
     docs = load_table(spark, "documents", sf_dir)
     pairs = D.jaccard_pairs(docs, threshold=0.8)
     cc = D.connected_components(pairs)
     drop = cc.where(F.col("node") != F.col("component")).select(
         F.col("node").alias("doc_id")
     )
-    return docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
-        "doc_id", F.md5(F.col("text")).alias("text_md5")
+    doc_b = docs.join(F.broadcast(drop), "doc_id", "left_anti").select(
+        F.lit("doc_removal").alias("method"),
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
     )
+    cut_b = D.cut_duplicated_spans(docs, window=10).select(
+        F.lit("span_cut").alias("method"),
+        "doc_id",
+        F.md5(F.col("text")).alias("text_md5"),
+    )
+    return doc_b.unionByName(cut_b)
 
 
 @register(

@@ -87,6 +87,28 @@ def test_span_extents_merge_overlaps_and_split_gaps(spark):
     assert len(ext) == 4
 
 
+def test_cut_duplicated_spans_keeper_keeps_others_lose(spark):
+    run = " ".join(f"t{i}" for i in range(1, 11))
+    df = spark.createDataFrame(
+        [
+            (1, run),                 # keeper: keeps its occurrence
+            (2, f"{run} sep {run}"),  # loses BOTH copies
+            (3, f"x {run} y"),        # loses the middle
+            (4, "untouched words only here"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r.doc_id: r.text
+        for r in D.cut_duplicated_spans(df, window=10).collect()
+    }
+    assert out[1] == run
+    assert out[2] == "sep"
+    assert out[3] == "x y"
+    assert out[4] == "untouched words only here"
+    assert len(out) == 4
+
+
 def test_cross_doc_span_coverage_bounds(docs):
     cov = D.cross_doc_span_coverage(docs, window=10).collect()
     assert len(cov) == docs.count()  # every doc reported
