@@ -761,18 +761,14 @@ def simhash_signatures(
     return agg.select("doc", sim.alias("simhash"))
 
 
-def simhash_near_pairs(
-    df: DataFrame,
-    max_hamming: int = 3,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    pairs_path: str | None = None,
-    checkpoint_dir: str | None = None,
-) -> DataFrame:
-    """SimHash near-dup pairs: band the 32-bit signature into 4 bytes —
-    any pair within Hamming distance 3 shares at least one exact byte
-    (pigeonhole) — join per band, verify with bit_count(xor)."""
-    sig = simhash_signatures(df, text_col, id_col)
+def simhash_band_rows(sig: DataFrame) -> DataFrame:
+    """(doc, simhash, band, bval) — one row per signature band of a
+    ``simhash_signatures`` output. The ONE banding core shared by the
+    batch pair operator and the incremental index
+    (``streaming/simhash_stream.py``), so stream and batch indexes are
+    band-compatible by construction: any pair within Hamming distance
+    ``SIMHASH_BANDS - 1`` shares at least one exact band value
+    (pigeonhole)."""
     band_width = SIMHASH_BITS // SIMHASH_BANDS
     bands = F.array(
         *[
@@ -785,9 +781,27 @@ def simhash_near_pairs(
             for b in range(SIMHASH_BANDS)
         ]
     )
-    bk = sig.select("doc", "simhash", F.explode(bands).alias("bk")).select(
-        "doc", "simhash", F.col("bk.band").alias("band"), F.col("bk.bval").alias("bval")
-    ).persist()
+    return sig.select("doc", "simhash", F.explode(bands).alias("bk")).select(
+        "doc",
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.bval").alias("bval"),
+    )
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    pairs_path: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs: band the 32-bit signature into 4 bytes —
+    any pair within Hamming distance 3 shares at least one exact byte
+    (pigeonhole) — join per band, verify with bit_count(xor)."""
+    sig = simhash_signatures(df, text_col, id_col)
+    bk = simhash_band_rows(sig).persist()
     a, b = bk.alias("a"), bk.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return _materialize_release(

@@ -404,17 +404,55 @@ sbk AS (
   SELECT doc, simhash, u.band AS band, u.bval AS bval
   FROM (SELECT doc, simhash,
                unnest([{", ".join("{'band': %d, 'bval': (simhash >> %d) & 255}" % (b, b * 8) for b in range(D.SIMHASH_BANDS))}]) AS u
-        FROM sim))
-SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sbk a JOIN sbk b
-  ON a.band = b.band AND a.bval = b.bval AND a.doc < b.doc
-WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        FROM sim)),
+p AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+         bit_count(xor(a.simhash, b.simhash)) AS hamming
+  FROM sbk a JOIN sbk b
+    ON a.band = b.band AND a.bval = b.bval AND a.doc < b.doc
+  WHERE bit_count(xor(a.simhash, b.simhash)) <= 3)
+SELECT 'batch' AS method, doc_a, doc_b, hamming FROM p
+UNION ALL
+SELECT 'streamed' AS method, doc_a, doc_b, hamming FROM p
 """,
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash(32) near-dup pairs: banded candidates, Hamming ≤ 3."""
-    return D.simhash_near_pairs(load_table(spark, "documents", sf_dir), max_hamming=3)
+    """SimHash(32) near-dup pairs: banded candidates, Hamming ≤ 3
+    (`dedup.simhash_near_pairs`). The 'streamed' branch folds the SAME
+    corpus in two deterministic chunks through the persisted
+    incremental SimHash index (`streaming/simhash_stream.py` — banded
+    slices hash-partitioned for bucket-pruned probes, the O(batch)
+    maintenance a growing crawl runs instead of recomputing O(corpus)
+    pairs) and must emit identical pairs: cross-chunk pairs exercise
+    the new-vs-old broadcast probe against the same SQL oracle."""
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    docs = load_table(spark, "documents", sf_dir)
+    batch = D.simhash_near_pairs(docs, max_hamming=3).select(
+        F.lit("batch").alias("method"), "doc_a", "doc_b", "hamming"
+    )
+    from rental_data_pipeline_spark.streaming.simhash_stream import (
+        fold_simhash_batch,
+        read_simhash_pairs,
+    )
+
+    base = _tempfile.mkdtemp(prefix="rdp_simhash_idx_q_")
+    for i in range(2):
+        fold_simhash_batch(
+            spark, base,
+            docs.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == i),
+            i, max_hamming=3,
+        )
+    streamed = (
+        read_simhash_pairs(spark, base)
+        .select(
+            F.lit("streamed").alias("method"), "doc_a", "doc_b", "hamming"
+        )
+        .localCheckpoint(eager=True)  # detach from temp files pre-cleanup
+    )
+    _shutil.rmtree(base, ignore_errors=True)
+    return batch.unionByName(streamed)
 
 
 # ---------------------------------------------------------------------------
