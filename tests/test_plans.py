@@ -128,11 +128,32 @@ def test_decontaminate_probe_is_broadcast(spark, sf_dir):
     )
 
 
-@pytest.mark.parametrize("name", ["pii_scrub", "text_repetition"])
+@pytest.mark.parametrize("name", ["pii_scrub"])
 def test_scalar_text_ops_are_pure_map(spark, sf_dir, name):
     plan = _plan(spark, sf_dir, name)
     assert _exchanges(plan) == 0, f"{name} is a map-side scan, no shuffle"
     assert "EvalPython" not in plan and "MapInPandas" not in plan, "no Python stage"
+
+
+def test_repetition_operator_pure_map_query_join_broadcasts(spark, sf_dir):
+    # the intra-doc operator stays a map-side scan; the QUERY adds the
+    # corpus-level span-coverage columns, whose per-doc join must
+    # broadcast (the coverage side is tiny next to the corpus)
+    from rental_data_pipeline_spark.operators.textstats import (
+        repetition_stats,
+    )
+    from rental_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    op = repetition_stats(docs)
+    op.write.format("noop").mode("overwrite").save()
+    op_plan = op._jdf.queryExecution().executedPlan().toString()
+    assert _exchanges(op_plan) == 0, "repetition_stats is map-side"
+    assert "EvalPython" not in op_plan and "MapInPandas" not in op_plan
+
+    plan = _plan(spark, sf_dir, "text_repetition")
+    assert "EvalPython" not in plan and "MapInPandas" not in plan
+    assert "BroadcastHashJoin" in plan, "coverage joins onto docs broadcast"
 
 
 def test_canonical_corpus_drop_is_broadcast_anti(spark, sf_dir):
