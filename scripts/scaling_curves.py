@@ -77,6 +77,12 @@ def _ops():
         "embedding_near_dup": lambda spark, sf: S.embedding_near_dup_pairs(
             embs(spark, sf), threshold=0.4, bucketed=True
         ),
+        "span_dedup": lambda spark, sf: D.duplicated_spans(
+            docs(spark, sf), window=10
+        ),
+        "span_cut": lambda spark, sf: D.cut_duplicated_spans(
+            docs(spark, sf), window=10
+        ),
         "text_profile": lambda spark, sf: TS.profile(docs(spark, sf)),
         "tfidf": lambda spark, sf: TS.tfidf_top_terms(docs(spark, sf)),
     }
