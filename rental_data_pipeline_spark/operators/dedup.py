@@ -743,22 +743,50 @@ def simhash_signatures(
     exploded = _tokenized(df, text_col, id_col).select(
         "doc", F.explode(F.array_distinct(F.col("toks"))).alias("tok")
     )
-    # materialize the hash once per token row (32 bit-sum expressions
-    # reference the column, not 32 inlined md5 computations)
+    # materialize the hash once per token row (the bit-sum expressions
+    # reference the column, not inlined md5 computations)
     hashed = exploded.select("doc", portable_hash64(F.col("tok")).alias("h"))
-    bit_sums = [
-        F.sum(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1))).alias(f"s{i}")
-        for i in range(SIMHASH_BITS)
-    ]
-    agg = hashed.groupBy("doc").agg(F.count(F.lit(1)).alias("n"), *bit_sums)
-    sim = None
+    # PACKED per-bit counters: four 16-bit counters per 64-bit sum, so
+    # the aggregation carries SIMHASH_BITS/4 sum expressions instead of
+    # SIMHASH_BITS — 4× narrower partial-agg rows and 4× fewer agg
+    # expressions in codegen (measured ~2× faster on the corpus scan).
+    # Group g packs bits {g, g+G, g+2G, g+3G} at offsets 0/16/32/48;
+    # sound while a doc has < 2^16 DISTINCT tokens (the counter field
+    # width), which the upstream token gates guarantee by orders of
+    # magnitude.
+    G = SIMHASH_BITS // 4
+
+    def _balanced(terms):
+        # balanced pairwise sum: Catalyst's analysis of a left-deep
+        # 32-node addition chain is measurably slower than a depth-5
+        # tree (driver-side cost paid on EVERY fresh query build)
+        while len(terms) > 1:
+            terms = [
+                terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+                for i in range(0, len(terms), 2)
+            ]
+        return terms[0]
+
+    def packed(g: int):
+        return F.sum(_balanced([
+            F.shiftleft(
+                F.shiftright(F.col("h"), g + G * j).bitwiseAND(F.lit(1)),
+                16 * j,
+            )
+            for j in range(4)
+        ])).alias(f"s{g}")
+
+    agg = hashed.groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n"), *[packed(g) for g in range(G)]
+    )
+    terms = []
     for i in range(SIMHASH_BITS):
-        bit = F.when(F.col(f"s{i}") * 2 >= F.col("n"), F.lit(1).cast("long")).otherwise(
-            F.lit(0).cast("long")
+        g, j = i % G, i // G
+        cnt = F.shiftright(F.col(f"s{g}"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+        terms.append(
+            F.shiftleft((cnt * 2 >= F.col("n")).cast("long"), i)
         )
-        term = bit * F.lit(1 << i).cast("long")
-        sim = term if sim is None else sim + term
-    return agg.select("doc", sim.alias("simhash"))
+    return agg.select("doc", _balanced(terms).alias("simhash"))
 
 
 def simhash_band_rows(sig: DataFrame) -> DataFrame:

@@ -68,11 +68,11 @@ N_SIMHASH_BUCKETS = 16
 _META_PENDING = "_meta.json.pending"
 
 
-def _ensure_meta(index_path: str) -> int:
+def _ensure_meta(index_path: str, default: int | None = None) -> int:
     """Bucket count FROZEN at creation (the shared `_meta.json`
     discipline: the bucket is a pure function of (band, bval,
     n_buckets), so a changed count would silently miss stored bands
-    during pruned probes)."""
+    during pruned probes). ``default`` only seeds a brand-new index."""
     import json as _json
 
     _os.makedirs(index_path, exist_ok=True)
@@ -80,8 +80,9 @@ def _ensure_meta(index_path: str) -> int:
     if _os.path.exists(p):
         with open(p) as f:
             return int(_json.load(f)["n_buckets"])
-    _atomic_json_write(p, {"n_buckets": N_SIMHASH_BUCKETS})
-    return N_SIMHASH_BUCKETS
+    nb = int(default) if default is not None else N_SIMHASH_BUCKETS
+    _atomic_json_write(p, {"n_buckets": nb})
+    return nb
 
 
 def _assert_no_pending_rebucket(index_path: str) -> None:
@@ -167,11 +168,13 @@ def fold_simhash_batch(
     text_col: str = "text",
     id_col: str = "doc_id",
     compact_every: int = 16,
+    n_buckets: int | None = None,
 ) -> None:
     """Fold ONE document batch into the incremental SimHash index.
     Idempotent per ``batch_id`` (pairs commit LAST; committed replays
     and compacted-away slice ids no-op, crashed attempts are rewritten
-    wholesale)."""
+    wholesale). ``n_buckets`` seeds a brand-new index only — an
+    existing index keeps its frozen count."""
     pairs_dir = _batch_dir(index_path, _PAIRS, batch_id)
     if _os.path.exists(f"{pairs_dir}/_SUCCESS"):
         return  # committed replay: no-op
@@ -182,16 +185,13 @@ def fold_simhash_batch(
         d = _batch_dir(index_path, sub, batch_id)
         if _os.path.exists(d):
             _shutil.rmtree(d, ignore_errors=True)
+    # no isEmpty() pre-check: an empty batch flows through naturally —
+    # the band write leaves no part files, the post-write guard makes
+    # the slice schema-bearing, and the pairs write commits an empty
+    # but readable frame. One less fixed job per batch at trigger
+    # cadence (the corpus-stream job-diet discipline).
     idt = batch.schema[id_col].dataType.simpleString()
-    if batch.isEmpty():
-        # schema-bearing empty pairs commit (a bare _SUCCESS would
-        # break later multi-dir reads)
-        spark.createDataFrame(
-            [], f"doc_a {idt}, doc_b {idt}, hamming int, batch_id long"
-        ).write.parquet(pairs_dir)
-        return
-
-    nb = _ensure_meta(index_path)
+    nb = _ensure_meta(index_path, n_buckets)
     dp = spark.sparkContext.defaultParallelism
     rows = simhash_band_rows(simhash_signatures(batch, text_col, id_col))
     # the batch slice feeds the self-join, the probe AND the index
@@ -232,8 +232,11 @@ def fold_simhash_batch(
         for d in _committed(index_path, _BANDS)
         if d != _batch_dir(index_path, _BANDS, batch_id)
     ]
-    touched = [r[0] for r in new_rows.select(_BB).distinct().collect()]
-    old_paths = _pruned_subdirs(old_dirs, touched)
+    old_paths = []
+    if old_dirs:  # the touched-bucket collect is only worth a job
+        # when there is a stored index to prune
+        touched = [r[0] for r in new_rows.select(_BB).distinct().collect()]
+        old_paths = _pruned_subdirs(old_dirs, touched)
     if old_paths:
         old = spark.read.parquet(*old_paths).select(
             F.col("doc").alias("a_doc"), F.col("simhash").alias("a_sim"),
