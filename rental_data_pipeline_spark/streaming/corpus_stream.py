@@ -142,6 +142,7 @@ def fold_corpus_batch(
     n_state_buckets: int = N_STATE_BUCKETS,
     semantic_threshold: float | None = None,
     span_window: int | None = None,
+    simhash_max_hamming: int | None = None,
 ) -> None:
     """Fold ONE raw document batch through the whole corpus pipeline —
     the per-batch body of :func:`incremental_corpus_stream`. Idempotent
@@ -153,7 +154,9 @@ def fold_corpus_batch(
     the ANN fold over ``vec_col``; ``hll_group_cols`` (defaults to
     ``["predicted_lang"]``) enables the distinct-doc sketch fold;
     ``span_window`` enables the substring-level span-hash fold
-    (``streaming/span_stream.py``) over the batch's keepers."""
+    (``streaming/span_stream.py``) and ``simhash_max_hamming`` the
+    SimHash near-dup index fold (``streaming/simhash_stream.py``),
+    both over the batch's keepers."""
     from rental_data_pipeline_spark.operators.textstats import (
         curation_dedup,
         curation_scored,
@@ -346,6 +349,19 @@ def fold_corpus_batch(
             compact_every=compact_every, n_state_buckets=n_state_buckets,
         )
 
+    # ---- 6c. SimHash index fold (optional) ---------------------------
+    if simhash_max_hamming is not None:
+        from rental_data_pipeline_spark.streaming.simhash_stream import (
+            fold_simhash_batch,
+        )
+
+        fold_simhash_batch(
+            spark, f"{root}/simhash", keepers, batch_id,
+            max_hamming=simhash_max_hamming,
+            text_col=text_col, id_col=id_col,
+            compact_every=compact_every,
+        )
+
     # ---- 7. vocabulary fold ------------------------------------------
     from rental_data_pipeline_spark.streaming.df_stream import (
         compact_df,
@@ -455,6 +471,7 @@ def incremental_corpus_stream(
     n_state_buckets: int = N_STATE_BUCKETS,
     semantic_threshold: float | None = None,
     span_window: int | None = None,
+    simhash_max_hamming: int | None = None,
 ):
     """The end-to-end incremental corpus job: fold a raw document
     stream (optionally carrying an ``vec_col`` embedding column)
@@ -473,6 +490,7 @@ def incremental_corpus_stream(
             hll_group_cols=hll_group_cols, hll_p=hll_p,
             compact_every=compact_every, n_state_buckets=n_state_buckets,
             semantic_threshold=semantic_threshold, span_window=span_window,
+            simhash_max_hamming=simhash_max_hamming,
         )
 
     writer = (
@@ -673,6 +691,21 @@ def read_incremental_corpus(
                 keepers, text_col=text_col, id_col=id_col, window=span_w
             )
 
+    # SimHash pairs (present when the fold ran): append-only emitted
+    # history, same ungated-read contract as the MinHash pairs; as-of
+    # restricts by the batch id stamped at emission
+    simhash_pairs = None
+    if _os.path.exists(f"{root}/simhash/_meta.json"):
+        from rental_data_pipeline_spark.streaming.simhash_stream import (
+            read_simhash_pairs,
+        )
+
+        simhash_pairs = read_simhash_pairs(spark, f"{root}/simhash")
+        if simhash_pairs is not None and as_of_batch is not None:
+            simhash_pairs = simhash_pairs.where(
+                F.col("batch_id") <= as_of_batch
+            )
+
     out = {
         "curated": curated,
         "keepers": keepers,
@@ -691,6 +724,8 @@ def read_incremental_corpus(
         out["semantic_dropped"] = semantic_dropped
     if spans is not None:
         out["duplicated_spans"] = spans
+    if simhash_pairs is not None:
+        out["simhash_pairs"] = simhash_pairs.drop("batch_id")
     return out
 
 
@@ -702,6 +737,7 @@ def rebucket_corpus(
     labels_n_buckets: int | None = None,
     vocab_n_buckets: int | None = None,
     spans_n_buckets: int | None = None,
+    simhash_n_buckets: int | None = None,
 ) -> dict[str, bool]:
     """OFFLINE migration of every bucketed table under a corpus root
     in one call — the operation a deployment runs when moving from
@@ -767,5 +803,16 @@ def rebucket_corpus(
             spark, f"{root}/vocab",
             vocab_n_buckets if vocab_n_buckets is not None
             else _ensure_df_meta(f"{root}/vocab"),
+        )
+    if _os.path.exists(f"{root}/simhash/_meta.json"):
+        from rental_data_pipeline_spark.streaming.simhash_stream import (
+            _ensure_meta as _ensure_simhash_meta,
+            rebucket_simhash_index,
+        )
+
+        ran["simhash"] = rebucket_simhash_index(
+            spark, f"{root}/simhash",
+            simhash_n_buckets if simhash_n_buckets is not None
+            else _ensure_simhash_meta(f"{root}/simhash"),
         )
     return ran

@@ -91,6 +91,7 @@ def test_streamed_corpus_equals_batch_job(spark, sf_dir, root):
             root, ckpt, config=cfg, holdout=holdout,
             ann_centroids=centroids, vec_col="embedding",
             semantic_threshold=0.3, span_window=10,
+            simhash_max_hamming=3,
         )
         q.awaitTermination(600)
 
@@ -131,6 +132,22 @@ def test_streamed_corpus_equals_batch_job(spark, sf_dir, root):
         assert got_spans == srows(
             duplicated_spans(got["keepers"], window=10)
         ) and got_spans
+        # streamed SimHash pairs == the batch operator over the keepers
+        from rental_data_pipeline_spark.operators.dedup import (
+            simhash_near_pairs,
+        )
+
+        def shrows(df):
+            return sorted(
+                (r.doc_a, r.doc_b, r.hamming) for r in df.collect()
+            )
+
+        got_sh = shrows(got["simhash_pairs"])
+        assert got_sh == shrows(
+            simhash_near_pairs(
+                got["keepers"].select("doc_id", "text"), max_hamming=3
+            )
+        ) and got_sh
         # near-dup pairs with verified jaccard values
         def pset(df):
             return {
@@ -309,7 +326,7 @@ def test_rebucket_corpus_migrates_all_tables(spark, sf_dir, root):
     ]
     for i in range(2):
         fold_corpus_batch(spark, root, chunks[i], i, cfg, holdout=holdout,
-                          span_window=10)
+                          span_window=10, simhash_max_hamming=3)
     before = read_incremental_corpus(spark, root, cfg)
     want_corpus = _ids(before["corpus"])
     want_vocab = {(r.term, r.df) for r in before["vocab"].collect()}
@@ -317,20 +334,24 @@ def test_rebucket_corpus_migrates_all_tables(spark, sf_dir, root):
         (r.span_hash, r.keeper_id, r.n_copies, r.n_docs)
         for r in before["duplicated_spans"].collect()
     }
+    want_sh = {
+        (r.doc_a, r.doc_b) for r in before["simhash_pairs"].collect()
+    }
 
     ran = rebucket_corpus(
         spark, root,
         state_n_buckets=64, index_n_buckets=8,
         labels_n_buckets=8, vocab_n_buckets=8, spans_n_buckets=32,
+        simhash_n_buckets=8,
     )
     assert ran == {
         "curation_state": True, "spans": True, "index": True,
-        "labels": True, "vocab": True,
+        "labels": True, "vocab": True, "simhash": True,
     }
     for table, key in (
         ("curation_state", "n_buckets"), ("index", "n_buckets"),
         ("labels", "n_buckets"), ("vocab", "n_buckets"),
-        ("spans", "n_buckets"),
+        ("spans", "n_buckets"), ("simhash", "n_buckets"),
     ):
         meta = json.load(open(f"{root}/{table}/_meta.json"))
         assert meta[key] in (64, 32, 8), (table, meta)
@@ -343,10 +364,13 @@ def test_rebucket_corpus_migrates_all_tables(spark, sf_dir, root):
         (r.span_hash, r.keeper_id, r.n_copies, r.n_docs)
         for r in mid["duplicated_spans"].collect()
     } == want_spans
+    assert {
+        (r.doc_a, r.doc_b) for r in mid["simhash_pairs"].collect()
+    } == want_sh
 
     # folds continue under the new layouts; final == batch over all
     fold_corpus_batch(spark, root, chunks[2], 2, cfg, holdout=holdout,
-                      span_window=10)
+                      span_window=10, simhash_max_hamming=3)
     want = build_training_corpus(docs, holdout, cfg)
     got = read_incremental_corpus(spark, root, cfg)
     assert _ids(got["corpus"]) == _ids(want["corpus"])
@@ -367,7 +391,7 @@ def test_rebucket_corpus_migrates_all_tables(spark, sf_dir, root):
     # same-count re-run: all no-ops
     assert rebucket_corpus(spark, root) == {
         "curation_state": False, "spans": False, "index": False,
-        "labels": False, "vocab": False,
+        "labels": False, "vocab": False, "simhash": False,
     }
 
 
