@@ -237,7 +237,7 @@ def corpus_fold_sec(spark, n_docs: int, batch_docs: int) -> float:
         fold_corpus_batch(
             spark, base, _corpus_docs(spark, n_docs), 0, cfg,
             holdout=holdout, ann_centroids=cents, vec_col="embedding",
-            compact_every=1000, span_window=10,
+            compact_every=1000, span_window=10, simhash_max_hamming=3,
         )
         times = []
         for i in range(2):
@@ -250,7 +250,7 @@ def corpus_fold_sec(spark, n_docs: int, batch_docs: int) -> float:
                         spark, base, batch, i + 1, cfg,
                         holdout=holdout, ann_centroids=cents,
                         vec_col="embedding", compact_every=1000,
-                        span_window=10,
+                        span_window=10, simhash_max_hamming=3,
                     )
                 )
             )
