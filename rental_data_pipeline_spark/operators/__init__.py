@@ -19,6 +19,10 @@ from rental_data_pipeline_spark.operators.bucketing import (  # noqa: F401
 from rental_data_pipeline_spark.operators.dedup import (  # noqa: F401
     connected_components,
     contamination_report,
+    cross_doc_span_coverage,
+    cut_duplicated_spans,
+    duplicated_span_extents,
+    duplicated_spans,
     exact_duplicates,
     fingerprint_duplicate_groups,
     jaccard_pairs,
@@ -128,6 +132,10 @@ __all__ = [
     "pq_train",
     "quantize_embeddings",
     "quarantine_invalid",
+    "cross_doc_span_coverage",
+    "cut_duplicated_spans",
+    "duplicated_span_extents",
+    "duplicated_spans",
     "scd2_intervals",
     "scrub_pii",
     "simhash_near_pairs",

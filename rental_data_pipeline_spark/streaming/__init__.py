@@ -47,3 +47,14 @@ from rental_data_pipeline_spark.streaming.semantic_stream import (  # noqa: F401
     fold_semantic_batch,
     read_semantic_labels,
 )
+from rental_data_pipeline_spark.streaming.span_stream import (  # noqa: F401
+    fold_spans_batch,
+    read_duplicated_spans,
+)
+from rental_data_pipeline_spark.streaming.simhash_stream import (  # noqa: F401
+    compact_simhash_index,
+    fold_simhash_batch,
+    incremental_simhash_stream,
+    read_simhash_pairs,
+    rebucket_simhash_index,
+)
