@@ -105,10 +105,16 @@ def parse_russian_date_label(
 
 
 def _month_from_word(word: Column) -> Column:
-    expr = F.lit(None).cast("int")
+    # One map literal instead of a 13-deep when/otherwise chain: the
+    # chain costs ~26 py4j round-trips to BUILD and a 13-branch CASE to
+    # analyze, per call site (this helper is instantiated twice per
+    # parse). try_element_at on a map literal is one expression and
+    # returns null on a missing key — identical semantics (plain
+    # element_at THROWS on a missing key under ANSI, Spark 4 default).
+    entries: list[Column] = []
     for name, num in RU_MONTHS.items():
-        expr = F.when(word == name, F.lit(num)).otherwise(expr)
-    return expr
+        entries.extend([F.lit(name), F.lit(num)])
+    return F.try_element_at(F.create_map(*entries), word)
 
 
 def _parse_russian_date_ts(c: Column, now) -> Column:
