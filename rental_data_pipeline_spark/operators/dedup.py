@@ -43,6 +43,25 @@ SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 8 bits per band → candidates within Hamming radius
 
 
+import threading as _threading
+import uuid as _uuid
+
+# ``setCheckpointDir`` mutates GLOBAL SparkContext state: two threads
+# checkpointing against different directories would race (one thread's
+# files land in the other's dir). Every setCheckpointDir+checkpoint in
+# this module holds this lock.
+_CKPT_LOCK = _threading.Lock()
+
+
+def _fs_delete(spark, path: str) -> None:
+    """Delete a checkpoint directory through the Hadoop FileSystem API
+    (filesystem-agnostic: local, HDFS, object stores)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(jpath, True)
+
+
 def _materialize_release(
     result: DataFrame,
     *cached: DataFrame,
@@ -65,15 +84,25 @@ def _materialize_release(
     a parquet table and the read-back returned — storage-fault-tolerant,
     restartable, and the shape a 100 TB job wants anyway (the pair set
     IS a dataset, not a transient). ``checkpoint_dir`` is the middle
-    option: a reliable ``checkpoint()`` to the given directory
-    (``setCheckpointDir`` per call — storage-fault-tolerant like
-    ``pairs_path`` but managed by Spark, no table naming needed)."""
+    option: a reliable ``checkpoint()`` to a unique per-call
+    subdirectory of the given directory — storage-fault-tolerant like
+    ``pairs_path`` but managed by Spark, no table naming needed. Note
+    ``setCheckpointDir`` mutates GLOBAL SparkContext state; this module
+    serializes its own checkpoint calls behind a lock, but an outside
+    caller relying on its own checkpoint dir should re-set it. The
+    returned frame READS from its checkpoint files, so the caller owns
+    the subdirectory's lifecycle (delete it when the frame is dropped;
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` automates
+    that on GC)."""
     if pairs_path is not None:
         result.write.mode("overwrite").parquet(pairs_path)
         out = result.sparkSession.read.parquet(pairs_path)
     elif checkpoint_dir is not None:
-        result.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
-        out = result.checkpoint(eager=True)
+        with _CKPT_LOCK:
+            result.sparkSession.sparkContext.setCheckpointDir(
+                f"{checkpoint_dir}/ckpt-{_uuid.uuid4().hex[:12]}"
+            )
+            out = result.checkpoint(eager=True)
     else:
         out = result.localCheckpoint(eager=True)
     for f in cached:
@@ -238,10 +267,12 @@ def duplicated_span_extents(
     length-``window`` span recurs across ≥ ``min_docs`` docs, merged
     into maximal token intervals (two duplicated windows merge when
     their spans overlap or touch, i.e. position gap ≤ ``window``).
-    Output: (doc, span_start, span_end, n_dup_windows) with 1-based
-    inclusive token offsets — the "cut these ranges" worklist of
-    substring-level dedup, the per-doc-pair analogue of the suffix
-    array's maximal repeat extraction.
+    Output: (``id_col``, span_start, span_end, n_dup_windows) with
+    1-based inclusive token offsets — the "cut these ranges" worklist
+    of substring-level dedup, the per-doc-pair analogue of the suffix
+    array's maximal repeat extraction. The document column carries the
+    caller's ``id_col`` name, consistent with the sibling span
+    operators, so callers can join it straight back.
 
     Plan shape: the duplicated span-hash set joins back to the
     positions on span_hash — both sides hash-partitioned on span_hash
@@ -269,11 +300,16 @@ def duplicated_span_extents(
         )
         .withColumn("island", F.sum("brk").over(w))
     )
-    return flagged.groupBy("doc", "island").agg(
-        F.min("pos").alias("span_start"),
-        (F.max("pos") + window - 1).alias("span_end"),
-        F.count(F.lit(1)).alias("n_dup_windows"),
-    ).drop("island")
+    return (
+        flagged.groupBy("doc", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + window - 1).alias("span_end"),
+            F.count(F.lit(1)).alias("n_dup_windows"),
+        )
+        .drop("island")
+        .withColumnRenamed("doc", id_col)
+    )
 
 
 def cut_duplicated_spans(
@@ -297,10 +333,14 @@ def cut_duplicated_spans(
 
     Plan shape: the cut-position set is built from the same
     (span, doc) scan as :func:`duplicated_spans` and collapses to one
-    array per affected doc (bounded by doc length); the rewrite is a
-    native ``filter`` over the token array against that array — no
-    UDF, no per-token shuffle, and unaffected docs pass through on
-    the null side of a left join.
+    array per affected doc (bounded by doc length); the rewrite is
+    ``array_except`` between the doc's position range and its cut set
+    (hash-set based: O(tokens + cuts) per doc) followed by an O(1)
+    array index per surviving position — no UDF, no per-token shuffle,
+    and unaffected docs pass through on the null side of a left join.
+    A per-token ``array_contains`` against the cut array would be
+    O(tokens x cuts) per doc — quadratic on heavily-templated
+    documents, the slowest row of the corpus rewrite at scale.
     """
     pos = _span_positions(df, text_col, id_col, window)
     dup = (
@@ -326,11 +366,16 @@ def cut_duplicated_spans(
         .agg(F.collect_list("cp").alias("__cuts"))
     )
     t = df.select(F.col(id_col), tokens(text_col).alias("__toks"))
+    # Surviving 1-based positions: array_except builds a hash set of
+    # the cut array once per row and streams the position range through
+    # it IN ORDER (first-array order is preserved), so the rewrite is
+    # linear in doc length. Positions are in [1, size] by construction,
+    # so the ANSI-strict element_at can't go out of bounds.
+    survivors = F.array_except(
+        F.sequence(F.lit(1), F.size(F.col("__toks"))), F.col("__cuts")
+    )
     kept = F.when(F.col("__cuts").isNull(), F.col("__toks")).otherwise(
-        F.filter(
-            F.col("__toks"),
-            lambda tk, i: ~F.array_contains(F.col("__cuts"), i + 1),
-        )
+        F.transform(survivors, lambda p: F.element_at(F.col("__toks"), p))
     )
     return t.join(
         cut.withColumnRenamed("doc", id_col), id_col, "left"
@@ -355,19 +400,19 @@ def cross_doc_span_coverage(
         df, text_col=text_col, id_col=id_col,
         window=window, min_docs=min_docs,
     )
-    covered = ext.groupBy("doc").agg(
+    covered = ext.groupBy(id_col).agg(
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias(
             "dup_span_tokens"
         )
     )
     n_tok = df.select(
-        F.col(id_col).alias("doc"),
+        F.col(id_col),
         F.size(tokens(text_col)).alias("__n_tokens"),
     )
     return (
-        n_tok.join(covered, "doc", "left")
+        n_tok.join(covered, id_col, "left")
         .select(
-            F.col("doc").alias(id_col),
+            F.col(id_col),
             F.coalesce("dup_span_tokens", F.lit(0)).alias("dup_span_tokens"),
             F.when(
                 F.col("__n_tokens") > 0,
@@ -739,7 +784,14 @@ def simhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:
     """32-bit SimHash per document: per-bit majority vote over the
-    portable hashes of its (distinct) tokens, folded in one aggregation."""
+    portable hashes of its (distinct) tokens, folded in one aggregation.
+
+    Bound: the packed bit counters hold four 16-bit fields per long, so
+    a document must have fewer than 2^16 = 65536 DISTINCT tokens; a
+    larger doc would silently wrap a counter and corrupt its signature,
+    so the operator RAISES on such rows instead (one comparison per doc
+    — chunk oversized docs first, e.g. ``textstats.chunk_documents``).
+    """
     exploded = _tokenized(df, text_col, id_col).select(
         "doc", F.explode(F.array_distinct(F.col("toks"))).alias("tok")
     )
@@ -786,7 +838,21 @@ def simhash_signatures(
         terms.append(
             F.shiftleft((cnt * 2 >= F.col("n")).cast("long"), i)
         )
-    return agg.select("doc", _balanced(terms).alias("simhash"))
+    # Guard the 16-bit counter-field bound loudly (see docstring): a
+    # doc with >= 2^16 distinct tokens would wrap a packed counter and
+    # emit a WRONG signature — fail the job instead of corrupting
+    # near-dup pairs. The guard lives in the dead branch of a when(),
+    # so well-formed rows pay one long comparison.
+    sim = F.when(F.col("n") < F.lit(1 << 16), _balanced(terms)).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit("simhash_signatures: doc "),
+                F.col("doc").cast("string"),
+                F.lit(" has >= 2^16 distinct tokens; chunk it first"),
+            )
+        ).cast("long")
+    )
+    return agg.select("doc", sim.alias("simhash"))
 
 
 def simhash_band_rows(sig: DataFrame) -> DataFrame:
@@ -881,15 +947,39 @@ def connected_components(
     ``checkpoint_dir`` for the cluster-reliable form: each round's
     labels go through a reliable ``checkpoint()`` to storage, so the
     iteration survives executor loss — the recovery trade documented
-    at :func:`_materialize_release`, now optional here too.
+    at :func:`_materialize_release`. Checkpoint storage is bounded at
+    two rounds: each round lands in its own subdirectory of a per-call
+    unique run dir (so concurrent callers never collide) and the
+    previous round's files are deleted as soon as the new round is
+    eagerly materialized — without that, a long iteration accumulates
+    O(rounds x labels) dead storage. The final round's files back the
+    RETURNED frame; the caller owns that last subdirectory's lifecycle.
+    Note ``setCheckpointDir`` mutates global SparkContext state (held
+    behind this module's checkpoint lock during the call).
     """
-    barrier = (
-        (lambda df: df.localCheckpoint(eager=True))
+    spark = pairs.sparkSession
+    run_dir = (
+        None
         if checkpoint_dir is None
-        else (lambda df: df.checkpoint(eager=True))
+        else f"{checkpoint_dir}/cc-{_uuid.uuid4().hex[:12]}"
     )
-    if checkpoint_dir is not None:
-        pairs.sparkSession.sparkContext.setCheckpointDir(checkpoint_dir)
+    round_no = [0]
+
+    def barrier(df: DataFrame) -> DataFrame:
+        if run_dir is None:
+            return df.localCheckpoint(eager=True)
+        with _CKPT_LOCK:
+            spark.sparkContext.setCheckpointDir(
+                f"{run_dir}/round-{round_no[0]}"
+            )
+            out = df.checkpoint(eager=True)  # eager: files complete HERE
+        if round_no[0] >= 1:
+            # the previous round's labels fed this round's join and are
+            # now superseded; only the newest checkpoint is ever re-read
+            _fs_delete(spark, f"{run_dir}/round-{round_no[0] - 1}")
+        round_no[0] += 1
+        return out
+
     edges = (
         pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
         .unionByName(

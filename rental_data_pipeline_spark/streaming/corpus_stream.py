@@ -33,9 +33,15 @@ Crash safety is compositional: every sub-fold is idempotent per
 ``batch_id`` (committed replays no-op, crashed attempts are rewritten
 wholesale), so a crash anywhere in 1-10 is healed by replaying the
 batch — the committed prefix no-ops, the suffix completes. The
-metrics row is written LAST and marks the batch fully folded; reads
-gate on it, so a reader never sees a batch's keepers before its pairs
-and labels exist. Compaction runs inside each sub-fold on the shared
+metrics row is written LAST and marks the batch fully folded. Reads of
+the per-batch SLICES gate on it, so a slice reader never sees a
+batch's keepers before its pairs and labels exist. Maintained-STATE
+artifacts (curation state, vocab, streamed labels, span stats, simhash
+pairs) carry the weaker ONE-DIRECTIONAL guarantee instead: state is
+only ever AHEAD of the metrics watermark, never behind it — between a
+crash and its replay a state read may transiently include the
+in-flight batch's committed sub-folds, and the replay converges it
+(idempotent; nothing lost or double-counted). Compaction runs inside each sub-fold on the shared
 ``compact_every`` cadence (amortized O(state)/compact_every — the
 measured-flat fold-cost bound of ``scripts/stress_streaming_folds.py``
 applies to each component unchanged).
@@ -517,11 +523,20 @@ def read_incremental_corpus(
     (canonical docs), ``contaminated``, ``split``, ``chunks``,
     ``packed``, ``profile``, ``metrics`` — plus ``vocab`` /
     ``corpus_size`` (the TF-IDF probe inputs) and ``keepers`` (the
-    curated landing table with text). Reads only fully-committed
-    batches (metrics-gated), so a crashed batch is invisible until its
-    replay completes. No stage here re-scans raw history: labels come
-    from the persisted union-find, pairs from the emitted history,
-    vocabulary from the summed df slices.
+    curated landing table with text). Two read contracts apply, per
+    artifact: the per-batch SLICE reads — ``keepers``, ``corpus``,
+    ``contaminated``, ``pairs``/``split``, ``metrics``, and everything
+    derived from them — are metrics-gated (only batches whose metrics
+    commit landed are visible, so a crashed batch is invisible until
+    its replay completes), while the maintained-STATE reads — the live
+    ``curated`` keeper state, ``vocab``/``corpus_size``, streamed
+    ``labels``, span stats and simhash pairs — follow the module
+    header's one-directional guarantee: a crash between a state fold
+    and its metrics commit can transiently expose that batch's state
+    until the replay lands (the replay converges it; nothing is ever
+    lost or double-counted). No stage here re-scans raw history:
+    labels come from the persisted union-find, pairs from the emitted
+    history, vocabulary from the summed df slices.
 
     ``as_of_batch=N`` TIME-TRAVELS: the corpus exactly as it stood
     after batch N fully committed — "the corpus the run that trained

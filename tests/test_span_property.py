@@ -88,7 +88,7 @@ def test_span_family_matches_python_model(sparkmod, corpus):
 
     got_ext = {}
     for r in duplicated_span_extents(df, window=W).collect():
-        got_ext.setdefault(r.doc, set()).add((r.span_start, r.span_end))
+        got_ext.setdefault(r.doc_id, set()).add((r.span_start, r.span_end))
     assert got_ext == extents
 
     cov = {

@@ -77,7 +77,7 @@ def test_span_extents_merge_overlaps_and_split_gaps(spark):
         "doc_id long, text string",
     )
     ext = {
-        (r["doc"], r["span_start"]): r
+        (r["doc_id"], r["span_start"]): r
         for r in D.duplicated_span_extents(df, window=10).collect()
     }
     assert ext[(1, 1)]["span_end"] == 12  # merged maximal extent A
@@ -778,6 +778,18 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         f for _, _, fs in os.walk(ckpt) for f in fs if not f.startswith(".")
     ]
     assert walked  # rounds really went through reliable storage
+    # superseded rounds are deleted as the iteration advances: exactly
+    # one run dir (per-call unique) holding exactly one surviving round
+    # (the one backing the returned frame) — storage bounded at O(labels),
+    # not O(rounds x labels)
+    run_dirs = [d for d in os.listdir(ckpt) if d.startswith("cc-")]
+    assert len(run_dirs) == 1
+    rounds = [
+        d
+        for d in os.listdir(os.path.join(ckpt, run_dirs[0]))
+        if d.startswith("round-")
+    ]
+    assert len(rounds) == 1
 
     docs = spark.createDataFrame(
         [
