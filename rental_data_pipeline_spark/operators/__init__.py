@@ -10,6 +10,7 @@ from rental_data_pipeline_spark.operators.ann_index import (  # noqa: F401
     compact_ann_appends,
     ivf_topk_persisted,
     pq_topk_persisted,
+    regrow_ann_index,
 )
 from rental_data_pipeline_spark.operators.asof import asof_join  # noqa: F401
 from rental_data_pipeline_spark.operators.bucketing import (  # noqa: F401

@@ -59,6 +59,7 @@ from rental_data_pipeline_spark.streaming.incremental import (
 
 N_VEC_BUCKETS = 16
 _META = "_meta.json"
+_META_PENDING = "_meta.json.pending"
 
 
 def build_ann_index(
@@ -173,12 +174,102 @@ def build_ann_index(
     _os.replace(tmp, f"{index_path}/{_META}")
 
 
-def read_meta(index_path: str) -> dict:
+def read_meta(index_path: str, allow_pending: bool = False) -> dict:
     p = f"{index_path}/{_META}"
     if not _os.path.exists(p):
         raise FileNotFoundError(f"not an ANN index (missing {_META}): {index_path}")
+    if not allow_pending and _os.path.exists(f"{index_path}/{_META_PENDING}"):
+        raise RuntimeError(
+            f"ANN index migration in progress ({_META_PENDING} exists): "
+            f"{index_path} — re-run regrow_ann_index to finish it before "
+            "probing, appending or folding"
+        )
     with open(p) as f:
         return _json.load(f)
+
+
+def regrow_ann_index(
+    spark: SparkSession,
+    index_path: str,
+    new_n_cells: int,
+    n_iter: int = 3,
+) -> bool:
+    """OFFLINE migration of a live index to a larger cell count — the
+    √N rule: per-cell occupancy is O(N / n_cells), so a corpus that
+    has grown 100× under frozen centroids pays 100× per probe (and per
+    SemDeDup fold) until the cells regrow. Retrains centroids at
+    ``new_n_cells`` over the index's OWN accumulated corpus (base +
+    appends), rebuilds the base assignment/code tables wholesale, and
+    clears the append slices (their vectors are now in the base) — the
+    periodic-retrain half of the standard IVF maintenance split that
+    ``append_ann_index`` defers to.
+
+    Crash-safe via a staged ``_meta.json.pending``: ``read_meta``
+    (every probe, append and fold) refuses while it exists, and
+    re-running resumes from the corpus SNAPSHOT persisted before any
+    mutation — the rebuild is deterministic (lowest-id k-means init),
+    so a resume converges to the identical index. Must not run
+    concurrently with appends or probes — the shared offline
+    discipline of the ``rebucket_*`` migrations. Semantic-dedup labels
+    derived from the OLD geometry become stale: migrate them with
+    ``streaming.semantic_stream.regrow_semantic_cells`` (which drives
+    this function). Returns True when a migration ran."""
+    import shutil as _shutil
+
+    from rental_data_pipeline_spark.streaming.incremental import (
+        atomic_json_write,
+    )
+
+    pending = f"{index_path}/{_META_PENDING}"
+    # NOT underscore-prefixed: Spark's file index silently ignores
+    # "_"/"."-prefixed paths, so a "_regrow_corpus" snapshot reads back
+    # as zero rows
+    snap = f"{index_path}/regrow-snapshot"
+    meta = read_meta(index_path, allow_pending=True)
+    if meta["n_cells"] == int(new_n_cells) and not _os.path.exists(pending):
+        return False
+    if not _os.path.exists(pending):
+        # snapshot the full corpus BEFORE any mutation: the rebuild
+        # overwrites the tables it would otherwise read
+        _read_assignments(spark, index_path, meta).select(
+            "vec_id", "v"
+        ).write.mode("overwrite").parquet(snap)
+        # sanity-check BEFORE staging the pending marker, so a refused
+        # regrow doesn't leave the index wedged behind it
+        n_vecs = spark.read.parquet(snap).count()
+        if n_vecs < int(new_n_cells):
+            raise ValueError(
+                f"regrow_ann_index: corpus has {n_vecs} vectors, fewer "
+                f"than new_n_cells={new_n_cells} — regrow when the corpus "
+                "has outgrown its cells, not before"
+            )
+        atomic_json_write(pending, {"n_cells": int(new_n_cells)})
+    corpus = spark.read.parquet(snap)
+    pq_cfg = meta.get("pq")
+    build_ann_index(
+        corpus,
+        index_path,
+        n_cells=int(new_n_cells),
+        n_iter=n_iter,
+        pq=bool(pq_cfg),
+        **(
+            {"m": pq_cfg["m"], "k": pq_cfg["k"], "pq_iter": pq_cfg["n_iter"]}
+            if pq_cfg
+            else {}
+        ),
+        n_vec_buckets=meta["n_vec_buckets"],
+        id_col="vec_id",
+        vec_col="v",
+        default_nprobe=meta.get("defaults", {}).get("nprobe", 2),
+        default_shortlist=meta.get("defaults", {}).get("shortlist", 50),
+    )
+    # append slices are folded into the rebuilt base; batch-id claims
+    # reset with them (no manifest survives, so nothing can become
+    # invisible to the auto-id scan)
+    _shutil.rmtree(f"{index_path}/appends", ignore_errors=True)
+    _os.remove(pending)  # commit point
+    _shutil.rmtree(snap, ignore_errors=True)
+    return True
 
 
 def index_centroids(spark: SparkSession, index_path: str) -> DataFrame:

@@ -46,6 +46,7 @@ from rental_data_pipeline_spark.streaming.corpus_stream import (  # noqa: F401
 from rental_data_pipeline_spark.streaming.semantic_stream import (  # noqa: F401
     fold_semantic_batch,
     read_semantic_labels,
+    regrow_semantic_cells,
 )
 from rental_data_pipeline_spark.streaming.span_stream import (  # noqa: F401
     fold_spans_batch,

@@ -36,13 +36,40 @@ Reference has no counterpart — beyond-reference training-data layer.
 
 from __future__ import annotations
 
+import glob as _glob
+import hashlib as _hashlib
+import json as _json
 import os as _os
 import shutil as _shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from rental_data_pipeline_spark.streaming.incremental import sliced_committed
+from rental_data_pipeline_spark.streaming.incremental import (
+    _read_manifest,
+    atomic_json_write,
+    sliced_committed,
+    success_dirs,
+)
+
+_SEM_META = "_sem_meta.json"
+_SEM_PENDING = "_sem_meta.json.pending"
+
+
+def _centroid_fingerprint(centroids: list[list[float]]) -> str:
+    """Deterministic id of a trained centroid set (components are
+    6-dp-rounded by kmeans_train, so the JSON form is stable)."""
+    return _hashlib.md5(
+        _json.dumps(centroids, sort_keys=True).encode()
+    ).hexdigest()
+
+
+def _read_sem_meta(sem_path: str) -> dict | None:
+    p = f"{sem_path}/{_SEM_META}"
+    if not _os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _json.load(f)
 
 
 def fold_semantic_batch(
@@ -75,12 +102,44 @@ def fold_semantic_batch(
     sdir = f"{sem_path}/b_{batch_id:09d}"
     if _os.path.exists(f"{sdir}/_SUCCESS"):
         return  # committed replay: no-op
+    if _os.path.exists(f"{sem_path}/{_SEM_PENDING}"):
+        raise RuntimeError(
+            f"semantic label migration in progress ({_SEM_PENDING} exists):"
+            f" {sem_path} — re-run regrow_semantic_cells to finish it"
+        )
     if _os.path.exists(sdir):
         _shutil.rmtree(sdir, ignore_errors=True)
     _os.makedirs(sem_path, exist_ok=True)
 
     meta = read_meta(index_path)
     centroids = _read_centroids(spark, index_path)
+    # Geometry guard: accumulated labels are only a valid SemDeDup
+    # answer while every fold used the SAME cell geometry and
+    # threshold. A regrown/rebuilt index (new centroids) or a changed
+    # threshold would silently mix decision spaces — refuse and point
+    # at the migration instead.
+    fp = _centroid_fingerprint(centroids)
+    sem_meta = _read_sem_meta(sem_path)
+    if sem_meta is None:
+        atomic_json_write(
+            f"{sem_path}/{_SEM_META}",
+            {
+                "n_cells": meta["n_cells"],
+                "threshold": float(threshold),
+                "centroid_md5": fp,
+            },
+        )
+    elif (
+        sem_meta["centroid_md5"] != fp
+        or float(sem_meta["threshold"]) != float(threshold)
+    ):
+        raise RuntimeError(
+            "fold_semantic_batch: index geometry or threshold changed "
+            f"since these labels began (stored n_cells="
+            f"{sem_meta['n_cells']}/threshold={sem_meta['threshold']}, "
+            f"index n_cells={meta['n_cells']}/threshold={threshold}) — "
+            "run regrow_semantic_cells to migrate the labels"
+        )
     corpus = (
         _corpus(batch, id_col, vec_col)
         .withColumn("vn", norm(F.col("v")))
@@ -132,19 +191,195 @@ def read_semantic_labels(
 ) -> DataFrame | None:
     """Accumulated ``(vec_id, cid, is_kept)`` labels, or None before
     the first fold. Labels are append-only facts (monotonic ids), so
-    the read is a plain union of committed slices; ``as_of_batch``
-    restricts to slices ≤ it (slices are never compacted — they are
-    part of the corpus event log)."""
-    dirs = sliced_committed(sem_path)
-    if as_of_batch is not None:
-        dirs = [
+    the live read is a plain union of committed slices — after a
+    ``regrow_semantic_cells`` migration that means the latest regrow's
+    consolidated ``c_*`` slice (the whole corpus relabelled under the
+    new geometry) plus the ``b_*`` folds since it.
+
+    ``as_of_batch=N`` is a HISTORICAL read: the labels exactly as they
+    stood after batch N — including the cell geometry in force THEN.
+    Per-batch ``b_*`` slices are retained (never deleted) even when a
+    regrow's manifest supersedes them for live reads, so history picks
+    the latest regrow whose cut-point ≤ N (if any) plus the retained
+    ``b_*`` slices in between — the corpus-event-log contract."""
+    if as_of_batch is None:
+        dirs = sliced_committed(sem_path)
+        if not dirs:
+            return None
+    else:
+        # latest committed regrow whose cut-point PRECEDES as_of: a
+        # regrow at cut R ran after batch R committed, so a reader
+        # "as of batch R" predates it (historical view, old geometry);
+        # any batch AFTER R was folded under the new geometry and
+        # needs the consolidated slice
+        best_c, best_as_of = None, -1
+        for c in _glob.glob(f"{sem_path}/c_*"):
+            info = _regrow_info(c)
+            if info is None:
+                continue
+            if best_as_of < info["as_of"] < as_of_batch:
+                best_c, best_as_of = c, info["as_of"]
+        dirs = ([best_c] if best_c else []) + [
             d
-            for d in dirs
-            if int(_os.path.basename(d)[2:]) <= as_of_batch
+            for d in success_dirs(f"{sem_path}/b_*")
+            if best_as_of < int(_os.path.basename(d)[2:]) <= as_of_batch
         ]
-    if not dirs:
-        return None
+        if not dirs:
+            return None
     out = spark.read.parquet(dirs[0])
     for d in dirs[1:]:
         out = out.unionByName(spark.read.parquet(d), allowMissingColumns=True)
     return out
+
+
+def _regrow_info(cdir: str) -> dict | None:
+    """A committed regrow slice's cut-point record, or None when the
+    slice is uncommitted (no valid covering manifest)."""
+    if _read_manifest(f"{cdir}/_covered.json") is None:
+        return None
+    p = f"{cdir}/_regrow.json"
+    if not _os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _json.load(f)
+
+
+def regrow_semantic_cells(
+    spark: SparkSession,
+    index_path: str,
+    sem_path: str,
+    new_n_cells: int,
+    threshold: float = 0.4,
+    n_iter: int = 3,
+) -> bool:
+    """OFFLINE migration of the semantic-dedup labels to a larger cell
+    count — the stay-flat-at-scale recipe for the one stage whose
+    per-batch cost creeps with corpus size under frozen centroids
+    (O(batch × N / n_cells); n_cells must grow ~√N). Drives
+    ``ann_index.regrow_ann_index`` (retrain centroids over the index's
+    own corpus, rebuild the base, clear appends), then relabels the
+    WHOLE corpus under the new geometry with the batch operator
+    (``similarity.semantic_dedup`` against the regrown index's
+    centroids) and commits it as ONE consolidated ``c_*`` slice whose
+    manifest supersedes the per-batch ``b_*`` slices for live reads
+    (they are retained for ``as_of_batch`` history). Subsequent
+    ``fold_semantic_batch`` calls continue incrementally from the new
+    geometry, so the live read equals a fresh full-corpus run at
+    ``new_n_cells`` — the equivalence pytest pins it.
+
+    Crash-safe under the shared staged-pending protocol
+    (``_sem_meta.json.pending``): folds refuse while it exists;
+    re-running resumes (the index regrow resumes from its snapshot,
+    the relabel is deterministic, a committed ``c_*`` matching the
+    pending parameters is not rewritten; the sem-meta swap + pending
+    removal is the commit). Must not run concurrently with the stream
+    — the offline discipline every ``rebucket_*``/regrow migration
+    shares. Returns True when a migration ran."""
+    from rental_data_pipeline_spark.operators.ann_index import (
+        _read_assignments,
+        _read_centroids,
+        index_centroids,
+        read_meta,
+        regrow_ann_index,
+    )
+    from rental_data_pipeline_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    pending = f"{sem_path}/{_SEM_PENDING}"
+    cur = _read_sem_meta(sem_path)
+    if (
+        cur is not None
+        and cur["n_cells"] == int(new_n_cells)
+        and float(cur["threshold"]) == float(threshold)
+        and not _os.path.exists(pending)
+    ):
+        return False
+    _os.makedirs(sem_path, exist_ok=True)
+    if not _os.path.exists(pending):
+        # cut-point: the highest batch id any committed slice covers —
+        # folds refuse once the pending lands, so it cannot move
+        as_of = -1
+        for d in success_dirs(f"{sem_path}/b_*"):
+            as_of = max(as_of, int(_os.path.basename(d)[2:]))
+        for c in _glob.glob(f"{sem_path}/c_*"):
+            info = _regrow_info(c)
+            if info is not None:
+                as_of = max(as_of, int(info["as_of"]))
+        covered = sorted(
+            _os.path.basename(d) for d in sliced_committed(sem_path)
+        )
+        atomic_json_write(
+            pending,
+            {
+                "n_cells": int(new_n_cells),
+                "threshold": float(threshold),
+                "as_of": as_of,
+                "covered": covered,
+            },
+        )
+    with open(pending) as f:
+        stage = _json.load(f)
+
+    regrow_ann_index(spark, index_path, int(new_n_cells), n_iter=n_iter)
+
+    # relabel the whole corpus under the new geometry, unless a resume
+    # already committed it
+    done = None
+    for c in _glob.glob(f"{sem_path}/c_*"):
+        info = _regrow_info(c)
+        if (
+            info is not None
+            and info["as_of"] == stage["as_of"]
+            and info["n_cells"] == stage["n_cells"]
+        ):
+            done = c
+            break
+    if done is None:
+        # clear garbage from a crashed prior attempt (no valid manifest)
+        for c in _glob.glob(f"{sem_path}/c_*"):
+            if _read_manifest(f"{c}/_covered.json") is None:
+                _shutil.rmtree(c, ignore_errors=True)
+        gen = max(
+            (
+                int(_os.path.basename(c)[2:])
+                for c in _glob.glob(f"{sem_path}/c_*")
+            ),
+            default=-1,
+        ) + 1
+        cdir = f"{sem_path}/c_{gen:09d}"
+        if _os.path.exists(cdir):
+            _shutil.rmtree(cdir, ignore_errors=True)
+        meta = read_meta(index_path)
+        corpus = _read_assignments(spark, index_path, meta).select(
+            "vec_id", "v"
+        )
+        semantic_dedup(
+            corpus,
+            threshold=float(threshold),
+            centroids=index_centroids(spark, index_path),
+            id_col="vec_id",
+            vec_col="v",
+        ).write.parquet(cdir)
+        atomic_json_write(
+            f"{cdir}/_regrow.json",
+            {
+                "as_of": stage["as_of"],
+                "n_cells": stage["n_cells"],
+                "threshold": stage["threshold"],
+            },
+        )
+        atomic_json_write(f"{cdir}/_covered.json", stage["covered"])
+
+    atomic_json_write(
+        f"{sem_path}/{_SEM_META}",
+        {
+            "n_cells": stage["n_cells"],
+            "threshold": stage["threshold"],
+            "centroid_md5": _centroid_fingerprint(
+                _read_centroids(spark, index_path)
+            ),
+        },
+    )
+    _os.remove(pending)  # commit point
+    return True

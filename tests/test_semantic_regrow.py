@@ -1,0 +1,169 @@
+"""SemDeDup cell-growth migration: regrow_semantic_cells retrains the
+index at a larger n_cells and relabels the corpus so that continued
+incremental folds equal a fresh full-corpus run at the new geometry —
+the stay-flat-at-scale recipe for the one stage whose per-batch cost
+creeps with corpus size under frozen centroids (√N rule).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.operators.ann_index import (
+    append_ann_index,
+    build_ann_index,
+    index_centroids,
+    read_meta,
+    regrow_ann_index,
+)
+from rental_data_pipeline_spark.operators.similarity import semantic_dedup
+from rental_data_pipeline_spark.sources.tables import load_table
+from rental_data_pipeline_spark.streaming.semantic_stream import (
+    fold_semantic_batch,
+    read_semantic_labels,
+    regrow_semantic_cells,
+)
+
+THRESH = 0.3
+# monotonic id chunks — the arrival-order contract
+RANGES = [(0, 170), (170, 340), (340, 100000)]
+
+
+def _chunks(spark, sf_dir):
+    embs = load_table(spark, "embeddings", sf_dir).select(
+        "vec_id", "embedding"
+    )
+    return embs, [
+        embs.where((F.col("vec_id") >= lo) & (F.col("vec_id") < hi))
+        for lo, hi in RANGES
+    ]
+
+
+def _rows(df):
+    return sorted((r.vec_id, r.cid, r.is_kept) for r in df.collect())
+
+
+def _kept(df):
+    return {r.vec_id for r in df.where("is_kept").collect()}
+
+
+def test_regrow_matches_fresh_run_at_new_n_cells(spark, sf_dir, tmp_path):
+    embs, chunks = _chunks(spark, sf_dir)
+    idx, sem = str(tmp_path / "idx"), str(tmp_path / "sem")
+
+    # stream start at n_cells=2: base index from chunk 0, fold its labels
+    build_ann_index(chunks[0], idx, n_cells=2, n_iter=2)
+    fold_semantic_batch(spark, idx, sem, chunks[0], 0, threshold=THRESH)
+    append_ann_index(chunks[1], idx, batch_id=1)
+    fold_semantic_batch(spark, idx, sem, chunks[1], 1, threshold=THRESH)
+
+    # pre-regrow incremental labels == batch operator at n_cells=2
+    pre = _rows(read_semantic_labels(spark, sem))
+    want_pre = _rows(
+        semantic_dedup(
+            chunks[0].unionByName(chunks[1]),
+            threshold=THRESH,
+            centroids=index_centroids(spark, idx),
+        )
+    )
+    assert pre == want_pre and pre
+
+    # REGROW 2 → 4 cells (√N rule), then keep folding incrementally
+    assert regrow_semantic_cells(
+        spark, idx, sem, new_n_cells=4, threshold=THRESH, n_iter=2
+    )
+    assert read_meta(idx)["n_cells"] == 4
+    append_ann_index(chunks[2], idx, batch_id=2)
+    fold_semantic_batch(spark, idx, sem, chunks[2], 2, threshold=THRESH)
+
+    # live labels == a fresh full-corpus batch run at the NEW geometry
+    got = _rows(read_semantic_labels(spark, sem))
+    want = _rows(
+        semantic_dedup(
+            embs, threshold=THRESH, centroids=index_centroids(spark, idx)
+        )
+    )
+    assert got == want and got
+    # the regrow actually changed the decision space (finer cells)
+    assert {r[1] for r in got} != {r[1] for r in pre} or _kept(
+        read_semantic_labels(spark, sem)
+    ) != {r[0] for r in pre if r[2]}
+
+    # history is preserved: as-of the pre-regrow batch returns the OLD
+    # geometry's labels exactly as they stood (b_* slices retained)
+    assert _rows(read_semantic_labels(spark, sem, as_of_batch=1)) == pre
+    # as-of the post-regrow batch == the live read
+    assert _rows(read_semantic_labels(spark, sem, as_of_batch=2)) == got
+
+    # idempotent: same parameters → no-op
+    assert not regrow_semantic_cells(
+        spark, idx, sem, new_n_cells=4, threshold=THRESH
+    )
+
+
+def test_fold_refuses_on_geometry_drift_and_pending(spark, sf_dir, tmp_path):
+    _, chunks = _chunks(spark, sf_dir)
+    idx, sem = str(tmp_path / "idx"), str(tmp_path / "sem")
+    build_ann_index(chunks[0], idx, n_cells=2, n_iter=2)
+    fold_semantic_batch(spark, idx, sem, chunks[0], 0, threshold=THRESH)
+
+    # threshold drift: mixing decision spaces must fail loudly
+    with pytest.raises(RuntimeError, match="regrow_semantic_cells"):
+        fold_semantic_batch(spark, idx, sem, chunks[1], 1, threshold=0.9)
+
+    # index regrown WITHOUT migrating the labels: the stored labels'
+    # geometry no longer matches the index — fold must refuse
+    assert regrow_ann_index(spark, idx, 4, n_iter=2)
+    with pytest.raises(RuntimeError, match="regrow_semantic_cells"):
+        fold_semantic_batch(spark, idx, sem, chunks[1], 1, threshold=THRESH)
+
+    # a staged migration blocks folds until it completes
+    pend = f"{sem}/_sem_meta.json.pending"
+    with open(pend, "w") as f:
+        json.dump({"n_cells": 4, "threshold": THRESH, "as_of": 0,
+                   "covered": []}, f)
+    with pytest.raises(RuntimeError, match="migration in progress"):
+        fold_semantic_batch(spark, idx, sem, chunks[1], 1, threshold=THRESH)
+    os.remove(pend)
+
+    # finishing the migration heals both: folds proceed
+    assert regrow_semantic_cells(
+        spark, idx, sem, new_n_cells=4, threshold=THRESH, n_iter=2
+    )
+    fold_semantic_batch(spark, idx, sem, chunks[1], 1, threshold=THRESH)
+    assert read_semantic_labels(spark, sem).count() > 0
+
+
+def test_regrow_resumes_after_crash(spark, sf_dir, tmp_path):
+    """A crash mid-migration (pending staged, nothing else) resumes to
+    the identical end state: deterministic retrain + relabel."""
+    _, chunks = _chunks(spark, sf_dir)
+    idx, sem = str(tmp_path / "idx"), str(tmp_path / "sem")
+    build_ann_index(chunks[0], idx, n_cells=2, n_iter=2)
+    fold_semantic_batch(spark, idx, sem, chunks[0], 0, threshold=THRESH)
+
+    # simulate the crash: stage the pending exactly as regrow would,
+    # then "crash" before any mutation — the re-run must finish it
+    from rental_data_pipeline_spark.streaming.incremental import (
+        atomic_json_write,
+    )
+
+    atomic_json_write(
+        f"{sem}/_sem_meta.json.pending",
+        {"n_cells": 4, "threshold": THRESH, "as_of": 0,
+         "covered": ["b_000000000"]},
+    )
+    assert regrow_semantic_cells(
+        spark, idx, sem, new_n_cells=4, threshold=THRESH, n_iter=2
+    )
+    assert not os.path.exists(f"{sem}/_sem_meta.json.pending")
+    got = _rows(read_semantic_labels(spark, sem))
+    want = _rows(
+        semantic_dedup(
+            chunks[0], threshold=THRESH,
+            centroids=index_centroids(spark, idx),
+        )
+    )
+    assert got == want and got
