@@ -24,6 +24,7 @@ from rental_data_pipeline_spark.operators.dedup import (  # noqa: F401
     cut_duplicated_spans,
     duplicated_span_extents,
     duplicated_spans,
+    multi_window_duplicated_spans,
     exact_duplicates,
     fingerprint_duplicate_groups,
     jaccard_pairs,
@@ -137,6 +138,7 @@ __all__ = [
     "cut_duplicated_spans",
     "duplicated_span_extents",
     "duplicated_spans",
+    "multi_window_duplicated_spans",
     "scd2_intervals",
     "scrub_pii",
     "simhash_near_pairs",

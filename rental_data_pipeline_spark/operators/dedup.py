@@ -213,6 +213,76 @@ def _span_positions(
     ).select("doc", (F.col("pos0") + 1).alias("pos"), "span_hash")
 
 
+def _multi_span_positions(
+    df: DataFrame, text_col: str, id_col: str, windows: list[int]
+) -> DataFrame:
+    """(doc, window, pos, span_hash) for EVERY window in one pass: the
+    token array is materialized once and each window's sliding
+    fingerprints are built over that same column reference, concatenated
+    and exploded together — a window sweep costs one tokenize + one
+    explode, not |windows| corpus scans (the Lee-et-al multi-length
+    sweep, shared-scan form)."""
+    tok = _tokenized(df, text_col, id_col)
+    struct_t = "array<struct<window:int,pos:int,span_hash:string>>"
+
+    def spans_for(w: int):
+        n = F.size(F.col("toks"))
+        idx = F.sequence(F.lit(1), n - (w - 1))
+        return F.when(
+            n >= w,
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.lit(w).alias("window"),
+                    i.alias("pos"),
+                    F.md5(
+                        F.concat_ws(" ", F.slice(F.col("toks"), i, w))
+                    ).alias("span_hash"),
+                ),
+            ),
+        ).otherwise(F.expr(f"CAST(array() AS {struct_t})"))
+
+    allspans = F.concat(*[spans_for(w) for w in windows])
+    return tok.select("doc", F.explode(allspans).alias("s")).select(
+        "doc",
+        F.col("s.window").alias("window"),
+        F.col("s.pos").alias("pos"),
+        F.col("s.span_hash").alias("span_hash"),
+    )
+
+
+def multi_window_duplicated_spans(
+    df: DataFrame,
+    windows: list[int] = (10, 20),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+) -> DataFrame:
+    """:func:`duplicated_spans` swept over SEVERAL window lengths in
+    one corpus pass — Lee et al. sweep longer windows for fewer false
+    merges (a 20-token recurring span is much stronger boilerplate
+    evidence than a 10-token one). Returns
+    (window, span_hash, keeper_id, n_copies, n_docs): for each window
+    independently, exactly what ``duplicated_spans(df, window=w)``
+    returns. Same scale shape — per-(window, span, doc) pre-agg before
+    the global shuffle — with the tokenize pass and the explode shared
+    across all windows."""
+    per_doc = (
+        _multi_span_positions(df, text_col, id_col, list(windows))
+        .groupBy("window", "span_hash", "doc")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+    )
+    return (
+        per_doc.groupBy("window", "span_hash")
+        .agg(
+            F.min("doc").alias("keeper_id"),
+            F.sum("n_occ").alias("n_copies"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .where(F.col("n_docs") >= min_docs)
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     text_col: str = "text",

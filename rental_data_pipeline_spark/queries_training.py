@@ -216,6 +216,18 @@ FROM (
   WHERE len(toks) >= 10)
 GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
 UNION ALL
+SELECT 'span20' AS method, span_hash AS content_hash,
+       min(doc_id) AS keeper_id,
+       CAST(count(*) AS BIGINT) AS n_copies,
+       count(DISTINCT doc_id) AS n_docs
+FROM (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) - 18),
+           i -> md5(array_to_string(list_slice(toks, i, i + 19), ' ')))) AS span_hash
+  FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)
+  WHERE len(toks) >= 20)
+GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
+UNION ALL
 SELECT 'span10_streamed' AS method, span_hash AS content_hash,
        min(doc_id) AS keeper_id,
        CAST(count(*) AS BIGINT) AS n_copies,
@@ -231,11 +243,13 @@ GROUP BY span_hash HAVING count(DISTINCT doc_id) >= 2
 )
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup at BOTH granularities: 'doc' = one hash aggregation
-    on md5(text) (`dedup.exact_duplicates`); 'span10' = substring-level
-    dedup (`dedup.duplicated_spans`, the Lee-et-al suffix-array dedup
-    re-expressed as a distributed sliding-window fingerprint scan) —
-    every 10-token span recurring across ≥2 distinct docs, with keeper,
-    occurrence count and doc count. The 'span10_streamed' branch folds
+    on md5(text) (`dedup.exact_duplicates`); 'span10'/'span20' =
+    substring-level dedup at TWO window lengths from ONE shared scan
+    (`dedup.multi_window_duplicated_spans`, the Lee-et-al multi-length
+    sweep: longer windows trade recall for fewer false merges; the
+    token array is materialized once and both windows' fingerprints
+    ride one explode, so the second window costs extra hash work, not
+    a second corpus scan). The 'span10_streamed' branch folds
     a deterministic 40% doc subset (``doc_id % 5 < 2`` — portable to
     the SQL oracle) in two chunks through the persisted incremental
     span-hash state (`streaming/span_stream.py` — the bucketed LSM
@@ -265,8 +279,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_copies",
         F.col("n_copies").alias("n_docs"),
     )
-    span_b = D.duplicated_spans(docs, window=10).select(
-        F.lit("span10").alias("method"),
+    span_b = D.multi_window_duplicated_spans(docs, windows=[10, 20]).select(
+        F.concat(F.lit("span"), F.col("window").cast("string")).alias(
+            "method"
+        ),
         F.col("span_hash").alias("content_hash"),
         "keeper_id",
         "n_copies",

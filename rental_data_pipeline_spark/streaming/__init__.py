@@ -51,6 +51,7 @@ from rental_data_pipeline_spark.streaming.semantic_stream import (  # noqa: F401
 from rental_data_pipeline_spark.streaming.span_stream import (  # noqa: F401
     fold_spans_batch,
     read_duplicated_spans,
+    read_span_windows,
 )
 from rental_data_pipeline_spark.streaming.simhash_stream import (  # noqa: F401
     compact_simhash_index,

@@ -689,21 +689,21 @@ def read_incremental_corpus(
     # keeper log ≤ N with the batch operator (the event-log trade)
     from rental_data_pipeline_spark.streaming.span_stream import (
         read_duplicated_spans,
-        read_span_window,
+        read_span_windows,
     )
 
     spans = None
-    span_w = read_span_window(f"{root}/spans")
-    if span_w is not None:
+    span_ws = read_span_windows(f"{root}/spans")
+    if span_ws is not None:
         if as_of_batch is None:
             spans = read_duplicated_spans(spark, f"{root}/spans")
         else:
             from rental_data_pipeline_spark.operators.dedup import (
-                duplicated_spans,
+                multi_window_duplicated_spans,
             )
 
-            spans = duplicated_spans(
-                keepers, text_col=text_col, id_col=id_col, window=span_w
+            spans = multi_window_duplicated_spans(
+                keepers, windows=span_ws, text_col=text_col, id_col=id_col
             )
 
     # SimHash pairs (present when the fold ran): append-only emitted

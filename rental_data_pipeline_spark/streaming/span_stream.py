@@ -37,24 +37,42 @@ from rental_data_pipeline_spark.streaming.incremental import (
 )
 
 _KEY = "span_hash"
-_COLS = ["span_hash", "keeper_id", "n_copies", "n_docs"]
+_COLS = ["window", "span_hash", "keeper_id", "n_copies", "n_docs"]
+# State-internal span identity: the md5 fingerprint as 16 RAW BYTES
+# instead of its 32-char hex string. The state table is dominated by
+# Zipf-tail singleton spans whose count columns RLE/dictionary-compress
+# to almost nothing in parquet, so the incompressible random key IS the
+# state size — halving its bytes halves the table (measured envelope:
+# scripts/span_state_size.py + README). Exact, not approximate: a
+# lossy singleton tier (e.g. a count-min prefilter) cannot preserve
+# the duplicated_spans equivalence, because the FIRST occurrence's
+# keeper id and occurrence count must be recoverable at promotion
+# time and only an exact row stores them. Read path converts back to
+# the operator's hex-string contract.
+_ENCODING = "binary128"
 
 
 def _batch_span_stats(
-    batch: DataFrame, text_col: str, id_col: str, window: int
+    batch: DataFrame, text_col: str, id_col: str, windows: list[int]
 ) -> DataFrame:
-    """Per-batch (span_hash, keeper_id, n_copies, n_docs) aggregate —
-    the batch-local restriction of ``duplicated_spans`` WITHOUT the
-    min_docs filter (a span seen once so far may become duplicated by
-    a later batch, so singletons must enter the state)."""
-    from rental_data_pipeline_spark.operators.dedup import _span_positions
+    """Per-batch (window, span_hash, keeper_id, n_copies, n_docs)
+    aggregate — the batch-local restriction of
+    ``multi_window_duplicated_spans`` WITHOUT the min_docs filter (a
+    span seen once so far may become duplicated by a later batch, so
+    singletons must enter the state). ALL windows ride one tokenize +
+    one explode (the shared-scan sweep); ``span_hash`` is carried in
+    the state-internal binary form."""
+    from rental_data_pipeline_spark.operators.dedup import (
+        _multi_span_positions,
+    )
 
     per_doc = (
-        _span_positions(batch, text_col, id_col, window)
-        .groupBy(_KEY, "doc")
+        _multi_span_positions(batch, text_col, id_col, windows)
+        .select("window", F.unhex(F.col(_KEY)).alias(_KEY), "doc")
+        .groupBy("window", _KEY, "doc")
         .agg(F.count(F.lit(1)).alias("n_occ"))
     )
-    return per_doc.groupBy(_KEY).agg(
+    return per_doc.groupBy("window", _KEY).agg(
         F.min("doc").alias("keeper_id"),
         F.sum("n_occ").alias("n_copies"),
         F.count(F.lit(1)).alias("n_docs"),
@@ -65,10 +83,12 @@ def _merge_span_stats(target: DataFrame | None, b: DataFrame) -> DataFrame:
     b = b.select(*_COLS)
     if target is None:
         return b
+    # key = (window, span_hash): hashes of different window lengths
+    # can't collide in practice, but the pair is the true identity
     return (
         target.select(*_COLS)
         .unionByName(b)
-        .groupBy(_KEY)
+        .groupBy("window", _KEY)
         .agg(
             F.min("keeper_id").alias("keeper_id"),
             F.sum("n_copies").alias("n_copies"),
@@ -93,12 +113,17 @@ def fold_spans_batch(
     assumes each doc id arrives in exactly one batch (the corpus
     stream's arrival-order contract) — a replayed doc would
     double-count occurrences, which is exactly why the fold rides the
-    replay-no-op versioned commit. The window is frozen in
+    replay-no-op versioned commit. ``window`` may be a single int or a
+    LIST of window lengths (the multi-length sweep: all windows ride
+    one tokenize + one explode per batch); the window set is frozen in
     ``_span_window.json`` on the first fold (the bucket-count
-    discipline: folding a different window into the same state would
-    silently mix incomparable fingerprints) — later folds refuse a
-    mismatched ``window``."""
-    frozen = read_span_window(state_path)
+    discipline: folding a different window set into the same state
+    would silently mix incomparable fingerprint populations) — later
+    folds refuse a mismatched set."""
+    windows = sorted(
+        {int(window)} if isinstance(window, int) else {int(w) for w in window}
+    )
+    frozen = read_span_windows(state_path)
     if frozen is None:
         import json as _json
         import os as _os
@@ -106,15 +131,24 @@ def fold_spans_batch(
         _os.makedirs(state_path, exist_ok=True)
         tmp = f"{state_path}/_span_window.json.tmp"
         with open(tmp, "w") as f:
-            _json.dump({"window": int(window)}, f)
+            _json.dump(
+                {"windows": windows, "key_encoding": _ENCODING}, f
+            )
         _os.replace(tmp, f"{state_path}/_span_window.json")
-    elif frozen != window:
+    elif frozen != windows:
         raise ValueError(
-            f"span state at {state_path} was built with window={frozen}; "
-            f"refusing to fold window={window} fingerprints into it"
+            f"span state at {state_path} was built with windows={frozen}; "
+            f"refusing to fold windows={windows} fingerprints into it"
+        )
+    elif _span_meta(state_path).get("key_encoding") != _ENCODING:
+        # a pre-binary state stores hex-string keys: folding binary
+        # keys into it would split every span's stats across two rows
+        raise ValueError(
+            f"span state at {state_path} uses legacy hex-string keys; "
+            "rebuild it (or keep folding with the version that wrote it)"
         )
     bucketed_keyed_fold(
-        _batch_span_stats(batch, text_col, id_col, window),
+        _batch_span_stats(batch, text_col, id_col, windows),
         batch_id,
         state_path,
         key=_KEY,
@@ -124,25 +158,62 @@ def fold_spans_batch(
     )
 
 
-def read_span_window(state_path: str) -> int | None:
-    """The window frozen at the first fold, or None before it."""
+def _span_meta(state_path: str) -> dict:
     import json as _json
     import os as _os
 
     p = f"{state_path}/_span_window.json"
     if not _os.path.exists(p):
-        return None
+        return {}
     with open(p) as f:
-        return int(_json.load(f)["window"])
+        return _json.load(f)
+
+
+def read_span_window(state_path: str) -> int | None:
+    """The window frozen at the first fold (single-window form), or
+    None before it. For multi-window states, the smallest window —
+    use :func:`read_span_windows` for the full set."""
+    ws = read_span_windows(state_path)
+    return ws[0] if ws else None
+
+
+def read_span_windows(state_path: str) -> list[int] | None:
+    """The window set frozen at the first fold, or None before it
+    (legacy single-window metas normalize to a one-element list)."""
+    meta = _span_meta(state_path)
+    if not meta:
+        return None
+    if "windows" in meta:
+        return sorted(int(w) for w in meta["windows"])
+    return [int(meta["window"])]
 
 
 def read_duplicated_spans(
-    spark: SparkSession, state_path: str, min_docs: int = 2
+    spark: SparkSession,
+    state_path: str,
+    min_docs: int = 2,
+    window: int | None = None,
 ) -> DataFrame | None:
-    """The accumulated duplicated-span report — equal to
-    ``duplicated_spans(full corpus)`` with the same ``min_docs``.
-    ``None`` before the first committed fold."""
+    """The accumulated duplicated-span report — for each folded window
+    w, equal to ``duplicated_spans(full corpus, window=w)`` with the
+    same ``min_docs``. ``None`` before the first committed fold.
+    ``window=`` restricts to one window length; the default returns
+    every folded window (single-window states have exactly one).
+    Public columns keep the operator contract
+    (span_hash, keeper_id, n_copies, n_docs) plus ``window``; binary
+    state keys convert back to hex strings at this boundary (legacy
+    string-keyed states pass through unchanged)."""
     state = read_state_or_legacy(spark, state_path)
     if state is None:
         return None
-    return state.select(*_COLS).where(F.col("n_docs") >= min_docs)
+    cols = [c for c in _COLS if c in state.columns]
+    out = state.select(*cols).where(F.col("n_docs") >= min_docs)
+    if "window" not in out.columns:
+        # legacy single-window state: tag it from the frozen meta
+        ws = read_span_windows(state_path)
+        out = out.withColumn("window", F.lit(ws[0] if ws else None))
+    if window is not None:
+        out = out.where(F.col("window") == int(window))
+    if _span_meta(state_path).get("key_encoding") == _ENCODING:
+        out = out.withColumn(_KEY, F.lower(F.hex(F.col(_KEY))))
+    return out.select("window", _KEY, "keeper_id", "n_copies", "n_docs")
