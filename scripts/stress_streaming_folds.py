@@ -213,11 +213,16 @@ def _corpus_docs(spark, n: int, start: int = 0):
     )
 
 
-def corpus_fold_sec(spark, n_docs: int, batch_docs: int) -> float:
+def corpus_fold_sec(
+    spark, n_docs: int, batch_docs: int, n_buckets: int = 16
+) -> float:
     """One fold_corpus_batch call with every artifact enabled except
     SemDeDup (whose per-batch cost is the blocking trade — O(batch x
     N/n_cells), flat only when n_cells grows ~sqrt(N) with the corpus;
-    every other component here is designed O(batch))."""
+    every other component here is designed O(batch)). ``n_buckets``
+    sizes the state tables: per-bucket occupancy is state/n_buckets,
+    so a fixed local count bends the flatness curve at large state —
+    grow it with the corpus (rebucket_*) to stay flat."""
     from rental_data_pipeline_spark.jobs.corpus_job import CorpusConfig
     from rental_data_pipeline_spark.streaming.corpus_stream import (
         fold_corpus_batch,
@@ -238,6 +243,7 @@ def corpus_fold_sec(spark, n_docs: int, batch_docs: int) -> float:
             spark, base, _corpus_docs(spark, n_docs), 0, cfg,
             holdout=holdout, ann_centroids=cents, vec_col="embedding",
             compact_every=1000, span_window=10, simhash_max_hamming=3,
+            n_state_buckets=n_buckets,
         )
         times = []
         for i in range(2):
@@ -251,6 +257,7 @@ def corpus_fold_sec(spark, n_docs: int, batch_docs: int) -> float:
                         holdout=holdout, ann_centroids=cents,
                         vec_col="embedding", compact_every=1000,
                         span_window=10, simhash_max_hamming=3,
+                        n_state_buckets=n_buckets,
                     )
                 )
             )
@@ -259,12 +266,25 @@ def corpus_fold_sec(spark, n_docs: int, batch_docs: int) -> float:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def corpus_fold_sec_256(spark, n_docs: int, batch_docs: int) -> float:
+    """The corpus fold at production-shaped n_buckets=256 — the
+    counter-probe to corpus100's bend: per-bucket occupancy at 200k
+    docs matches the 16-bucket table's at 12.5k, so flatness should
+    return."""
+    return corpus_fold_sec(spark, n_docs, batch_docs, n_buckets=256)
+
+
 FOLDS = {
     # (fn, 1x size, 10x size, fixed batch size)
     "cdc": (cdc_fold_sec, 100_000, 1_000_000, 500),
     "index": (index_fold_sec, 2_000, 20_000, 200),
     "labels": (labels_fold_sec, 20_000, 200_000, 200),
     "corpus": (corpus_fold_sec, 2_000, 20_000, 200),
+    # the second decade of the composed-fold flatness claim (round-9
+    # verdict ask): same fixed batch against 100x the original state
+    "corpus100": (corpus_fold_sec, 20_000, 200_000, 200),
+    # counter-probe: the same decade at production-shaped bucket count
+    "corpus100rb": (corpus_fold_sec_256, 20_000, 200_000, 200),
 }
 
 

@@ -136,6 +136,38 @@ def test_fold_refuses_on_geometry_drift_and_pending(spark, sf_dir, tmp_path):
     assert read_semantic_labels(spark, sem).count() > 0
 
 
+def test_regrown_index_probes_equal_fresh_build(spark, sf_dir, tmp_path):
+    """regrow_ann_index(base+appends → new n_cells) answers probes
+    byte-equal to build_ann_index over the same corpus at the same
+    n_cells (deterministic lowest-id k-means init), and the appends
+    are folded into the rebuilt base (no slices left to double-count)."""
+    import glob
+
+    from rental_data_pipeline_spark.operators.ann_index import (
+        ivf_topk_persisted,
+    )
+
+    embs, chunks = _chunks(spark, sf_dir)
+    grown, fresh = str(tmp_path / "grown"), str(tmp_path / "fresh")
+    build_ann_index(chunks[0], grown, n_cells=2, n_iter=2)
+    append_ann_index(chunks[1], grown, batch_id=1)
+    append_ann_index(chunks[2], grown, batch_id=2)
+    assert regrow_ann_index(spark, grown, 4, n_iter=2)
+    assert not glob.glob(f"{grown}/appends/b_*")
+
+    build_ann_index(embs, fresh, n_cells=4, n_iter=2)
+    qids = [0, 1, 2]
+    a = sorted(
+        (r.query_id, r.rank, r.vec_id, r.sim)
+        for r in ivf_topk_persisted(spark, grown, qids, top_k=5).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.vec_id, r.sim)
+        for r in ivf_topk_persisted(spark, fresh, qids, top_k=5).collect()
+    )
+    assert a == b and a
+
+
 def test_regrow_resumes_after_crash(spark, sf_dir, tmp_path):
     """A crash mid-migration (pending staged, nothing else) resumes to
     the identical end state: deterministic retrain + relabel."""
