@@ -188,6 +188,33 @@ def read_meta(index_path: str, allow_pending: bool = False) -> dict:
         return _json.load(f)
 
 
+def suggest_regrow(
+    spark: SparkSession, index_path: str, growth_factor: float = 2.0
+) -> dict:
+    """The operational half of the √N rule: per-cell occupancy is
+    O(N / n_cells), so probe and SemDeDup-fold cost creeps linearly
+    until the cells regrow. Reports the index's current corpus size,
+    average occupancy, and the √N-rule target cell count, with
+    ``due=True`` once the target reaches ``growth_factor`` × the
+    current count (regrow in ~2× steps so each migration buys a full
+    doubling of corpus before the next). A maintenance job calls this
+    between batches and runs :func:`regrow_ann_index` /
+    ``regrow_semantic_cells`` when due — one count job, offline."""
+    import math as _math
+
+    meta = read_meta(index_path)
+    n = _read_assignments(spark, index_path, meta).count()
+    n_cells = int(meta["n_cells"])
+    target = max(n_cells, int(_math.ceil(_math.sqrt(max(n, 1)))))
+    return {
+        "n_vectors": n,
+        "n_cells": n_cells,
+        "avg_occupancy": round(n / max(n_cells, 1), 1),
+        "target_n_cells": target,
+        "due": target >= growth_factor * n_cells,
+    }
+
+
 def regrow_ann_index(
     spark: SparkSession,
     index_path: str,

@@ -83,6 +83,11 @@ def _ops():
         "span_cut": lambda spark, sf: D.cut_duplicated_spans(
             docs(spark, sf), window=10
         ),
+        # the multi-length sweep should cost ~one span_dedup scan, not
+        # |windows| of them (shared tokenize + shared explode)
+        "span_dedup_multi": lambda spark, sf: D.multi_window_duplicated_spans(
+            docs(spark, sf), windows=[10, 20]
+        ),
         "text_profile": lambda spark, sf: TS.profile(docs(spark, sf)),
         "tfidf": lambda spark, sf: TS.tfidf_top_terms(docs(spark, sf)),
     }

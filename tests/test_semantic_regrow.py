@@ -168,6 +168,66 @@ def test_regrown_index_probes_equal_fresh_build(spark, sf_dir, tmp_path):
     assert a == b and a
 
 
+def test_suggest_regrow_watermark(spark, sf_dir, tmp_path):
+    """The √N-rule hook: 500 vectors in 2 cells → target √500 ≈ 23
+    cells, due; after regrowing to 23 the suggestion is no longer due
+    (a doubling of corpus is needed first)."""
+    from rental_data_pipeline_spark.operators.ann_index import (
+        suggest_regrow,
+    )
+
+    embs, _ = _chunks(spark, sf_dir)
+    idx = str(tmp_path / "idx")
+    build_ann_index(embs, idx, n_cells=2, n_iter=1)
+    s = suggest_regrow(spark, idx)
+    assert s["n_vectors"] == 500 and s["n_cells"] == 2
+    assert s["target_n_cells"] == 23 and s["due"]
+
+    assert regrow_ann_index(spark, idx, s["target_n_cells"], n_iter=1)
+    s2 = suggest_regrow(spark, idx)
+    assert s2["n_cells"] == 23 and not s2["due"]
+
+
+def test_regrow_preserves_pq_artifact(spark, sf_dir, tmp_path):
+    """A PQ-bearing index regrows whole: codebooks retrain over the
+    accumulated corpus and PQ probes equal a fresh pq build at the new
+    cell count."""
+    from rental_data_pipeline_spark.operators.ann_index import (
+        pq_topk_persisted,
+    )
+
+    embs, chunks = _chunks(spark, sf_dir)
+    grown, fresh = str(tmp_path / "grown"), str(tmp_path / "fresh")
+    build_ann_index(
+        chunks[0], grown, n_cells=2, n_iter=2, pq=True, m=4, k=8, pq_iter=1
+    )
+    append_ann_index(chunks[1], grown, batch_id=1)
+    append_ann_index(chunks[2], grown, batch_id=2)
+    assert regrow_ann_index(spark, grown, 4, n_iter=2)
+    meta = read_meta(grown)
+    assert meta["n_cells"] == 4 and meta["pq"] == {
+        "m": 4, "k": 8, "n_iter": 1
+    }
+
+    build_ann_index(
+        embs, fresh, n_cells=4, n_iter=2, pq=True, m=4, k=8, pq_iter=1
+    )
+    qids = [0, 1]
+    a = sorted(
+        (r.query_id, r.rank, r.vec_id, r.sim)
+        for r in pq_topk_persisted(
+            spark, grown, qids, top_k=5, shortlist=50
+        ).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.vec_id, r.sim)
+        for r in pq_topk_persisted(
+            spark, fresh, qids, top_k=5, shortlist=50
+        ).collect()
+    )
+    assert a == b and a
+
+
 def test_regrow_resumes_after_crash(spark, sf_dir, tmp_path):
     """A crash mid-migration (pending staged, nothing else) resumes to
     the identical end state: deterministic retrain + relabel."""
