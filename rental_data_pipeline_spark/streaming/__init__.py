@@ -42,6 +42,7 @@ from rental_data_pipeline_spark.streaming.corpus_stream import (  # noqa: F401
     incremental_corpus_stream,
     read_incremental_corpus,
     rebucket_corpus,
+    regrow_corpus_cells,
 )
 from rental_data_pipeline_spark.streaming.semantic_stream import (  # noqa: F401
     fold_semantic_batch,

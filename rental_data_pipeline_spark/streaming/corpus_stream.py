@@ -831,3 +831,61 @@ def rebucket_corpus(
             else _ensure_simhash_meta(f"{root}/simhash"),
         )
     return ran
+
+
+def regrow_corpus_cells(
+    spark: SparkSession,
+    root: str,
+    new_n_cells: int,
+    semantic_threshold: float | None = None,
+    n_iter: int = 3,
+) -> dict[str, bool]:
+    """OFFLINE √N-rule migration for a corpus root's Voronoi geometry —
+    the cell-count analog of :func:`rebucket_corpus`. Regrows the ANN
+    index under ``<root>/ann`` (retrain centroids over the accumulated
+    corpus, rebuild, fold appends into the base) and, when the stream
+    ran with the SemDeDup stage, migrates the ``<root>/semantic``
+    labels with it (``semantic_threshold`` must then match the
+    stream's — the label meta enforces it). ``ann_index.suggest_regrow``
+    on ``<root>/ann`` tells a maintenance job when this is due. Same
+    offline discipline as every migration here: stop the stream,
+    migrate (crash-safe, resumable), restart with the same checkpoint.
+    Returns table → whether a migration ran."""
+    import glob as _glob
+
+    from rental_data_pipeline_spark.operators.ann_index import (
+        regrow_ann_index,
+    )
+    from rental_data_pipeline_spark.streaming.semantic_stream import (
+        regrow_semantic_cells,
+    )
+
+    ann_path, sem_path = f"{root}/ann", f"{root}/semantic"
+    if not _os.path.exists(f"{ann_path}/_meta.json"):
+        raise FileNotFoundError(
+            f"no ANN index under {ann_path} — the stream never ran with "
+            "an embedding column, so there are no cells to regrow"
+        )
+    ran: dict[str, bool] = {}
+    sem_live = bool(
+        _os.path.exists(f"{sem_path}/_sem_meta.json")
+        or _os.path.exists(f"{sem_path}/_sem_meta.json.pending")
+        or _glob.glob(f"{sem_path}/b_*")
+    )
+    if sem_live:
+        if semantic_threshold is None:
+            raise ValueError(
+                "this corpus maintains SemDeDup labels: pass the stream's "
+                "semantic_threshold so the relabel matches the fold"
+            )
+        # drives the index regrow internally, then migrates the labels
+        ran["semantic"] = regrow_semantic_cells(
+            spark, ann_path, sem_path, int(new_n_cells),
+            threshold=float(semantic_threshold), n_iter=n_iter,
+        )
+        ran["ann"] = ran["semantic"]
+    else:
+        ran["ann"] = regrow_ann_index(
+            spark, ann_path, int(new_n_cells), n_iter=n_iter
+        )
+    return ran

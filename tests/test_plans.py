@@ -156,6 +156,36 @@ def test_repetition_operator_pure_map_query_join_broadcasts(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, "coverage joins onto docs broadcast"
 
 
+def test_span_operators_native_and_bounded_shuffles(spark, sf_dir):
+    """The substring-dedup family stays whole-stage-native (zero
+    Python stages) with bounded shuffles: the multi-window sweep is
+    one tokenize repartition + one pre-agg exchange regardless of how
+    many windows ride it (the shared-scan claim, mechanically), and
+    the corpus rewrite's cut-set joins broadcast — the corpus never
+    sort-merges for its own edit."""
+    from rental_data_pipeline_spark.operators.dedup import (
+        cut_duplicated_spans,
+        multi_window_duplicated_spans,
+    )
+    from rental_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    multi = multi_window_duplicated_spans(docs, windows=[10, 20])
+    multi.write.format("noop").mode("overwrite").save()
+    mp = multi._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"EvalPython|MapInPandas", mp)
+    assert _exchanges(mp) <= 2, "window sweep must not add per-window scans"
+    assert "Join" not in mp
+
+    cut = cut_duplicated_spans(docs, window=10)
+    cut.write.format("noop").mode("overwrite").save()
+    cp = cut._jdf.queryExecution().executedPlan().toString()
+    assert not re.search(r"EvalPython|MapInPandas", cp)
+    assert "SortMergeJoin" not in cp and "CartesianProduct" not in cp
+    assert "BroadcastHashJoin" in cp
+    spark.catalog.clearCache()
+
+
 def test_canonical_corpus_drop_is_broadcast_anti(spark, sf_dir):
     # the shingle self-join deep in the pair lineage is legitimately
     # sort-merge; the assertion targets the final drop join only

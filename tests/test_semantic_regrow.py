@@ -228,6 +228,90 @@ def test_regrow_preserves_pq_artifact(spark, sf_dir, tmp_path):
     assert a == b and a
 
 
+def test_regrow_corpus_cells_end_to_end(spark, sf_dir, tmp_path):
+    """The corpus-root composition: fold batches with ANN + SemDeDup
+    on, regrow the root's cells mid-stream (offline), keep folding —
+    the live semantic labels equal the batch operator over all keepers
+    at the NEW geometry, read through read_incremental_corpus."""
+    from pyspark.sql import functions as F
+
+    from rental_data_pipeline_spark.jobs.corpus_job import CorpusConfig
+    from rental_data_pipeline_spark.operators.similarity import kmeans_train
+    from rental_data_pipeline_spark.sources.tables import load_table
+    from rental_data_pipeline_spark.streaming.corpus_stream import (
+        fold_corpus_batch,
+        read_incremental_corpus,
+        regrow_corpus_cells,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    embs = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    streamed = docs.join(embs, "doc_id", "left")
+    root = str(tmp_path / "corpus")
+    cfg = CorpusConfig(
+        languages=("en", "de", "fr", "es"), min_quality=0.0, min_tokens=1,
+        max_contamination=0.5,
+    )
+    holdout = docs.where(F.col("doc_id") % 5 == 0)
+    cents, _ = kmeans_train(
+        load_table(spark, "embeddings", sf_dir).where("vec_id < 170"),
+        k=2, n_iter=2,
+    )
+    chunks = [(0, 170), (170, 340), (340, 10**9)]
+    for i, (lo, hi) in enumerate(chunks[:2]):
+        fold_corpus_batch(
+            spark, root,
+            streamed.where(
+                (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+            ),
+            i, cfg, holdout=holdout, ann_centroids=cents,
+            vec_col="embedding", semantic_threshold=0.3,
+        )
+
+    # an ANN-only root refuses nothing; a semantic root demands the
+    # stream's threshold
+    with pytest.raises(ValueError, match="semantic_threshold"):
+        regrow_corpus_cells(spark, root, 4)
+    ran = regrow_corpus_cells(spark, root, 4, semantic_threshold=0.3)
+    assert ran == {"semantic": True, "ann": True}
+    assert read_meta(f"{root}/ann")["n_cells"] == 4
+
+    lo, hi = chunks[2]
+    fold_corpus_batch(
+        spark, root,
+        streamed.where((F.col("doc_id") >= lo) & (F.col("doc_id") < hi)),
+        2, cfg, holdout=holdout, ann_centroids=cents,
+        vec_col="embedding", semantic_threshold=0.3,
+    )
+
+    got = read_incremental_corpus(spark, root, cfg)
+    # the batch twin at the NEW geometry: the full corpus job with the
+    # regrown index's centroids (the same comparison the corpus-stream
+    # equivalence test makes, before any regrow existed)
+    from dataclasses import replace
+
+    from rental_data_pipeline_spark.jobs.corpus_job import (
+        build_training_corpus,
+    )
+
+    want = build_training_corpus(
+        docs, holdout, replace(cfg, semantic_threshold=0.3),
+        embeddings=load_table(spark, "embeddings", sf_dir).select(
+            "vec_id", "embedding"
+        ),
+        semantic_centroids=index_centroids(spark, f"{root}/ann"),
+    )
+    got_dropped = {r.doc_id for r in got["semantic_dropped"].collect()}
+    want_dropped = {r.doc_id for r in want["semantic_dropped"].collect()}
+    assert got_dropped == want_dropped and got_dropped
+    # and the canonical corpus agrees end-to-end
+    assert {r.doc_id for r in got["corpus"].collect()} == {
+        r.doc_id for r in want["corpus"].collect()
+    }
+
+
 def test_regrow_resumes_after_crash(spark, sf_dir, tmp_path):
     """A crash mid-migration (pending staged, nothing else) resumes to
     the identical end state: deterministic retrain + relabel."""
