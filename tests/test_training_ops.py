@@ -64,6 +64,16 @@ def test_duplicated_spans_counts_and_keeper(spark):
     # min_docs honored: doc 2's internal-only repeats don't leak through
     assert all(r["n_docs"] >= 2 for r in rows)
 
+    # the multi-window sweep restricted to one window IS the
+    # single-window operator (shared-scan form, identical semantics)
+    def key(r):
+        return (r["span_hash"], r["keeper_id"], r["n_copies"], r["n_docs"])
+
+    multi = D.multi_window_duplicated_spans(df, windows=[10], min_docs=2)
+    assert sorted(key(r) for r in multi.drop("window").collect()) == sorted(
+        key(r) for r in rows
+    )
+
 
 def test_span_extents_merge_overlaps_and_split_gaps(spark):
     # shared region A (tokens 1-12 of doc 1) yields 3 overlapping
