@@ -17,6 +17,7 @@ from rental_data_pipeline_spark.streaming.incremental import (  # noqa: F401
     read_snapshot_stream,
     read_state,
     state_version_log,
+    suggest_rebucket,
     windowed_price_stats,
     windowed_price_stats_stream_exact,
 )

@@ -311,6 +311,45 @@ def _assert_no_pending_rebucket(state_path: str) -> None:
         )
 
 
+def suggest_rebucket(
+    spark: SparkSession,
+    state_path: str,
+    target_rows_per_bucket: int = 2000,
+    growth_factor: float = 2.0,
+) -> dict:
+    """The operational watermark for :func:`rebucket_state` — the
+    bucket-count analog of ``ann_index.suggest_regrow``. Per-batch fold
+    cost is O(touched buckets × rows per bucket), so a bucket count
+    frozen at the local default bends the fold's flatness curve as
+    state accumulates (measured: the composed corpus fold is 1.16× at
+    100× state under 16 buckets and 1.01× under 256 — the
+    ``corpus100``/``corpus100rb`` tiers). Reports current occupancy
+    and a power-of-two target holding ``target_rows_per_bucket``
+    (default 2000: comfortably inside the measured-flat regime, which
+    held at ~780 rows/bucket and bent at ~12,500); ``due`` once the
+    target reaches ``growth_factor`` × the current count. One count
+    job, offline — a maintenance job polls this between batches and
+    runs ``rebucket_state`` / ``rebucket_corpus`` when due."""
+    meta = _read_meta(state_path)
+    if meta is None:
+        raise ValueError(
+            f"not a bucketed state table (no {_META_NAME}): {state_path}"
+        )
+    st = read_state(spark, state_path)
+    n = 0 if st is None else st.count()
+    n_buckets = int(meta["n_buckets"])
+    target = n_buckets
+    while target * target_rows_per_bucket < n:
+        target *= 2
+    return {
+        "state_rows": n,
+        "n_buckets": n_buckets,
+        "rows_per_bucket": round(n / max(n_buckets, 1), 1),
+        "target_n_buckets": target,
+        "due": target >= growth_factor * n_buckets,
+    }
+
+
 def rebucket_state(
     spark: SparkSession,
     state_path: str,

@@ -271,3 +271,29 @@ def test_rebucket_df_vocab(spark):
         assert rebucket_df(spark, state, 8) is False
     finally:
         shutil.rmtree(state, ignore_errors=True)
+
+
+def test_suggest_rebucket_watermark(spark, tmpdirs):
+    """The occupancy watermark: a tiny table at the default count is
+    not due; shrinking target_rows_per_bucket (standing in for state
+    growth) makes it due with a power-of-two target; after migrating
+    to that target it is no longer due."""
+    from rental_data_pipeline_spark.streaming.incremental import (
+        suggest_rebucket,
+    )
+
+    landing, state, ckpt = tmpdirs
+    _snapshots(spark).coalesce(1).write.mode("append").parquet(landing)
+    _run_stream(spark, landing, state, ckpt)
+
+    s = suggest_rebucket(spark, state)
+    assert s["state_rows"] == 50 and not s["due"]
+    assert s["target_n_buckets"] == s["n_buckets"]
+
+    s2 = suggest_rebucket(spark, state, target_rows_per_bucket=1)
+    assert s2["due"] and s2["target_n_buckets"] >= 50
+    assert s2["target_n_buckets"] % s2["n_buckets"] == 0  # power-of-two steps
+
+    assert rebucket_state(spark, state, s2["target_n_buckets"])
+    s3 = suggest_rebucket(spark, state, target_rows_per_bucket=1)
+    assert not s3["due"]
