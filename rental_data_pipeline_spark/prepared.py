@@ -23,11 +23,13 @@ from __future__ import annotations
 import atexit
 import shutil
 import tempfile
+import time
 from typing import Any, Callable
 
 from pyspark.sql import SparkSession
 
 _ARTIFACTS: dict[tuple, Any] = {}
+_BUILD_SECONDS: dict[str, float] = {}
 _TEMPDIRS: list[str] = []
 
 
@@ -55,5 +57,17 @@ def session_artifact(spark: SparkSession, key: tuple, builder: Callable[[], Any]
     """
     full_key = (spark.sparkContext.applicationId,) + key
     if full_key not in _ARTIFACTS:
+        t0 = time.perf_counter()
         _ARTIFACTS[full_key] = builder()
+        # the one-time construction cost stays VISIBLE (bench.py ships
+        # it in BENCH_LAST.json): the memo amortizes it, never hides it
+        _BUILD_SECONDS["/".join(map(str, key))] = round(
+            time.perf_counter() - t0, 3
+        )
     return _ARTIFACTS[full_key]
+
+
+def build_log() -> dict[str, float]:
+    """Seconds spent building each prepared artifact this process —
+    the amortized-away cost, reported rather than hidden."""
+    return dict(_BUILD_SECONDS)
