@@ -228,6 +228,45 @@ def test_regrow_preserves_pq_artifact(spark, sf_dir, tmp_path):
     assert a == b and a
 
 
+def test_regrow_corpus_cells_ann_only_root(spark, sf_dir, tmp_path):
+    """A corpus that streamed embeddings WITHOUT the SemDeDup stage
+    regrows its index alone — no threshold demanded, no label slice
+    invented for a stage that never ran."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from rental_data_pipeline_spark.jobs.corpus_job import CorpusConfig
+    from rental_data_pipeline_spark.operators.similarity import kmeans_train
+    from rental_data_pipeline_spark.sources.tables import load_table
+    from rental_data_pipeline_spark.streaming.corpus_stream import (
+        fold_corpus_batch,
+        regrow_corpus_cells,
+    )
+
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    embs = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    streamed = docs.join(embs, "doc_id", "left")
+    root = str(tmp_path / "corpus")
+    cfg = CorpusConfig(
+        languages=("en", "de", "fr", "es"), min_quality=0.0, min_tokens=1,
+    )
+    cents, _ = kmeans_train(
+        load_table(spark, "embeddings", sf_dir).where("vec_id < 170"),
+        k=2, n_iter=1,
+    )
+    fold_corpus_batch(
+        spark, root, streamed.where("doc_id < 170"), 0, cfg,
+        ann_centroids=cents, vec_col="embedding",  # NO semantic_threshold
+    )
+    ran = regrow_corpus_cells(spark, root, 4)
+    assert ran == {"ann": True}
+    assert read_meta(f"{root}/ann")["n_cells"] == 4
+    assert not os.path.exists(f"{root}/semantic/_sem_meta.json")
+
+
 def test_regrow_corpus_cells_end_to_end(spark, sf_dir, tmp_path):
     """The corpus-root composition: fold batches with ANN + SemDeDup
     on, regrow the root's cells mid-stream (offline), keep folding —
