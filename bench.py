@@ -220,9 +220,17 @@ def main() -> None:
     calib_sched_samples = probe_sched()
     calib = sorted(calib_samples)[1]
 
+    from rental_data_pipeline_spark import prepared as _prepared
+
+    builds = _prepared.build_log()
+    value = round(sum(timings.values()), 3)
     out = {
         "metric": "headline_queries_total_runtime",
-        "value": round(sum(timings.values()), 3),
+        "value": value,
+        # steady-state total + the one-time prepared-artifact builds a
+        # fresh session pays (state folds, trained indexes): warm vs
+        # cold cross-round comparisons are mechanical, not archaeology
+        "value_cold": round(value + sum(builds.values()), 3),
         "unit": "sec",
         "queries": timings,
         "calib_sec": calib,
@@ -236,8 +244,6 @@ def main() -> None:
     # the contract fields + the three scalar calibrations and stays
     # well under the window; the full detail (probe samples, per-slot
     # sched brackets) goes to BENCH_LAST.json next to this script.
-    from rental_data_pipeline_spark import prepared as _prepared
-
     full = dict(out)
     full.update(
         {
@@ -248,7 +254,7 @@ def main() -> None:
             # one-time prepared-artifact build costs (state folds,
             # trained indexes) absorbed by the warmup pass — amortized
             # by the session memo, reported here rather than hidden
-            "prepared_builds": _prepared.build_log(),
+            "prepared_builds": builds,
         }
     )
     with open(

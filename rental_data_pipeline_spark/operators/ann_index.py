@@ -271,6 +271,20 @@ def regrow_ann_index(
                 "has outgrown its cells, not before"
             )
         atomic_json_write(pending, {"n_cells": int(new_n_cells)})
+    with open(pending) as f:
+        staged = _json.load(f)
+    # Resume discipline: a crashed migration resumes at its STAGED
+    # cell count; rebuilding at a different caller value would leave
+    # downstream label metadata (regrow_semantic_cells' done-match)
+    # pointing at one geometry while the index holds another. Refuse
+    # the mismatch — finish the staged migration first.
+    if staged["n_cells"] != int(new_n_cells):
+        raise RuntimeError(
+            "regrow_ann_index: a pending migration is staged at "
+            f"n_cells={staged['n_cells']} but was called with "
+            f"n_cells={new_n_cells} — re-run with the staged value to "
+            "finish it, then migrate again"
+        )
     corpus = spark.read.parquet(snap)
     pq_cfg = meta.get("pq")
     build_ann_index(

@@ -23,6 +23,7 @@ from __future__ import annotations
 import atexit
 import shutil
 import tempfile
+import threading
 import time
 from typing import Any, Callable
 
@@ -31,6 +32,7 @@ from pyspark.sql import SparkSession
 _ARTIFACTS: dict[tuple, Any] = {}
 _BUILD_SECONDS: dict[str, float] = {}
 _TEMPDIRS: list[str] = []
+_MEMO_LOCK = threading.Lock()
 
 
 def _cleanup() -> None:
@@ -56,14 +58,20 @@ def session_artifact(spark: SparkSession, key: tuple, builder: Callable[[], Any]
     session never reuses plans bound to a dead JVM context.
     """
     full_key = (spark.sparkContext.applicationId,) + key
-    if full_key not in _ARTIFACTS:
-        t0 = time.perf_counter()
-        _ARTIFACTS[full_key] = builder()
-        # the one-time construction cost stays VISIBLE (bench.py ships
-        # it in BENCH_LAST.json): the memo amortizes it, never hides it
-        _BUILD_SECONDS["/".join(map(str, key))] = round(
-            time.perf_counter() - t0, 3
-        )
+    # single lock around the miss path: concurrent first calls would
+    # otherwise both run the (expensive, tempdir-allocating) builder;
+    # builders call back into Spark, never into this memo, so holding
+    # the lock across the build cannot deadlock
+    with _MEMO_LOCK:
+        if full_key not in _ARTIFACTS:
+            t0 = time.perf_counter()
+            _ARTIFACTS[full_key] = builder()
+            # the one-time construction cost stays VISIBLE (bench.py
+            # ships it in BENCH_LAST.json): the memo amortizes it,
+            # never hides it
+            _BUILD_SECONDS["/".join(map(str, key))] = round(
+                time.perf_counter() - t0, 3
+            )
     return _ARTIFACTS[full_key]
 
 

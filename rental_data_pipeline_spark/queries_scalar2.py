@@ -518,4 +518,7 @@ def scalar_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             out = out.join(F.broadcast(renamed), "id", "left")
         return out
 
-    return session_artifact(spark, ("scalar_suite",), _build)
+    # sf_dir in the key per prepared.py's contract: the sub-parts are
+    # literal-backed today, but the first sf-dependent addition must
+    # not silently share one artifact across scale factors
+    return session_artifact(spark, ("scalar_suite", sf_dir), _build)

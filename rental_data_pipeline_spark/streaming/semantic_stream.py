@@ -213,11 +213,14 @@ def read_semantic_labels(
         # any batch AFTER R was folded under the new geometry and
         # needs the consolidated slice
         best_c, best_as_of = None, -1
-        for c in _glob.glob(f"{sem_path}/c_*"):
+        # sorted ascending by generation; <= so that among slices
+        # sharing an as_of (threshold-only migration with no
+        # intervening folds) the LATEST committed regrow wins
+        for c in sorted(_glob.glob(f"{sem_path}/c_*")):
             info = _regrow_info(c)
             if info is None:
                 continue
-            if best_as_of < info["as_of"] < as_of_batch:
+            if best_as_of <= info["as_of"] < as_of_batch:
                 best_c, best_as_of = c, info["as_of"]
         dirs = ([best_c] if best_c else []) + [
             d
@@ -320,8 +323,23 @@ def regrow_semantic_cells(
         )
     with open(pending) as f:
         stage = _json.load(f)
+    # Resume discipline (mirrors the rebucket migrations): a crashed
+    # migration resumes with its STAGED parameters; silently rebuilding
+    # at different caller args would leave labels vs geometry
+    # inconsistent. Refuse the mismatch explicitly — finish (re-run
+    # with the staged args) and then migrate again.
+    if stage["n_cells"] != int(new_n_cells) or float(
+        stage["threshold"]
+    ) != float(threshold):
+        raise RuntimeError(
+            "regrow_semantic_cells: a pending migration is staged at "
+            f"n_cells={stage['n_cells']}/threshold={stage['threshold']} "
+            f"but was called with n_cells={new_n_cells}/threshold="
+            f"{threshold} — re-run with the staged parameters to finish "
+            "it, then migrate again"
+        )
 
-    regrow_ann_index(spark, index_path, int(new_n_cells), n_iter=n_iter)
+    regrow_ann_index(spark, index_path, int(stage["n_cells"]), n_iter=n_iter)
 
     # relabel the whole corpus under the new geometry, unless a resume
     # already committed it
@@ -332,6 +350,12 @@ def regrow_semantic_cells(
             info is not None
             and info["as_of"] == stage["as_of"]
             and info["n_cells"] == stage["n_cells"]
+            # threshold too: a threshold-only re-migration (same
+            # n_cells, no folds since the prior regrow) shares as_of
+            # and n_cells with the OLD slice — without this it would
+            # skip the relabel and stamp the new threshold over labels
+            # computed at the old one
+            and float(info["threshold"]) == float(stage["threshold"])
         ):
             done = c
             break

@@ -382,3 +382,96 @@ def test_regrow_resumes_after_crash(spark, sf_dir, tmp_path):
         )
     )
     assert got == want and got
+
+
+def test_threshold_only_remigration_relabels(spark, sf_dir, tmp_path):
+    """A second regrow that changes ONLY the threshold (same n_cells,
+    no folds in between) shares as_of and n_cells with the prior
+    regrow's slice — it must still relabel (not match the old slice as
+    'done' and stamp the new threshold over labels computed at the old
+    one), and historical reads at the shared as_of must return the
+    LATEST committed regrow's labels."""
+    _, chunks = _chunks(spark, sf_dir)
+    idx, sem = str(tmp_path / "idx"), str(tmp_path / "sem")
+    build_ann_index(chunks[0], idx, n_cells=2, n_iter=2)
+    fold_semantic_batch(spark, idx, sem, chunks[0], 0, threshold=THRESH)
+
+    assert regrow_semantic_cells(
+        spark, idx, sem, new_n_cells=4, threshold=THRESH, n_iter=2
+    )
+    first = _rows(read_semantic_labels(spark, sem))
+
+    # threshold-only migration: same cells, stricter threshold
+    t2 = 0.9
+    assert regrow_semantic_cells(
+        spark, idx, sem, new_n_cells=4, threshold=t2, n_iter=2
+    )
+    with open(f"{sem}/_sem_meta.json") as f:
+        meta = json.load(f)
+    assert meta["threshold"] == t2 and meta["n_cells"] == 4
+
+    got = _rows(read_semantic_labels(spark, sem))
+    want = _rows(
+        semantic_dedup(
+            chunks[0], threshold=t2, centroids=index_centroids(spark, idx)
+        )
+    )
+    assert got == want and got
+    # the relabel really happened: a stricter threshold keeps more docs
+    assert got != first
+
+    # continued folds use the NEW threshold's decision space
+    append_ann_index(chunks[1], idx, batch_id=1)
+    fold_semantic_batch(spark, idx, sem, chunks[1], 1, threshold=t2)
+    live = _rows(read_semantic_labels(spark, sem))
+    want_live = _rows(
+        semantic_dedup(
+            chunks[0].unionByName(chunks[1]),
+            threshold=t2,
+            centroids=index_centroids(spark, idx),
+        )
+    )
+    assert live == want_live
+
+    # tie-break: both c_* slices carry as_of=0; a historical read as-of
+    # batch 1 must pick the LATEST regrow (t2 labels), not glob order
+    assert _rows(read_semantic_labels(spark, sem, as_of_batch=1)) == live
+
+
+def test_regrow_refuses_mismatched_resume(spark, sf_dir, tmp_path):
+    """Resuming a crashed migration with DIFFERENT parameters than the
+    staged pending must refuse (rebucket discipline), not silently
+    rebuild at one geometry while metadata records another."""
+    from rental_data_pipeline_spark.streaming.incremental import (
+        atomic_json_write,
+    )
+
+    _, chunks = _chunks(spark, sf_dir)
+    idx, sem = str(tmp_path / "idx"), str(tmp_path / "sem")
+    build_ann_index(chunks[0], idx, n_cells=2, n_iter=2)
+    fold_semantic_batch(spark, idx, sem, chunks[0], 0, threshold=THRESH)
+
+    atomic_json_write(
+        f"{sem}/_sem_meta.json.pending",
+        {"n_cells": 4, "threshold": THRESH, "as_of": 0,
+         "covered": ["b_000000000"]},
+    )
+    with pytest.raises(RuntimeError, match="staged at"):
+        regrow_semantic_cells(
+            spark, idx, sem, new_n_cells=8, threshold=THRESH, n_iter=2
+        )
+    with pytest.raises(RuntimeError, match="staged at"):
+        regrow_semantic_cells(
+            spark, idx, sem, new_n_cells=4, threshold=0.7, n_iter=2
+        )
+    # staged args finish it
+    assert regrow_semantic_cells(
+        spark, idx, sem, new_n_cells=4, threshold=THRESH, n_iter=2
+    )
+
+    # same discipline one level down: a staged index regrow refuses a
+    # different n_cells
+    atomic_json_write(f"{idx}/_meta.json.pending", {"n_cells": 8})
+    with pytest.raises(RuntimeError, match="staged at"):
+        regrow_ann_index(spark, idx, 6, n_iter=2)
+    os.remove(f"{idx}/_meta.json.pending")
