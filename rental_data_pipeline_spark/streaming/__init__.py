@@ -53,7 +53,15 @@ from rental_data_pipeline_spark.streaming.semantic_stream import (  # noqa: F401
 from rental_data_pipeline_spark.streaming.span_stream import (  # noqa: F401
     fold_spans_batch,
     read_duplicated_spans,
+    read_span_state,
     read_span_windows,
+)
+from rental_data_pipeline_spark.streaming.tiered import (  # noqa: F401
+    maybe_compact,
+    read_tiered,
+    rebucket_tiered,
+    suggest_rebucket_tiered,
+    tiered_fold,
 )
 from rental_data_pipeline_spark.streaming.simhash_stream import (  # noqa: F401
     compact_simhash_index,

@@ -9,11 +9,22 @@ count — and under the corpus stream's arrival-order contract every
 document arrives in EXACTLY ONE batch, so the per-batch aggregates
 merge losslessly: keeper = min of mins, n_copies = sum of sums,
 n_docs = sum of per-batch distinct-doc counts (disjoint doc sets).
-That makes the fold a plain associative/commutative keyed merge, so
-it rides :func:`incremental.bucketed_keyed_fold` unchanged — the same
-LSM commit protocol (replay no-op, crashed-attempt cleanup,
-touched-bucket pruning, periodic compaction) as the CDC state, the
-curation state and the df-vocabulary.
+That makes the fold a plain associative/commutative keyed merge — but
+NOT one that can ride ``incremental.bucketed_keyed_fold``: a 200-doc
+batch contributes ~10⁴ uniformly-hashed span keys, touching every
+bucket at any bucket count, so the merge-on-write "delta" degenerates
+into a full-state rewrite per fold (measured O(state) bytes/fold:
+``scripts/span_compaction_churn.py``; at the README's projected
+~16 TB production state that is terabytes rewritten per 200-doc
+batch). The span state therefore rides the size-tiered slice store
+(:mod:`streaming.tiered`): each fold writes a pure O(batch) delta
+slice, reads merge-on-read under the same reduction, and size-tiered
+compaction amortizes the rewrite to O(batch × log(state/batch)) —
+the same ``_SUCCESS``/manifest commit protocol (replay no-op,
+covered-id replay, crashed-attempt cleanup) as the dedup index and
+sketch streams. Pre-tiering (v_* merge-on-write) span states remain
+readable; folds into them refuse with a rebuild message, mirroring
+the legacy hex-key discipline.
 
 With this, every dedup variant in the engine has an incremental
 maintenance path: exact content-hash (curation state), MinHash/LSH
@@ -32,8 +43,11 @@ from pyspark.sql import functions as F
 
 from rental_data_pipeline_spark.streaming.incremental import (
     N_STATE_BUCKETS,
-    bucketed_keyed_fold,
     read_state_or_legacy,
+)
+from rental_data_pipeline_spark.streaming.tiered import (
+    read_tiered,
+    tiered_fold,
 )
 
 _KEY = "span_hash"
@@ -50,6 +64,7 @@ _COLS = ["window", "span_hash", "keeper_id", "n_copies", "n_docs"]
 # time and only an exact row stores them. Read path converts back to
 # the operator's hex-string contract.
 _ENCODING = "binary128"
+_LAYOUT = "tiered"
 
 
 def _batch_span_stats(
@@ -79,15 +94,15 @@ def _batch_span_stats(
     )
 
 
-def _merge_span_stats(target: DataFrame | None, b: DataFrame) -> DataFrame:
-    b = b.select(*_COLS)
-    if target is None:
-        return b
-    # key = (window, span_hash): hashes of different window lengths
-    # can't collide in practice, but the pair is the true identity
+def _reduce_span_stats(df: DataFrame) -> DataFrame:
+    """The fold's associative keyed reduction — one function shared by
+    merge-on-read and every compaction level (the tiered store's
+    reduce_fn contract: projects to its own columns, reduces any union
+    of slice partitions to the same rows). key = (window, span_hash):
+    hashes of different window lengths can't collide in practice, but
+    the pair is the true identity."""
     return (
-        target.select(*_COLS)
-        .unionByName(b)
+        df.select(*_COLS)
         .groupBy("window", _KEY)
         .agg(
             F.min("keeper_id").alias("keeper_id"),
@@ -107,19 +122,26 @@ def fold_spans_batch(
     id_col: str = "doc_id",
     compact_every: int = 16,
     n_state_buckets: int = N_STATE_BUCKETS,
+    fanin: int = 8,
 ) -> None:
-    """Fold one document batch's span statistics into the bucketed
-    state table. Idempotent per ``batch_id`` (LSM commit protocol);
-    assumes each doc id arrives in exactly one batch (the corpus
-    stream's arrival-order contract) — a replayed doc would
-    double-count occurrences, which is exactly why the fold rides the
-    replay-no-op versioned commit. ``window`` may be a single int or a
-    LIST of window lengths (the multi-length sweep: all windows ride
-    one tokenize + one explode per batch); the window set is frozen in
-    ``_span_window.json`` on the first fold (the bucket-count
-    discipline: folding a different window set into the same state
-    would silently mix incomparable fingerprint populations) — later
-    folds refuse a mismatched set."""
+    """Fold one document batch's span statistics into the size-tiered
+    state table: the batch's pre-aggregated rows land as ONE O(batch)
+    delta slice — the state is never read, let alone rewritten, on the
+    fold path — and due size-tiered compactions run inline
+    (``compact_every`` level-0 slices merge to one level-1 slice;
+    ``fanin`` level-L slices to one level-L+1). Idempotent per
+    ``batch_id`` (slice + covered-id replay no-op); assumes each doc id
+    arrives in exactly one batch (the corpus stream's arrival-order
+    contract) — a replayed doc would double-count occurrences, which is
+    exactly why the fold rides the replay-no-op slice commit.
+    ``window`` may be a single int or a LIST of window lengths (the
+    multi-length sweep: all windows ride one tokenize + one explode per
+    batch); the window set is frozen in ``_span_window.json`` on the
+    first fold (the bucket-count discipline: folding a different window
+    set into the same state would silently mix incomparable fingerprint
+    populations) — later folds refuse a mismatched set, and legacy
+    states (hex keys, or the pre-tiering merge-on-write layout) refuse
+    with a rebuild message rather than corrupting silently."""
     windows = sorted(
         {int(window)} if isinstance(window, int) else {int(w) for w in window}
     )
@@ -132,7 +154,12 @@ def fold_spans_batch(
         tmp = f"{state_path}/_span_window.json.tmp"
         with open(tmp, "w") as f:
             _json.dump(
-                {"windows": windows, "key_encoding": _ENCODING}, f
+                {
+                    "windows": windows,
+                    "key_encoding": _ENCODING,
+                    "layout": _LAYOUT,
+                },
+                f,
             )
         _os.replace(tmp, f"{state_path}/_span_window.json")
     elif frozen != windows:
@@ -147,14 +174,24 @@ def fold_spans_batch(
             f"span state at {state_path} uses legacy hex-string keys; "
             "rebuild it (or keep folding with the version that wrote it)"
         )
-    bucketed_keyed_fold(
+    elif _span_meta(state_path).get("layout") != _LAYOUT:
+        # a pre-tiering state is a v_* merge-on-write version chain:
+        # tiered slices written next to it would give readers half a
+        # state each way
+        raise ValueError(
+            f"span state at {state_path} uses the legacy merge-on-write "
+            "layout; rebuild it (or keep folding with the version that "
+            "wrote it)"
+        )
+    tiered_fold(
         _batch_span_stats(batch, text_col, id_col, windows),
         batch_id,
         state_path,
         key=_KEY,
-        merge_fn=_merge_span_stats,
+        reduce_fn=_reduce_span_stats,
         n_buckets=n_state_buckets,
         compact_every=compact_every,
+        fanin=fanin,
     )
 
 
@@ -188,6 +225,19 @@ def read_span_windows(state_path: str) -> list[int] | None:
     return [int(meta["window"])]
 
 
+def read_span_state(
+    spark: SparkSession, state_path: str
+) -> DataFrame | None:
+    """The merged state table in its INTERNAL form (binary keys, no
+    min_docs filter) — the layout dispatch point: tiered states merge
+    their live slices on read under the fold's own reduction; legacy
+    merge-on-write states read their composed version chain. ``None``
+    before the first committed fold."""
+    if _span_meta(state_path).get("layout") == _LAYOUT:
+        return read_tiered(spark, state_path, _reduce_span_stats)
+    return read_state_or_legacy(spark, state_path)
+
+
 def read_duplicated_spans(
     spark: SparkSession,
     state_path: str,
@@ -203,7 +253,7 @@ def read_duplicated_spans(
     (span_hash, keeper_id, n_copies, n_docs) plus ``window``; binary
     state keys convert back to hex strings at this boundary (legacy
     string-keyed states pass through unchanged)."""
-    state = read_state_or_legacy(spark, state_path)
+    state = read_span_state(spark, state_path)
     if state is None:
         return None
     cols = [c for c in _COLS if c in state.columns]

@@ -1,0 +1,381 @@
+"""Size-tiered slice store for ASSOCIATIVE keyed folds — the state
+layout for folds whose per-batch key count exceeds any reasonable
+bucket count.
+
+The merge-on-write bucketed state (``incremental.bucketed_keyed_fold``)
+rewrites each touched bucket's merged content per fold. That is
+O(batch × rows-per-bucket) when batch keys ≪ n_buckets — flat under
+the ``suggest_rebucket`` occupancy watermark, the right trade for the
+CDC and curation states whose batches carry hundreds of keys. The
+span-hash state inverts the ratio: a 200-doc batch contributes ~10⁴
+uniformly-hashed span keys, touching EVERY bucket at any bucket count
+a filesystem tolerates, so the "delta" degenerates into a full-state
+rewrite per fold (measured: 17 MB written per 200-doc fold at 30 MB
+state, 179 MB at 313 MB state — exactly O(state);
+``scripts/span_compaction_churn.py``). No occupancy watermark can fix
+that; the LAYOUT must change.
+
+This store writes pure O(batch) delta slices and defers merging:
+
+- **fold**: the batch's pre-aggregated rows land as one ``b_*`` slice
+  (hash-bucketed by key for downstream layout, ``_SUCCESS``-gated,
+  idempotent per batch id — the shared slice protocol of the dedup
+  index / sketch / df streams). NO state read, NO state rewrite.
+- **read**: union of the live slices reduced by the fold's own
+  ``reduce_fn`` (merge-on-read). Read amplification is bounded by the
+  compaction fan-ins: at most ``compact_every`` level-0 + ``fanin``
+  slices per higher level.
+- **compaction, size-tiered**: when ``compact_every`` level-0 slices
+  accumulate they merge into ONE level-1 ``c_*`` slice (cost
+  O(compact_every × batch) — never touches the base); when ``fanin``
+  level-L slices accumulate they merge into one level-L+1 slice.
+  Levels grow geometrically, so the amortized rewrite per fold is
+  O(batch × log_fanin(state/batch)) — the classic size-tiered LSM
+  bound — instead of O(state)/cadence.
+
+Crash safety rides the shared manifest protocol
+(``incremental.sliced_committed``): a compaction is committed by its
+``_covered.json`` (written LAST); a crash before it leaves an
+invisible ``c_*`` dir whose sources stay live (swept on the next
+compaction); a crash after it but before source deletion leaves
+covered dirs that readers already ignore (also swept). Manifests
+record coverage TRANSITIVELY (direct sources plus everything those
+sources covered), so ``slice_id_compacted``'s covered-id replay
+contract survives any number of compaction generations — without
+that, deleting a covered ``c_*`` would orphan the ``b_*`` ids it had
+covered and a crash-window replay would double-count a batch.
+
+``reduce_fn(union_of_slices) -> merged rows`` must be a pure
+associative/commutative keyed reduction (the union of any partition of
+the slices reduces to the same rows) — exactly the property that lets
+the read and every compaction level share one function.
+
+Reference: the reference's state handling is a full JSON rewrite per
+run (``parse_data.py:131-132,217-223``); this store exists so the one
+state table whose batches touch every bucket never inherits that
+shape at scale.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import json as _json
+import os as _os
+import shutil as _shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.streaming.incremental import (
+    BUCKET_COL,
+    N_STATE_BUCKETS,
+    _bucket_of,
+    _read_manifest,
+    atomic_json_write,
+    has_part_files,
+    manifest_covered,
+    slice_id_compacted,
+    sliced_committed,
+)
+
+_META_NAME = "_meta.json"
+_META_PENDING = "_meta.json.pending"
+_TIER_NAME = "_tier.json"
+
+
+def _read_meta(state_path: str) -> dict | None:
+    p = f"{state_path}/{_META_NAME}"
+    if not _os.path.exists(p):
+        return None
+    with open(p) as f:
+        return _json.load(f)
+
+
+def _ensure_meta(state_path: str, key: str, n_buckets: int) -> dict:
+    """Layout metadata frozen at table creation — the shared
+    discipline: the bucket function must never change under a live
+    table (``rebucket_tiered`` is the migration)."""
+    meta = _read_meta(state_path)
+    if meta is not None:
+        if meta.get("layout") != "tiered":
+            # a merge-on-write (v_*) table's _meta.json — folding
+            # tiered slices next to a version chain would give readers
+            # two half-states
+            raise ValueError(
+                f"state at {state_path} uses the merge-on-write layout; "
+                "refusing a tiered fold into it (rebuild, or keep "
+                "folding with bucketed_keyed_fold)"
+            )
+        return meta
+    meta = {"n_buckets": int(n_buckets), "key": key, "layout": "tiered"}
+    _os.makedirs(state_path, exist_ok=True)
+    atomic_json_write(f"{state_path}/{_META_NAME}", meta)
+    return meta
+
+
+def _assert_no_pending_rebucket(state_path: str) -> None:
+    if _os.path.exists(f"{state_path}/{_META_PENDING}"):
+        raise RuntimeError(
+            f"tiered state at {state_path} has an interrupted rebucket "
+            "migration (pending meta present); re-run rebucket_tiered() "
+            "to finish it before folding or reading"
+        )
+
+
+def _slice_level(d: str) -> int:
+    """A slice's tier: ``b_*`` batch slices are level 0; ``c_*``
+    compactions carry their level in ``_tier.json`` (missing → 1, the
+    pre-tiering compaction default)."""
+    if _os.path.basename(d).startswith("b_"):
+        return 0
+    p = f"{d}/{_TIER_NAME}"
+    if not _os.path.exists(p):
+        return 1
+    with open(p) as f:
+        return int(_json.load(f).get("level", 1))
+
+
+def _union_dirs(spark: SparkSession, dirs: list[str]) -> DataFrame:
+    out = spark.read.parquet(dirs[0])
+    for d in dirs[1:]:
+        out = out.unionByName(spark.read.parquet(d), allowMissingColumns=True)
+    return out
+
+
+def _write_slice(
+    merged: DataFrame, out_dir: str, key: str, n_buckets: int
+) -> None:
+    """One bucketed slice write: each bucket in ~one file; a zero-row
+    ``partitionBy`` leaves no readable part file, so empties are
+    rewritten as a schema-bearing plain frame (shared discipline)."""
+    spark = merged.sparkSession
+    # int (not the pmod's bigint): partition-dir inference reads the
+    # column back as int, and the empty-slice fallback frame below must
+    # union cleanly with inferred slices (the dedup_index discipline)
+    out = merged.drop(BUCKET_COL).withColumn(
+        BUCKET_COL, _bucket_of(key, n_buckets).cast("int")
+    )
+    dp = spark.sparkContext.defaultParallelism
+    out.repartition(min(n_buckets, dp), F.col(BUCKET_COL)).write.mode(
+        "overwrite"
+    ).partitionBy(BUCKET_COL).parquet(out_dir)
+    if not has_part_files(out_dir):
+        spark.createDataFrame([], out.schema).write.mode(
+            "overwrite"
+        ).parquet(out_dir)
+
+
+def _sweep(state_path: str) -> None:
+    """Remove compaction leftovers: uncommitted ``c_*`` dirs (crash
+    before manifest — their sources are still live) and covered dirs a
+    crash-after-manifest left undeleted."""
+    covered = manifest_covered(state_path)
+    for c in _glob.glob(f"{state_path}/c_*"):
+        if _read_manifest(f"{c}/_covered.json") is None:
+            _shutil.rmtree(c, ignore_errors=True)
+    for pat in ("b_*", "c_*"):
+        for d in _glob.glob(f"{state_path}/{pat}"):
+            if _os.path.basename(d) in covered:
+                _shutil.rmtree(d, ignore_errors=True)
+
+
+def _compact_once(
+    spark: SparkSession,
+    state_path: str,
+    dirs: list[str],
+    out_level: int,
+    reduce_fn,
+    key: str,
+    n_buckets: int,
+) -> None:
+    """Merge ``dirs`` into one level-``out_level`` slice. Commit order:
+    parquet (+``_SUCCESS``) → ``_tier.json`` → ``_covered.json``
+    (COMMIT, transitive) → delete sources."""
+    n = max(
+        (
+            int(_os.path.basename(c)[2:])
+            for c in _glob.glob(f"{state_path}/c_*")
+        ),
+        default=-1,
+    ) + 1
+    cdir = f"{state_path}/c_{n:09d}"
+    _write_slice(reduce_fn(_union_dirs(spark, dirs)), cdir, key, n_buckets)
+    atomic_json_write(f"{cdir}/{_TIER_NAME}", {"level": out_level})
+    # transitive coverage: the sources AND everything they covered, so
+    # covered-id replay detection survives source deletion
+    covered = set()
+    for d in dirs:
+        covered.add(_os.path.basename(d))
+        covered.update(_read_manifest(f"{d}/_covered.json") or ())
+    atomic_json_write(f"{cdir}/_covered.json", sorted(covered))
+    for d in dirs:
+        _shutil.rmtree(d, ignore_errors=True)
+
+
+def maybe_compact(
+    spark: SparkSession,
+    state_path: str,
+    reduce_fn,
+    compact_every: int = 16,
+    fanin: int = 8,
+    force_full: bool = False,
+    n_buckets: int | None = None,
+) -> bool:
+    """Run every due size-tiered compaction: level 0 merges at
+    ``compact_every`` slices, higher levels at ``fanin``. Cascades
+    (a level-1 merge can trip level 2) until nothing is due.
+    ``force_full`` merges ALL live slices into one top slice regardless
+    of counts (rebucket / measurement hook). Returns True if any
+    compaction ran."""
+    meta = _read_meta(state_path)
+    if meta is None:
+        return False
+    key = meta["key"]
+    nb = int(n_buckets if n_buckets is not None else meta["n_buckets"])
+    _sweep(state_path)
+    ran = False
+    if force_full:
+        dirs = sliced_committed(state_path)
+        if dirs:
+            top = max(_slice_level(d) for d in dirs)
+            _compact_once(
+                spark, state_path, dirs, top + 1, reduce_fn, key, nb
+            )
+            ran = True
+        return ran
+    while True:
+        by_level: dict[int, list[str]] = {}
+        for d in sliced_committed(state_path):
+            by_level.setdefault(_slice_level(d), []).append(d)
+        due = None
+        for lvl in sorted(by_level):
+            fan = compact_every if lvl == 0 else fanin
+            if len(by_level[lvl]) >= fan:
+                due = (lvl, sorted(by_level[lvl]))
+                break
+        if due is None:
+            return ran
+        lvl, dirs = due
+        _compact_once(spark, state_path, dirs, lvl + 1, reduce_fn, key, nb)
+        ran = True
+
+
+def tiered_fold(
+    batch_agg: DataFrame,
+    batch_id: int,
+    state_path: str,
+    key: str,
+    reduce_fn,
+    n_buckets: int = N_STATE_BUCKETS,
+    compact_every: int = 16,
+    fanin: int = 8,
+) -> None:
+    """Fold one batch's PRE-AGGREGATED rows as a pure delta slice,
+    then run any due compactions. O(batch) write — the state is never
+    read, let alone rewritten, on the fold path. Idempotent per
+    ``batch_id`` (committed replay and covered-id replay are both
+    no-ops); a crashed attempt's marker-less dir is rewritten
+    wholesale."""
+    bdir = f"{state_path}/b_{batch_id:09d}"
+    if _os.path.exists(f"{bdir}/_SUCCESS") or slice_id_compacted(
+        state_path, batch_id
+    ):
+        return
+    _assert_no_pending_rebucket(state_path)
+    meta = _ensure_meta(state_path, key, n_buckets)
+    if _os.path.exists(bdir):
+        _shutil.rmtree(bdir, ignore_errors=True)
+    spark = batch_agg.sparkSession
+    _write_slice(batch_agg, bdir, meta["key"], int(meta["n_buckets"]))
+    maybe_compact(
+        spark, state_path, reduce_fn,
+        compact_every=compact_every, fanin=fanin,
+    )
+
+
+def read_tiered(
+    spark: SparkSession, state_path: str, reduce_fn
+) -> DataFrame | None:
+    """The merged state: live slices unioned and reduced (merge-on-
+    read). None before the first committed fold. Slice count — hence
+    plan size — is bounded by the compaction fan-ins."""
+    _assert_no_pending_rebucket(state_path)
+    dirs = sliced_committed(state_path)
+    if not dirs:
+        return None
+    return reduce_fn(_union_dirs(spark, dirs).drop(BUCKET_COL))
+
+
+def suggest_rebucket_tiered(
+    spark: SparkSession,
+    state_path: str,
+    reduce_fn,
+    target_rows_per_bucket: int = 100_000,
+    growth_factor: float = 2.0,
+) -> dict:
+    """Occupancy watermark for :func:`rebucket_tiered` — same report
+    shape as ``incremental.suggest_rebucket``. Buckets here size FILES
+    (compaction output layout), not fold cost (the fold never reads
+    them), so the default target is file-sized (~100k rows ≈ a few MB)
+    rather than fold-sized."""
+    meta = _read_meta(state_path)
+    if meta is None:
+        raise ValueError(
+            f"not a tiered state table (no {_META_NAME}): {state_path}"
+        )
+    st = read_tiered(spark, state_path, reduce_fn)
+    n = 0 if st is None else st.count()
+    n_buckets = int(meta["n_buckets"])
+    target = n_buckets
+    while target * target_rows_per_bucket < n:
+        target *= 2
+    return {
+        "state_rows": n,
+        "n_buckets": n_buckets,
+        "rows_per_bucket": round(n / max(n_buckets, 1), 1),
+        "target_n_buckets": target,
+        "due": target >= growth_factor * n_buckets,
+    }
+
+
+def rebucket_tiered(
+    spark: SparkSession,
+    state_path: str,
+    new_n_buckets: int,
+    reduce_fn,
+) -> bool:
+    """OFFLINE migration to a new bucket count: a forced full
+    compaction under the NEW count, then the meta swap (commit point).
+    Crash-safe via the staged pending meta — folds and reads refuse
+    while it exists, and re-running resumes AT THE STAGED COUNT
+    (the ``rebucket_corpus`` resume contract: an interrupted table
+    finishes at its staged count even when re-invoked with defaults).
+    Returns True when a migration ran."""
+    meta = _read_meta(state_path)
+    if meta is None:
+        raise ValueError(
+            f"not a tiered state table (no {_META_NAME}): {state_path}"
+        )
+    pending = f"{state_path}/{_META_PENDING}"
+    staged = _read_meta_file(pending)
+    if staged is not None:
+        new_meta = staged  # resume at the staged count
+    else:
+        if int(meta["n_buckets"]) == int(new_n_buckets):
+            return False
+        new_meta = {**meta, "n_buckets": int(new_n_buckets)}
+        atomic_json_write(pending, new_meta)
+    maybe_compact(
+        spark, state_path, reduce_fn,
+        force_full=True, n_buckets=int(new_meta["n_buckets"]),
+    )
+    atomic_json_write(f"{state_path}/{_META_NAME}", new_meta)
+    _os.remove(pending)
+    return True
+
+
+def _read_meta_file(path: str) -> dict | None:
+    if not _os.path.exists(path):
+        return None
+    with open(path) as f:
+        return _json.load(f)

@@ -18,7 +18,6 @@ Usage: python scripts/span_state_size.py [sf_dir ...]
 
 from __future__ import annotations
 
-import glob
 import os
 import shutil
 import sys
@@ -44,13 +43,6 @@ def parquet_bytes(path: str) -> int:
             if n.endswith(".parquet"):
                 total += os.path.getsize(os.path.join(root, n))
     return total
-
-
-def live_snapshot_bytes(state_path: str) -> int:
-    """Bytes of the newest full version (the steady-state footprint)."""
-    vdirs = sorted(glob.glob(f"{state_path}/v_*"))
-    fulls = [v for v in vdirs if os.path.exists(f"{v}/_FULL")]
-    return parquet_bytes(fulls[-1] if fulls else vdirs[-1])
 
 
 def main() -> None:
@@ -84,15 +76,11 @@ def main() -> None:
                     docs.where(F.pmod("doc_id", F.lit(4)) == i),
                     i, window=WINDOW, compact_every=16,
                 )
-            fold_spans_batch(
-                spark, state,
-                docs.limit(0), 99, window=WINDOW, compact_every=16,
-            )  # no-op rows: empty batch skips — force compaction instead
-            from rental_data_pipeline_spark.streaming.incremental import (
-                read_state,
+            from rental_data_pipeline_spark.streaming.span_stream import (
+                read_span_state,
             )
 
-            st = read_state(spark, state)
+            st = read_span_state(spark, state)
             stats = st.agg(
                 F.count(F.lit(1)).alias("n"),
                 F.sum((F.col("n_docs") == 1).cast("long")).alias("s"),

@@ -117,14 +117,16 @@ def test_state_stores_binary_keys_reads_hex(spark, root):
 
     from pyspark.sql.types import BinaryType
 
-    from rental_data_pipeline_spark.streaming.incremental import read_state
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        read_span_state,
+    )
 
     run = " ".join(f"t{i}" for i in range(1, 11))
     b = spark.createDataFrame(
         [(1, run), (2, f"pad {run}")], "doc_id long, text string"
     )
     fold_spans_batch(spark, root, b, 0, window=10)
-    st = read_state(spark, root)
+    st = read_span_state(spark, root)
     assert isinstance(st.schema["span_hash"].dataType, BinaryType)
     got = read_duplicated_spans(spark, root).collect()
     assert len(got) == 1 and isinstance(got[0].span_hash, str)
