@@ -41,6 +41,7 @@ from rental_data_pipeline_spark.streaming.components import (  # noqa: F401
 from rental_data_pipeline_spark.streaming.corpus_stream import (  # noqa: F401
     fold_corpus_batch,
     incremental_corpus_stream,
+    maintain_corpus,
     read_incremental_corpus,
     rebucket_corpus,
     regrow_corpus_cells,

@@ -70,6 +70,7 @@ Reference has no counterpart — beyond-reference training-data layer
 
 from __future__ import annotations
 
+import json as _json
 import os as _os
 import shutil as _shutil
 
@@ -795,12 +796,24 @@ def rebucket_corpus(
         )
     spans_path = f"{root}/spans"
     smeta = _read_meta(spans_path)
-    if smeta is not None:  # same versioned layout as the curation state
-        ran["spans"] = rebucket_state(
-            spark, spans_path,
+    if smeta is not None:
+        new_nb = (
             spans_n_buckets if spans_n_buckets is not None
-            else int(smeta["n_buckets"]),
+            else int(smeta["n_buckets"])
         )
+        if smeta.get("layout") == "tiered":
+            from rental_data_pipeline_spark.streaming.span_stream import (
+                _reduce_span_stats,
+            )
+            from rental_data_pipeline_spark.streaming.tiered import (
+                rebucket_tiered,
+            )
+
+            ran["spans"] = rebucket_tiered(
+                spark, spans_path, new_nb, _reduce_span_stats
+            )
+        else:  # pre-tiering span state: versioned layout, same as CDC
+            ran["spans"] = rebucket_state(spark, spans_path, new_nb)
     if _os.path.exists(f"{root}/index/_meta.json"):
         ran["index"] = rebucket_index(
             spark, f"{root}/index",
@@ -889,3 +902,208 @@ def regrow_corpus_cells(
             spark, ann_path, int(new_n_cells), n_iter=n_iter
         )
     return ran
+
+
+def maintain_corpus(
+    spark: SparkSession,
+    root: str,
+    target_rows_per_bucket: int = 2000,
+    spans_target_rows_per_bucket: int = 100_000,
+    growth_factor: float = 2.0,
+    regrow_growth_factor: float = 2.0,
+    dry_run: bool = False,
+    n_iter: int = 3,
+) -> dict:
+    """ONE offline maintenance call for a corpus root — makes the
+    runbook executable: finishes any interrupted migration, polls
+    every table's occupancy watermark, and runs the migrations that
+    are due. A deployment schedules this between stream restarts
+    (stop the stream, ``maintain_corpus(spark, root)``, restart on
+    the same checkpoint); each underlying migration keeps its own
+    crash-safe staged-pending protocol, so a crash anywhere in this
+    call is healed by the next one.
+
+    Three passes:
+
+    1. **Resume** — any table with a staged ``*.pending`` meta (an
+       interrupted rebucket or regrow) is finished first, at its
+       STAGED parameters (the shared resume discipline), because a
+       half-migrated table refuses folds, reads and even occupancy
+       polls until healed.
+    2. **Poll** — per-table occupancy watermarks: the merge-on-write
+       states via ``incremental.suggest_rebucket``, the tiered span
+       state via ``tiered.suggest_rebucket_tiered`` (file-sized
+       buckets — its fold cost does not depend on the bucket count),
+       the index/labels/vocab/simhash slice tables via the same
+       power-of-two rule over their own row counts, and the ANN cells
+       via ``ann_index.suggest_regrow`` (the √N rule).
+    3. **Run** — one :func:`rebucket_corpus` call carrying every due
+       bucket target, then :func:`regrow_corpus_cells` when the cell
+       watermark is due (the SemDeDup threshold is read from the
+       corpus's own frozen ``_sem_meta.json`` — the migration must
+       relabel in the decision space the stream folds in).
+
+    ``dry_run=True`` polls and reports without migrating (resume still
+    runs: a pending table cannot even be polled). Returns
+    ``{"resumed": ..., "tables": {name: watermark report}, "ran":
+    {name: bool}}``.
+    """
+    import glob as _glob2
+
+    from rental_data_pipeline_spark.operators.ann_index import (
+        suggest_regrow,
+    )
+    from rental_data_pipeline_spark.streaming.components import (
+        _ensure_label_meta,
+        read_components,
+    )
+    from rental_data_pipeline_spark.streaming.dedup_index import (
+        _ensure_index_meta,
+        read_index_bands,
+    )
+    from rental_data_pipeline_spark.streaming.df_stream import (
+        _ensure_df_meta,
+        read_df_table,
+    )
+    from rental_data_pipeline_spark.streaming.incremental import (
+        _read_meta,
+        suggest_rebucket,
+    )
+    from rental_data_pipeline_spark.streaming.simhash_stream import (
+        _ensure_meta as _ensure_simhash_meta,
+        read_simhash_bands,
+    )
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        _reduce_span_stats,
+    )
+    from rental_data_pipeline_spark.streaming.tiered import (
+        suggest_rebucket_tiered,
+    )
+
+    report: dict = {"resumed": {}, "tables": {}, "ran": {}}
+
+    # ---- 1. resume interrupted migrations --------------------------
+    bucket_tables = (
+        "curation_state", "spans", "index", "labels", "vocab", "simhash",
+    )
+    if any(
+        _os.path.exists(f"{root}/{t}/_meta.json.pending")
+        for t in bucket_tables
+    ):
+        # rebucket_corpus with no counts finishes staged tables and
+        # no-ops the rest (the documented resume contract)
+        report["resumed"]["rebucket"] = rebucket_corpus(spark, root)
+    sem_pending = f"{root}/semantic/_sem_meta.json.pending"
+    ann_pending = f"{root}/ann/_meta.json.pending"
+    if _os.path.exists(sem_pending):
+        with open(sem_pending) as f:
+            stage = _json.load(f)
+        report["resumed"]["regrow"] = regrow_corpus_cells(
+            spark, root, int(stage["n_cells"]),
+            semantic_threshold=float(stage["threshold"]), n_iter=n_iter,
+        )
+    elif _os.path.exists(ann_pending):
+        with open(ann_pending) as f:
+            stage = _json.load(f)
+        report["resumed"]["regrow"] = regrow_corpus_cells(
+            spark, root, int(stage["n_cells"]),
+            semantic_threshold=_frozen_semantic_threshold(root),
+            n_iter=n_iter,
+        )
+
+    # ---- 2. poll occupancy watermarks ------------------------------
+    def _p2(rows: int, n_buckets: int, per_bucket: int) -> dict:
+        target = n_buckets
+        while target * per_bucket < rows:
+            target *= 2
+        return {
+            "state_rows": rows,
+            "n_buckets": n_buckets,
+            "rows_per_bucket": round(rows / max(n_buckets, 1), 1),
+            "target_n_buckets": target,
+            "due": target >= growth_factor * n_buckets,
+        }
+
+    state_path = f"{root}/curation_state"
+    if _read_meta(state_path) is not None:
+        report["tables"]["curation_state"] = suggest_rebucket(
+            spark, state_path,
+            target_rows_per_bucket=target_rows_per_bucket,
+            growth_factor=growth_factor,
+        )
+    spans_path = f"{root}/spans"
+    smeta = _read_meta(spans_path)
+    if smeta is not None and smeta.get("layout") == "tiered":
+        report["tables"]["spans"] = suggest_rebucket_tiered(
+            spark, spans_path, _reduce_span_stats,
+            target_rows_per_bucket=spans_target_rows_per_bucket,
+            growth_factor=growth_factor,
+        )
+    elif smeta is not None:
+        report["tables"]["spans"] = suggest_rebucket(
+            spark, spans_path,
+            target_rows_per_bucket=target_rows_per_bucket,
+            growth_factor=growth_factor,
+        )
+    for name, reader, meta_fn in (
+        ("index", read_index_bands, _ensure_index_meta),
+        ("labels", read_components, _ensure_label_meta),
+        ("vocab", read_df_table, _ensure_df_meta),
+        ("simhash", read_simhash_bands, _ensure_simhash_meta),
+    ):
+        path = f"{root}/{name}"
+        if not _os.path.exists(f"{path}/_meta.json"):
+            continue
+        df = reader(spark, path)
+        rows = 0 if df is None else df.count()
+        report["tables"][name] = _p2(
+            rows, int(meta_fn(path)), target_rows_per_bucket
+        )
+    ann_path = f"{root}/ann"
+    if _os.path.exists(f"{ann_path}/_meta.json"):
+        report["tables"]["ann"] = suggest_regrow(
+            spark, ann_path, growth_factor=regrow_growth_factor
+        )
+
+    if dry_run:
+        return report
+
+    # ---- 3. run due migrations -------------------------------------
+    param_of = {
+        "curation_state": "state_n_buckets",
+        "spans": "spans_n_buckets",
+        "index": "index_n_buckets",
+        "labels": "labels_n_buckets",
+        "vocab": "vocab_n_buckets",
+        "simhash": "simhash_n_buckets",
+    }
+    due = {
+        param_of[t]: int(r["target_n_buckets"])
+        for t, r in report["tables"].items()
+        if t in param_of and r["due"]
+    }
+    if due:
+        ran = rebucket_corpus(spark, root, **due)
+        for t, r in ran.items():
+            report["ran"][t] = r
+    ann_report = report["tables"].get("ann")
+    if ann_report is not None and ann_report["due"]:
+        ran = regrow_corpus_cells(
+            spark, root, int(ann_report["target_n_cells"]),
+            semantic_threshold=_frozen_semantic_threshold(root),
+            n_iter=n_iter,
+        )
+        for t, r in ran.items():
+            report["ran"][t] = r
+    return report
+
+
+def _frozen_semantic_threshold(root: str) -> float | None:
+    """The SemDeDup threshold the stream folds with, from the corpus's
+    own frozen label meta — ``None`` when the corpus never maintained
+    semantic labels (plain ANN regrow)."""
+    p = f"{root}/semantic/_sem_meta.json"
+    if not _os.path.exists(p):
+        return None
+    with open(p) as f:
+        return float(_json.load(f)["threshold"])

@@ -1,0 +1,179 @@
+"""maintain_corpus: the one-call executable runbook — polls every
+table's occupancy watermark, runs due migrations (rebucket + ANN
+regrow), heals interrupted ones, and a stream interleaved with it
+stays fold-equivalent to the batch job at the new geometry."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.jobs.corpus_job import (
+    CorpusConfig,
+    build_training_corpus,
+)
+from rental_data_pipeline_spark.sources.tables import load_table
+from rental_data_pipeline_spark.streaming.corpus_stream import (
+    fold_corpus_batch,
+    maintain_corpus,
+    read_incremental_corpus,
+)
+
+CFG = dict(
+    languages=("en", "de", "fr", "es"), min_quality=0.0, min_tokens=1,
+    max_contamination=0.5,
+)
+RANGES = [(0, 170), (170, 340), (340, 100000)]
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="maintain_corpus_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _inputs(spark, sf_dir):
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    embs = load_table(spark, "embeddings", sf_dir).select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    streamed = docs.join(embs, "doc_id", "left")
+    holdout = docs.where(F.col("doc_id") % 5 == 0)
+    return docs, streamed, holdout
+
+
+def _ids(df, col="doc_id"):
+    return {r[0] for r in df.select(col).collect()}
+
+
+def test_maintain_corpus_polls_migrates_and_stays_equivalent(
+    spark, sf_dir, root
+):
+    from rental_data_pipeline_spark.operators.dedup import duplicated_spans
+    from rental_data_pipeline_spark.operators.similarity import kmeans_train
+
+    docs, streamed, holdout = _inputs(spark, sf_dir)
+    cfg = CorpusConfig(**CFG)
+    centroids, _ = kmeans_train(
+        load_table(spark, "embeddings", sf_dir).where("vec_id < 170"),
+        k=4, n_iter=2,
+    )
+    chunks = [
+        streamed.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).localCheckpoint(eager=True)
+        for lo, hi in RANGES
+    ]
+    for i in range(2):
+        fold_corpus_batch(
+            spark, root, chunks[i], i, cfg, holdout=holdout,
+            ann_centroids=centroids, vec_col="embedding",
+            span_window=10, simhash_max_hamming=3,
+        )
+    before = read_incremental_corpus(spark, root, cfg)
+    want_corpus = _ids(before["corpus"])
+    want_spans = {
+        (r.span_hash, r.keeper_id, r.n_copies, r.n_docs)
+        for r in before["duplicated_spans"].collect()
+    }
+
+    # aggressive watermarks so the tiny corpus is "overgrown": every
+    # bucketed table and the ANN cells come due
+    rep = maintain_corpus(
+        spark, root,
+        target_rows_per_bucket=10, spans_target_rows_per_bucket=50,
+        n_iter=2,
+    )
+    assert rep["resumed"] == {}
+    for t in (
+        "curation_state", "spans", "index", "labels", "vocab",
+        "simhash", "ann",
+    ):
+        assert t in rep["tables"], t
+    # known-overgrown tables migrated to their suggested geometry
+    for t in ("curation_state", "spans", "ann"):
+        assert rep["tables"][t]["due"], (t, rep["tables"][t])
+    for t, r in rep["tables"].items():
+        if r["due"]:
+            assert rep["ran"].get(t) is True, (t, rep["ran"])
+    smeta = json.load(open(f"{root}/spans/_meta.json"))
+    assert smeta["n_buckets"] == rep["tables"]["spans"]["target_n_buckets"]
+    ameta = json.load(open(f"{root}/ann/_meta.json"))
+    assert ameta["n_cells"] == rep["tables"]["ann"]["target_n_cells"]
+
+    # reads identical across the maintenance call
+    mid = read_incremental_corpus(spark, root, cfg)
+    assert _ids(mid["corpus"]) == want_corpus
+    assert {
+        (r.span_hash, r.keeper_id, r.n_copies, r.n_docs)
+        for r in mid["duplicated_spans"].collect()
+    } == want_spans
+
+    # immediately re-polling at the same watermarks: nothing due,
+    # nothing runs (maintenance is idempotent between growth spurts)
+    rep2 = maintain_corpus(
+        spark, root,
+        target_rows_per_bucket=10, spans_target_rows_per_bucket=50,
+        n_iter=2,
+    )
+    assert rep2["ran"] == {} and rep2["resumed"] == {}
+    assert not any(r["due"] for r in rep2["tables"].values())
+
+    # the stream continues at the new geometry; final == batch job
+    fold_corpus_batch(
+        spark, root, chunks[2], 2, cfg, holdout=holdout,
+        ann_centroids=centroids, vec_col="embedding",
+        span_window=10, simhash_max_hamming=3,
+    )
+    want = build_training_corpus(docs, holdout, cfg)
+    got = read_incremental_corpus(spark, root, cfg)
+    assert _ids(got["corpus"]) == _ids(want["corpus"])
+    assert {
+        (r.span_hash, r.keeper_id, r.n_copies, r.n_docs)
+        for r in got["duplicated_spans"].collect()
+    } == {
+        (r.span_hash, r.keeper_id, r.n_copies, r.n_docs)
+        for r in duplicated_spans(got["keepers"], window=10).collect()
+    }
+
+    # an interrupted migration (staged pending) is healed by the next
+    # call — even a dry_run (a pending table cannot be polled)
+    smeta = json.load(open(f"{root}/spans/_meta.json"))
+    staged = {**smeta, "n_buckets": smeta["n_buckets"] * 2}
+    with open(f"{root}/spans/_meta.json.pending", "w") as f:
+        json.dump(staged, f)
+    rep3 = maintain_corpus(
+        spark, root,
+        target_rows_per_bucket=10, spans_target_rows_per_bucket=50,
+        dry_run=True, n_iter=2,
+    )
+    assert rep3["resumed"]["rebucket"]["spans"] is True
+    assert not os.path.exists(f"{root}/spans/_meta.json.pending")
+    assert json.load(open(f"{root}/spans/_meta.json"))["n_buckets"] == (
+        staged["n_buckets"]
+    )
+    assert {
+        (r.span_hash, r.keeper_id, r.n_copies, r.n_docs)
+        for r in read_incremental_corpus(spark, root, cfg)[
+            "duplicated_spans"
+        ].collect()
+    } == {
+        (r.span_hash, r.keeper_id, r.n_copies, r.n_docs)
+        for r in got["duplicated_spans"].collect()
+    }
+
+
+def test_frozen_semantic_threshold_reads_sem_meta(root):
+    from rental_data_pipeline_spark.streaming.corpus_stream import (
+        _frozen_semantic_threshold,
+    )
+
+    assert _frozen_semantic_threshold(root) is None
+    os.makedirs(f"{root}/semantic")
+    with open(f"{root}/semantic/_sem_meta.json", "w") as f:
+        json.dump({"n_cells": 4, "threshold": 0.3, "as_of": 1}, f)
+    assert _frozen_semantic_threshold(root) == 0.3
