@@ -475,3 +475,49 @@ def test_regrow_refuses_mismatched_resume(spark, sf_dir, tmp_path):
     with pytest.raises(RuntimeError, match="staged at"):
         regrow_ann_index(spark, idx, 6, n_iter=2)
     os.remove(f"{idx}/_meta.json.pending")
+
+
+def test_regrow_preserves_pq_at_production_geometry(
+    spark, sf_dir, tmp_path
+):
+    """Same PQ regrow parity at production-shaped codebooks — m=16
+    subspaces x k=256 codewords (vs the small m=4/k=8 case above) —
+    to catch codebook-shape assumptions: packed code width, per-
+    subspace init cycling when a subspace has fewer vectors than
+    codewords, LUT broadcast layout."""
+    from rental_data_pipeline_spark.operators.ann_index import (
+        pq_topk_persisted,
+    )
+
+    embs, chunks = _chunks(spark, sf_dir)
+    grown, fresh = str(tmp_path / "grown"), str(tmp_path / "fresh")
+    build_ann_index(
+        chunks[0], grown, n_cells=2, n_iter=2,
+        pq=True, m=16, k=256, pq_iter=1,
+    )
+    append_ann_index(chunks[1], grown, batch_id=1)
+    append_ann_index(chunks[2], grown, batch_id=2)
+    assert regrow_ann_index(spark, grown, 4, n_iter=2)
+    meta = read_meta(grown)
+    assert meta["n_cells"] == 4 and meta["pq"] == {
+        "m": 16, "k": 256, "n_iter": 1
+    }
+
+    build_ann_index(
+        embs, fresh, n_cells=4, n_iter=2,
+        pq=True, m=16, k=256, pq_iter=1,
+    )
+    qids = [0, 1]
+    a = sorted(
+        (r.query_id, r.rank, r.vec_id, r.sim)
+        for r in pq_topk_persisted(
+            spark, grown, qids, top_k=5, shortlist=50
+        ).collect()
+    )
+    b = sorted(
+        (r.query_id, r.rank, r.vec_id, r.sim)
+        for r in pq_topk_persisted(
+            spark, fresh, qids, top_k=5, shortlist=50
+        ).collect()
+    )
+    assert a == b and a
