@@ -797,6 +797,21 @@ def rebucket_corpus(
     spans_path = f"{root}/spans"
     smeta = _read_meta(spans_path)
     if smeta is not None:
+        # an interrupted LAYOUT migration (staged pending carries the
+        # tiered meta while _meta.json is still the version-chain's)
+        # must finish as a migration — resuming it as a rebucket would
+        # stamp the tiered meta onto a v_* chain
+        spend = f"{spans_path}/_meta.json.pending"
+        if _os.path.exists(spend) and smeta.get("layout") != "tiered":
+            with open(spend) as f:
+                staged = _json.load(f)
+            if staged.get("layout") == "tiered":
+                from rental_data_pipeline_spark.streaming.span_stream import (
+                    migrate_spans_to_tiered,
+                )
+
+                migrate_spans_to_tiered(spark, spans_path)
+                smeta = _read_meta(spans_path)
         new_nb = (
             spans_n_buckets if spans_n_buckets is not None
             else int(smeta["n_buckets"])
@@ -1033,16 +1048,33 @@ def maintain_corpus(
         )
     spans_path = f"{root}/spans"
     smeta = _read_meta(spans_path)
+    if smeta is not None and smeta.get("layout") != "tiered":
+        # a pre-tiering span state pays O(state) bytes per fold
+        # (measured: scripts/span_compaction_churn.py) — the layout
+        # upgrade IS maintenance, so run it here unless dry_run
+        if dry_run:
+            rep = suggest_rebucket(
+                spark, spans_path,
+                target_rows_per_bucket=target_rows_per_bucket,
+                growth_factor=growth_factor,
+            )
+            report["tables"]["spans"] = {
+                **rep, "layout_migration_due": True,
+            }
+            smeta = None  # handled; skip the tiered poll below
+        else:
+            from rental_data_pipeline_spark.streaming.span_stream import (
+                migrate_spans_to_tiered,
+            )
+
+            report["ran"]["spans_layout"] = migrate_spans_to_tiered(
+                spark, spans_path
+            )
+            smeta = _read_meta(spans_path)
     if smeta is not None and smeta.get("layout") == "tiered":
         report["tables"]["spans"] = suggest_rebucket_tiered(
             spark, spans_path, _reduce_span_stats,
             target_rows_per_bucket=spans_target_rows_per_bucket,
-            growth_factor=growth_factor,
-        )
-    elif smeta is not None:
-        report["tables"]["spans"] = suggest_rebucket(
-            spark, spans_path,
-            target_rows_per_bucket=target_rows_per_bucket,
             growth_factor=growth_factor,
         )
     for name, reader, meta_fn in (

@@ -238,6 +238,127 @@ def read_span_state(
     return read_state_or_legacy(spark, state_path)
 
 
+def migrate_spans_to_tiered(
+    spark: SparkSession,
+    state_path: str,
+    n_buckets: int | None = None,
+) -> bool:
+    """OFFLINE migration of a pre-tiering span state (the v_*
+    merge-on-write version chain) to the size-tiered layout — the path
+    for a deployment with an accumulated span state to stop paying
+    O(state) bytes per fold without rescanning its corpus. Also
+    TOTALIZES the legacy ladder: a pre-binary (hex-keyed) state has
+    its keys converted to the internal binary128 form in the same
+    rewrite, and a legacy single-window state (no ``window`` column)
+    is tagged from its frozen meta — after migration every span state
+    folds and reads identically.
+
+    Crash-safe under the shared staged-pending discipline
+    (``_meta.json.pending``: legacy folds/reads refuse via the
+    version-chain guard, tiered ones via the tiered guard, so the
+    table is quiesced throughout): compose the legacy state (under its
+    own meta), write it as ONE committed level-1 ``c_*`` slice
+    bucketed under the (new) count, swap ``_meta.json`` to the tiered
+    form, flip the layout stamp in ``_span_window.json`` (the read
+    dispatch — the commit point), then delete the version chain and
+    clear the pending. Re-running finishes any interrupted step:
+    the slice write is skipped once its manifest exists, the
+    metadata swaps are idempotent, and a post-commit crash resumes
+    straight to cleanup. Returns True when a migration ran."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+
+    from rental_data_pipeline_spark.streaming.incremental import (
+        _compose,
+        _read_meta,
+        atomic_json_write,
+    )
+    from rental_data_pipeline_spark.streaming.tiered import (
+        _TIER_NAME,
+        _write_slice,
+    )
+
+    span_meta = _span_meta(state_path)
+    if not span_meta:
+        raise ValueError(
+            f"not a span state table (no _span_window.json): {state_path}"
+        )
+    pending = f"{state_path}/_meta.json.pending"
+    if span_meta.get("layout") == _LAYOUT:
+        if not _os.path.exists(pending):
+            return False  # already tiered
+        # post-commit crash: finish cleanup
+        for v in _glob.glob(f"{state_path}/v_*"):
+            _shutil.rmtree(v, ignore_errors=True)
+        _os.remove(pending)
+        return True
+
+    old_meta = _read_meta(state_path)
+    if old_meta is None:
+        raise ValueError(
+            f"span state at {state_path} has no _meta.json — nothing to "
+            "migrate (fold into it directly; new states are tiered)"
+        )
+    nb = int(n_buckets if n_buckets is not None else old_meta["n_buckets"])
+    new_meta = {"n_buckets": nb, "key": _KEY, "layout": _LAYOUT}
+    staged = None
+    if _os.path.exists(pending):
+        import json as _json
+
+        with open(pending) as f:
+            staged = _json.load(f)
+        if n_buckets is not None and staged["n_buckets"] != nb:
+            raise RuntimeError(
+                "migrate_spans_to_tiered: a pending migration is staged "
+                f"at n_buckets={staged['n_buckets']} but was called with "
+                f"n_buckets={nb} — re-run with the staged count to finish "
+                "it, then rebucket"
+            )
+        new_meta = staged  # resume at the staged count
+        nb = int(new_meta["n_buckets"])
+    else:
+        atomic_json_write(pending, new_meta)
+
+    cdir = f"{state_path}/c_000000000"  # legacy chains have no c_* dirs
+    if not _os.path.exists(f"{cdir}/_covered.json"):
+        st = _compose(spark, state_path, None)
+        if st is None:
+            st = spark.createDataFrame(
+                [], f"window int, {_KEY} binary, keeper_id long, "
+                "n_copies long, n_docs long"
+            )
+        cols = {c for c in st.columns}
+        if "window" not in cols:
+            ws = read_span_windows(state_path)
+            st = st.withColumn(
+                "window", F.lit(ws[0] if ws else None).cast("int")
+            )
+        if span_meta.get("key_encoding") != _ENCODING:
+            # pre-binary state: hex-string keys convert here, once
+            st = st.withColumn(_KEY, F.unhex(F.col(_KEY)))
+        if _os.path.exists(cdir):  # crashed, uncommitted attempt
+            _shutil.rmtree(cdir, ignore_errors=True)
+        _write_slice(st.select(*_COLS), cdir, _KEY, nb)
+        atomic_json_write(f"{cdir}/{_TIER_NAME}", {"level": 1})
+        atomic_json_write(f"{cdir}/_covered.json", [])
+
+    atomic_json_write(f"{state_path}/_meta.json", new_meta)
+    # commit point: the read/fold dispatch flips to tiered
+    atomic_json_write(
+        f"{state_path}/_span_window.json",
+        {
+            "windows": read_span_windows(state_path),
+            "key_encoding": _ENCODING,
+            "layout": _LAYOUT,
+        },
+    )
+    for v in _glob.glob(f"{state_path}/v_*"):
+        _shutil.rmtree(v, ignore_errors=True)
+    _os.remove(pending)
+    return True
+
+
 def read_duplicated_spans(
     spark: SparkSession,
     state_path: str,

@@ -177,3 +177,32 @@ def test_frozen_semantic_threshold_reads_sem_meta(root):
     with open(f"{root}/semantic/_sem_meta.json", "w") as f:
         json.dump({"n_cells": 4, "threshold": 0.3, "as_of": 1}, f)
     assert _frozen_semantic_threshold(root) == 0.3
+
+
+def test_maintain_upgrades_legacy_span_layout(spark, root):
+    """A corpus whose span state predates the tiered layout gets the
+    layout migration as part of maintenance: dry_run reports it due,
+    the real call runs it, and the poll continues on the new layout."""
+    from tests.test_tiered_spans import _docs, _legacy_state, _srows
+    from rental_data_pipeline_spark.operators.dedup import (
+        duplicated_spans,
+    )
+    from rental_data_pipeline_spark.streaming.corpus_stream import (
+        maintain_corpus,
+    )
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        read_duplicated_spans,
+    )
+
+    b0 = _docs(spark, [1, 2])
+    _legacy_state(spark, f"{root}/spans", [b0])
+    want = _srows(duplicated_spans(b0, window=10, min_docs=2))
+
+    rep = maintain_corpus(spark, root, dry_run=True)
+    assert rep["tables"]["spans"]["layout_migration_due"] is True
+    assert rep["ran"] == {}
+
+    rep = maintain_corpus(spark, root)
+    assert rep["ran"]["spans_layout"] is True
+    assert rep["tables"]["spans"]["n_buckets"] == 16  # tiered poll ran
+    assert _srows(read_duplicated_spans(spark, f"{root}/spans")) == want

@@ -202,3 +202,159 @@ def test_legacy_layout_refuses_tiered_fold(spark, root):
         json.dump(meta, f)
     with pytest.raises(ValueError, match="merge-on-write layout"):
         fold_spans_batch(spark, root, _docs(spark, [3, 4]), 1, window=10)
+
+
+def _legacy_state(spark, root, batches, hex_keys=False, window_col=True):
+    """Build a pre-tiering span state the way the old fold did: the
+    per-batch aggregate through bucketed_keyed_fold (v_* version
+    chain) plus the legacy _span_window.json."""
+    from rental_data_pipeline_spark.operators.dedup import (
+        _multi_span_positions,
+    )
+    from rental_data_pipeline_spark.streaming.incremental import (
+        bucketed_keyed_fold,
+    )
+    from pyspark.sql import DataFrame
+    from pyspark.sql import functions as F
+
+    def stats(batch):
+        per_doc = (
+            _multi_span_positions(batch, "text", "doc_id", [10])
+            .select(
+                "window",
+                F.unhex(F.col("span_hash")).alias("span_hash"),
+                "doc",
+            )
+            .groupBy("window", "span_hash", "doc")
+            .agg(F.count(F.lit(1)).alias("n_occ"))
+        )
+        out = per_doc.groupBy("window", "span_hash").agg(
+            F.min("doc").alias("keeper_id"),
+            F.sum("n_occ").alias("n_copies"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        if hex_keys:
+            out = out.withColumn(
+                "span_hash", F.lower(F.hex("span_hash"))
+            )
+        if not window_col:
+            out = out.drop("window")
+        return out
+
+    def merge(target: DataFrame | None, b: DataFrame) -> DataFrame:
+        cols = b.columns
+        if target is not None:
+            b = target.select(*cols).unionByName(b)
+        keys = (["window"] if "window" in cols else []) + ["span_hash"]
+        return b.groupBy(*keys).agg(
+            F.min("keeper_id").alias("keeper_id"),
+            F.sum("n_copies").alias("n_copies"),
+            F.sum("n_docs").alias("n_docs"),
+        )
+
+    for i, b in enumerate(batches):
+        bucketed_keyed_fold(
+            stats(b), i, root, key="span_hash", merge_fn=merge,
+        )
+    meta = {"windows": [10]} if window_col else {"window": 10}
+    if not hex_keys:
+        meta["key_encoding"] = "binary128"
+    with open(f"{root}/_span_window.json", "w") as f:
+        json.dump(meta, f)
+
+
+def test_migrate_legacy_binary_state_to_tiered(spark, root):
+    """A pre-tiering (v_* merge-on-write) span state migrates in
+    place: reads identical, tiered folds continue, re-run no-ops."""
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        migrate_spans_to_tiered,
+    )
+
+    b0, b1, b2 = _docs(spark, [1, 2]), _docs(spark, [3, 4]), _docs(
+        spark, [5, 6]
+    )
+    _legacy_state(spark, root, [b0, b1])
+    # legacy layout refuses the tiered fold until migrated
+    with pytest.raises(ValueError, match="merge-on-write layout"):
+        fold_spans_batch(spark, root, b2, 2, window=10)
+
+    want01 = _srows(
+        duplicated_spans(b0.unionByName(b1), window=10, min_docs=2)
+    )
+    assert migrate_spans_to_tiered(spark, root)
+    assert _srows(read_duplicated_spans(spark, root)) == want01
+    assert glob.glob(f"{root}/v_*") == []  # chain gone
+    assert not migrate_spans_to_tiered(spark, root)  # idempotent
+
+    # folds continue on the tiered layout; state == batch over all
+    fold_spans_batch(spark, root, b2, 2, window=10)
+    alldocs = b0.unionByName(b1).unionByName(b2)
+    assert _srows(read_duplicated_spans(spark, root)) == _srows(
+        duplicated_spans(alldocs, window=10, min_docs=2)
+    )
+
+
+def test_migrate_oldest_hex_state_converts_keys(spark, root):
+    """The oldest legacy generation — hex string keys, no window
+    column — migrates too: keys convert to binary128 in the rewrite,
+    the window tags from the frozen meta, and the public read keeps
+    the hex contract."""
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        migrate_spans_to_tiered,
+        read_span_windows,
+    )
+
+    b0, b1 = _docs(spark, [1, 2]), _docs(spark, [3, 4])
+    _legacy_state(spark, root, [b0], hex_keys=True, window_col=False)
+    with pytest.raises(ValueError, match="hex-string keys"):
+        fold_spans_batch(spark, root, b1, 1, window=10)
+
+    assert migrate_spans_to_tiered(spark, root)
+    assert read_span_windows(root) == [10]
+    got = read_duplicated_spans(spark, root)
+    want = _srows(duplicated_spans(b0, window=10, min_docs=2))
+    assert _srows(got) == want and want
+    assert isinstance(got.collect()[0].span_hash, str)  # hex contract
+
+    fold_spans_batch(spark, root, b1, 1, window=10)
+    assert _srows(read_duplicated_spans(spark, root)) == _srows(
+        duplicated_spans(b0.unionByName(b1), window=10, min_docs=2)
+    )
+
+
+def test_migration_is_crash_safe(spark, root):
+    """A staged migration quiesces the table (both layouts refuse);
+    re-running finishes from either side of the commit point."""
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        migrate_spans_to_tiered,
+    )
+
+    b0 = _docs(spark, [1, 2])
+    _legacy_state(spark, root, [b0])
+    want = _srows(duplicated_spans(b0, window=10, min_docs=2))
+
+    # pre-commit crash: pending staged, nothing else done
+    with open(f"{root}/_meta.json") as f:
+        old = json.load(f)
+    with open(f"{root}/_meta.json.pending", "w") as f:
+        json.dump(
+            {"n_buckets": old["n_buckets"], "key": "span_hash",
+             "layout": "tiered"}, f,
+        )
+    with pytest.raises(RuntimeError, match="pending"):
+        read_duplicated_spans(spark, root)  # legacy read refuses
+    # a resume with a DIFFERENT count refuses; the staged count wins
+    with pytest.raises(RuntimeError, match="staged"):
+        migrate_spans_to_tiered(spark, root, n_buckets=999)
+    assert migrate_spans_to_tiered(spark, root)
+    assert _srows(read_duplicated_spans(spark, root)) == want
+
+    # post-commit crash: layout already tiered, pending left behind
+    with open(f"{root}/_meta.json.pending", "w") as f:
+        json.dump({"n_buckets": 16, "key": "span_hash",
+                   "layout": "tiered"}, f)
+    os.makedirs(f"{root}/v_000000099", exist_ok=True)  # leftover chain
+    assert migrate_spans_to_tiered(spark, root)  # cleanup pass
+    assert not os.path.exists(f"{root}/_meta.json.pending")
+    assert glob.glob(f"{root}/v_*") == []
+    assert _srows(read_duplicated_spans(spark, root)) == want
