@@ -294,6 +294,13 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def _build_state() -> str:
+        from rental_data_pipeline_spark.streaming.span_stream import (
+            _reduce_span_stats,
+        )
+        from rental_data_pipeline_spark.streaming.tiered import (
+            maybe_compact,
+        )
+
         base = session_tempdir("rdp_span_state_q_")
         sub = docs.where(F.col("doc_id") % 5 < 2)
         for i in range(2):
@@ -302,6 +309,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 sub.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == i),
                 i, window=10, n_state_buckets=4,
             )
+        # one compacted slice: repeat reads hit the single-slice fast
+        # path (no merge-on-read shuffle) — the steady state a long
+        # stream's compaction cadence maintains anyway
+        maybe_compact(spark, base, _reduce_span_stats, force_full=True)
         return base
 
     base = session_artifact(

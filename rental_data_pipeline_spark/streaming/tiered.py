@@ -298,11 +298,17 @@ def read_tiered(
 ) -> DataFrame | None:
     """The merged state: live slices unioned and reduced (merge-on-
     read). None before the first committed fold. Slice count — hence
-    plan size — is bounded by the compaction fan-ins."""
+    plan size — is bounded by the compaction fan-ins. A single live
+    slice (the steady state right after a compaction) skips the
+    reduction: every slice is keyed-unique by contract (a batch slice
+    is the fold's pre-aggregate, a compaction slice is a reduction
+    output), so reducing one slice is the identity — no shuffle."""
     _assert_no_pending_rebucket(state_path)
     dirs = sliced_committed(state_path)
     if not dirs:
         return None
+    if len(dirs) == 1:
+        return spark.read.parquet(dirs[0]).drop(BUCKET_COL)
     return reduce_fn(_union_dirs(spark, dirs).drop(BUCKET_COL))
 
 
