@@ -252,9 +252,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     a second corpus scan). The 'span10_streamed' branch folds
     a deterministic 40% doc subset (``doc_id % 5 < 2`` — portable to
     the SQL oracle) in two chunks through the persisted incremental
-    span-hash state (`streaming/span_stream.py` — the bucketed LSM
-    fold a growing crawl maintains instead of rescanning O(corpus)
-    token windows) and must report identical duplicated spans —
+    span-hash state (`streaming/span_stream.py` — the size-tiered
+    O(batch)-delta fold a growing crawl maintains instead of
+    rescanning O(corpus) token windows) and must report identical
+    duplicated spans —
     cross-batch promotion (a span singleton in chunk 0 becoming
     duplicated by chunk 1) exercised against the oracle; the subset
     keeps the bench slot from paying a third full span scan (the
