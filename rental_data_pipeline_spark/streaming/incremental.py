@@ -644,6 +644,14 @@ def read_state_or_legacy(spark: SparkSession, state_path: str) -> DataFrame | No
     st = read_state(spark, state_path)
     if st is not None:
         return st
+    # look before the flat-layout read: probing an existing-but-
+    # parquet-less dir (a table mid-creation holds only _meta.json)
+    # raises at ANALYSIS, and with any Observation registered in the
+    # session the ObservationManager's listener re-logs every failed
+    # analysis as an ERROR — pure noise, but noise that looks like a
+    # wedged fold in a corpus-stream log
+    if not _legacy_root_files(state_path):
+        return None
     try:
         return spark.read.parquet(state_path)
     except Exception:
