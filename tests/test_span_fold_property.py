@@ -1,10 +1,12 @@
 """Property test: the incremental span-hash fold equals the
 multi-window batch operator over the concatenated corpus, for ANY
-corpus and ANY monotonic chunking — the keyed-merge associativity
-claim of ``streaming/span_stream.py`` (min-keeper / sum-occurrences /
-sum-distinct-docs over disjoint doc sets), exercised through the real
-bucketed LSM machinery including the binary128 key round-trip on
-arbitrary (non-ASCII) tokens.
+corpus, ANY monotonic chunking, and ANY compaction cadence — the
+keyed-merge associativity claim of ``streaming/span_stream.py``
+(min-keeper / sum-occurrences / sum-distinct-docs over disjoint doc
+sets), exercised through the real size-tiered slice machinery
+(delta slices, merge-on-read, cascading compactions, single-slice
+fast path) including the binary128 key round-trip on arbitrary
+(non-ASCII) tokens.
 """
 
 from __future__ import annotations
@@ -28,6 +30,13 @@ docs_strategy = st.lists(
 
 cuts_strategy = st.lists(st.integers(0, 11), max_size=2)
 
+# compact_every=1 compacts after EVERY fold (cascades through levels,
+# and reads hit the single-slice fast path); 2 mixes mid-stream
+# compactions with multi-slice merge-on-read; 1000 never compacts
+compaction_strategy = st.tuples(
+    st.sampled_from([1, 2, 1000]), st.sampled_from([2, 8])
+)
+
 WINDOWS = [3, 5]
 
 
@@ -36,8 +45,8 @@ WINDOWS = [3, 5]
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )
-@given(docs=docs_strategy, cuts=cuts_strategy)
-def test_chunked_span_fold_equals_batch_sweep(spark, docs, cuts):
+@given(docs=docs_strategy, cuts=cuts_strategy, compaction=compaction_strategy)
+def test_chunked_span_fold_equals_batch_sweep(spark, docs, cuts, compaction):
     from pyspark.sql import functions as F
 
     from rental_data_pipeline_spark.operators.dedup import (
@@ -67,6 +76,7 @@ def test_chunked_span_fold_equals_batch_sweep(spark, docs, cuts):
                     (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
                 ),
                 b, window=WINDOWS, n_state_buckets=4,
+                compact_every=compaction[0], fanin=compaction[1],
             )
             lo = hi
         got_df = read_duplicated_spans(spark, root, min_docs=1)
