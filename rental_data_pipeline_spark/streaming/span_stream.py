@@ -334,8 +334,14 @@ def migrate_spans_to_tiered(
             st = st.withColumn(
                 "window", F.lit(ws[0] if ws else None).cast("int")
             )
-        if span_meta.get("key_encoding") != _ENCODING:
+        if (
+            span_meta.get("key_encoding") != _ENCODING
+            and dict(st.dtypes)[_KEY] == "string"
+        ):
             # pre-binary state: hex-string keys convert here, once
+            # (dtype-gated: an EMPTY legacy state composes to the
+            # schema-bearing fallback frame, whose key is already
+            # binary — unhex on binary would fail analysis)
             st = st.withColumn(_KEY, F.unhex(F.col(_KEY)))
         if _os.path.exists(cdir):  # crashed, uncommitted attempt
             _shutil.rmtree(cdir, ignore_errors=True)
