@@ -802,6 +802,7 @@ def rebucket_corpus(
         # must finish as a migration — resuming it as a rebucket would
         # stamp the tiered meta onto a v_* chain
         spend = f"{spans_path}/_meta.json.pending"
+        migrated = False
         if _os.path.exists(spend) and smeta.get("layout") != "tiered":
             with open(spend) as f:
                 staged = _json.load(f)
@@ -810,7 +811,7 @@ def rebucket_corpus(
                     migrate_spans_to_tiered,
                 )
 
-                migrate_spans_to_tiered(spark, spans_path)
+                migrated = migrate_spans_to_tiered(spark, spans_path)
                 smeta = _read_meta(spans_path)
         new_nb = (
             spans_n_buckets if spans_n_buckets is not None
@@ -824,8 +825,9 @@ def rebucket_corpus(
                 rebucket_tiered,
             )
 
-            ran["spans"] = rebucket_tiered(
-                spark, spans_path, new_nb, _reduce_span_stats
+            ran["spans"] = (
+                rebucket_tiered(spark, spans_path, new_nb, _reduce_span_stats)
+                or migrated
             )
         else:  # pre-tiering span state: versioned layout, same as CDC
             ran["spans"] = rebucket_state(spark, spans_path, new_nb)
