@@ -48,7 +48,17 @@ covered and a crash-window replay would double-count a batch.
 ``reduce_fn(union_of_slices) -> merged rows`` must be a pure
 associative/commutative keyed reduction (the union of any partition of
 the slices reduces to the same rows) — exactly the property that lets
-the read and every compaction level share one function.
+the read and every compaction level share one function. Every slice is
+keyed-unique (a batch slice is the fold's pre-aggregate, a compaction
+slice is a reduction output), so a single-slice read skips the
+reduction entirely.
+
+This store keeps NO version history (compaction deletes its sources) —
+deliberately: its one tenant's time-travel contract is served at the
+corpus level by re-deriving from the never-compacted keeper event log
+(``read_incremental_corpus(as_of_batch=)``), and keeping superseded
+span slices would double the dominant state table to serve reads the
+event log already serves.
 
 Reference: the reference's state handling is a full JSON rewrite per
 run (``parse_data.py:131-132,217-223``); this store exists so the one
