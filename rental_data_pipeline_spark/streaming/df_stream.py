@@ -300,7 +300,17 @@ def rebucket_df(
     offline discipline. Returns True when a migration ran."""
     old = _ensure_df_meta(state_path)
     pending = f"{state_path}/{_META_PENDING}"
-    if old == int(new_n_buckets) and not _os.path.exists(pending):
+    if _os.path.exists(pending):
+        # resume at the STAGED count: a crashed migration finishes at
+        # the parameters it was staged with, regardless of the caller's
+        # args (rebucket_corpus resumes with the CURRENT meta count, so
+        # honoring the caller here would silently revert the half-done
+        # migration to the old layout)
+        import json as _json2
+
+        with open(pending) as _f:
+            new_n_buckets = int(_json2.load(_f)["n_buckets"])
+    elif old == int(new_n_buckets):
         return False
     new_meta = {"n_buckets": int(new_n_buckets)}
     _atomic_json_write(pending, new_meta)

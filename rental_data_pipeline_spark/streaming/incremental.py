@@ -389,19 +389,45 @@ def rebucket_state(
             f"not a bucketed state table (no {_META_NAME}): {state_path}"
         )
     pending = f"{state_path}/{_META_PENDING}"
-    if int(meta["n_buckets"]) == int(new_n_buckets) and not _os.path.exists(
-        pending
-    ):
-        return False
-    all_dirs = _all_version_dirs(state_path)
-    n = _version_counter(all_dirs[-1]) + 1 if all_dirs else 0
-    new_meta = {
-        **meta,
-        "n_buckets": int(new_n_buckets),
-        "migrated_at_version": n,
-    }
-    with open(pending, "w") as f:
-        _json.dump(new_meta, f)
+    if _os.path.exists(pending):
+        # resume at the STAGED parameters: a crashed migration finishes
+        # at the count (and version cut-point) it was staged with,
+        # regardless of the caller's args — rebucket_corpus resumes
+        # with the CURRENT meta count, so honoring the caller here
+        # would silently revert the half-done migration to the old
+        # layout and redo it only if a later occupancy poll happened
+        # to say due
+        with open(pending) as f:
+            staged = _json.load(f)
+        new_n_buckets = int(staged["n_buckets"])
+        all_dirs = _all_version_dirs(state_path)
+        n = int(
+            staged.get(
+                "migrated_at_version",
+                # hand-staged pendings (older layouts, tests) may lack
+                # the cut-point: recompute it — folds refuse while the
+                # pending exists, so the version counter cannot move
+                _version_counter(all_dirs[-1]) + 1 if all_dirs else 0,
+            )
+        )
+        new_meta = {
+            **meta,
+            **staged,
+            "n_buckets": new_n_buckets,
+            "migrated_at_version": n,
+        }
+    else:
+        if int(meta["n_buckets"]) == int(new_n_buckets):
+            return False
+        all_dirs = _all_version_dirs(state_path)
+        n = _version_counter(all_dirs[-1]) + 1 if all_dirs else 0
+        new_meta = {
+            **meta,
+            "n_buckets": int(new_n_buckets),
+            "migrated_at_version": n,
+        }
+        with open(pending, "w") as f:
+            _json.dump(new_meta, f)
     # compose under the OLD meta (still in place — flat residual
     # filtering, if any, needs the old bucket function); _compose
     # directly, since read_state refuses while our own stage marker is

@@ -288,7 +288,24 @@ def migrate_spans_to_tiered(
     if span_meta.get("layout") == _LAYOUT:
         if not _os.path.exists(pending):
             return False  # already tiered
-        # post-commit crash: finish cleanup
+        import json as _json
+
+        with open(pending) as f:
+            staged = _json.load(f)
+        with open(f"{state_path}/_meta.json") as f:
+            cur = _json.load(f)
+        if staged != cur:
+            # NOT this migration's leftover: an in-flight
+            # rebucket_tiered staged this pending (its count differs
+            # from the committed meta) — eating it would silently
+            # discard the staged rebucket
+            raise RuntimeError(
+                f"span state at {state_path} has an interrupted "
+                "rebucket_tiered migration (staged pending differs from "
+                "the committed meta); run rebucket_tiered() to finish it"
+            )
+        # post-commit crash of THIS migration (or of a rebucket's final
+        # pending removal — staged == committed either way): cleanup
         for v in _glob.glob(f"{state_path}/v_*"):
             _shutil.rmtree(v, ignore_errors=True)
         _os.remove(pending)
@@ -308,6 +325,17 @@ def migrate_spans_to_tiered(
 
         with open(pending) as f:
             staged = _json.load(f)
+        if staged.get("layout") != _LAYOUT:
+            # a crashed rebucket_state staged this pending (legacy
+            # bucket-count migration, no layout stamp): adopting it as
+            # the tiered meta would commit a meta without the layout
+            # marker and wedge every later fold
+            raise RuntimeError(
+                f"span state at {state_path} has an interrupted "
+                "rebucket_state migration (staged pending carries no "
+                "tiered layout); finish it first — re-run "
+                "rebucket_state()/rebucket_corpus() — then migrate"
+            )
         if n_buckets is not None and staged["n_buckets"] != nb:
             raise RuntimeError(
                 "migrate_spans_to_tiered: a pending migration is staged "
@@ -347,7 +375,26 @@ def migrate_spans_to_tiered(
             _shutil.rmtree(cdir, ignore_errors=True)
         _write_slice(st.select(*_COLS), cdir, _KEY, nb)
         atomic_json_write(f"{cdir}/{_TIER_NAME}", {"level": 1})
-        atomic_json_write(f"{cdir}/_covered.json", [])
+        # the legacy chain's v_*_b{id} names ARE its replay records —
+        # carry them into the manifest as covered b_{id} slice names,
+        # so a stream that crashed between its last fold and the
+        # checkpoint commit replays that batch as a covered-id no-op
+        # instead of double-counting it into the migrated state
+        import re as _re
+
+        covered = sorted(
+            {
+                f"b_{m.group(1)}"
+                for v in _glob.glob(f"{state_path}/v_*")
+                for m in [
+                    _re.fullmatch(
+                        r"v_\d{9}_b(\d{9})", _os.path.basename(v)
+                    )
+                ]
+                if m is not None
+            }
+        )
+        atomic_json_write(f"{cdir}/_covered.json", covered)
 
     atomic_json_write(f"{state_path}/_meta.json", new_meta)
     # commit point: the read/fold dispatch flips to tiered

@@ -92,13 +92,33 @@ _META_NAME = "_meta.json"
 _META_PENDING = "_meta.json.pending"
 _TIER_NAME = "_tier.json"
 
+import re as _re
+
+# only names this module writes participate in listing, numbering,
+# compaction and sweeping — a stray operator entry (c_000000003.bak,
+# editor droppings) is IGNORED, never parsed, double-counted or
+# deleted (the `_all_version_dirs` discipline of the version chain)
+_SLICE_RE = _re.compile(r"[bc]_\d{9}")
+
+
+def _live_slices(state_path: str) -> list[str]:
+    return [
+        d
+        for d in sliced_committed(state_path)
+        if _SLICE_RE.fullmatch(_os.path.basename(d))
+    ]
+
+
+
+def _read_meta_file(path: str) -> dict | None:
+    if not _os.path.exists(path):
+        return None
+    with open(path) as f:
+        return _json.load(f)
+
 
 def _read_meta(state_path: str) -> dict | None:
-    p = f"{state_path}/{_META_NAME}"
-    if not _os.path.exists(p):
-        return None
-    with open(p) as f:
-        return _json.load(f)
+    return _read_meta_file(f"{state_path}/{_META_NAME}")
 
 
 def _ensure_meta(state_path: str, key: str, n_buckets: int) -> dict:
@@ -157,8 +177,16 @@ def _write_slice(
 ) -> None:
     """One bucketed slice write: each bucket in ~one file; a zero-row
     ``partitionBy`` leaves no readable part file, so empties are
-    rewritten as a schema-bearing plain frame (shared discipline)."""
+    rewritten as a schema-bearing plain frame (shared discipline).
+    Written into a ``t_*`` staging dir and RENAMED into place, because
+    Spark's ``_SUCCESS`` lands before the empty-frame fallback runs —
+    a crash in that gap would otherwise commit a marker-bearing,
+    parquet-less slice that replay treats as folded and every later
+    read chokes on. The rename is the commit."""
     spark = merged.sparkSession
+    parent = _os.path.dirname(out_dir)
+    tdir = f"{parent}/t_{_os.path.basename(out_dir)}"
+    _shutil.rmtree(tdir, ignore_errors=True)
     # int (not the pmod's bigint): partition-dir inference reads the
     # column back as int, and the empty-slice fallback frame below must
     # union cleanly with inferred slices (the dedup_index discipline)
@@ -168,25 +196,35 @@ def _write_slice(
     dp = spark.sparkContext.defaultParallelism
     out.repartition(min(n_buckets, dp), F.col(BUCKET_COL)).write.mode(
         "overwrite"
-    ).partitionBy(BUCKET_COL).parquet(out_dir)
-    if not has_part_files(out_dir):
+    ).partitionBy(BUCKET_COL).parquet(tdir)
+    if not has_part_files(tdir):
         spark.createDataFrame([], out.schema).write.mode(
             "overwrite"
-        ).parquet(out_dir)
+        ).parquet(tdir)
+    _os.rename(tdir, out_dir)
 
 
 def _sweep(state_path: str) -> None:
     """Remove compaction leftovers: uncommitted ``c_*`` dirs (crash
-    before manifest — their sources are still live) and covered dirs a
-    crash-after-manifest left undeleted."""
+    before manifest — their sources are still live), covered dirs a
+    crash-after-manifest left undeleted, and ``t_*`` staging dirs a
+    crash mid-write abandoned. Only canonical slice names are touched
+    — an operator's stray entry is never deleted."""
     covered = manifest_covered(state_path)
     for c in _glob.glob(f"{state_path}/c_*"):
+        if not _SLICE_RE.fullmatch(_os.path.basename(c)):
+            continue
         if _read_manifest(f"{c}/_covered.json") is None:
             _shutil.rmtree(c, ignore_errors=True)
     for pat in ("b_*", "c_*"):
         for d in _glob.glob(f"{state_path}/{pat}"):
-            if _os.path.basename(d) in covered:
+            if (
+                _SLICE_RE.fullmatch(_os.path.basename(d))
+                and _os.path.basename(d) in covered
+            ):
                 _shutil.rmtree(d, ignore_errors=True)
+    for t in _glob.glob(f"{state_path}/t_*"):
+        _shutil.rmtree(t, ignore_errors=True)
 
 
 def _compact_once(
@@ -205,6 +243,7 @@ def _compact_once(
         (
             int(_os.path.basename(c)[2:])
             for c in _glob.glob(f"{state_path}/c_*")
+            if _SLICE_RE.fullmatch(_os.path.basename(c))
         ),
         default=-1,
     ) + 1
@@ -245,7 +284,7 @@ def maybe_compact(
     _sweep(state_path)
     ran = False
     if force_full:
-        dirs = sliced_committed(state_path)
+        dirs = _live_slices(state_path)
         if dirs:
             top = max(_slice_level(d) for d in dirs)
             _compact_once(
@@ -255,7 +294,7 @@ def maybe_compact(
         return ran
     while True:
         by_level: dict[int, list[str]] = {}
-        for d in sliced_committed(state_path):
+        for d in _live_slices(state_path):
             by_level.setdefault(_slice_level(d), []).append(d)
         due = None
         for lvl in sorted(by_level):
@@ -314,7 +353,7 @@ def read_tiered(
     is the fold's pre-aggregate, a compaction slice is a reduction
     output), so reducing one slice is the identity — no shuffle."""
     _assert_no_pending_rebucket(state_path)
-    dirs = sliced_committed(state_path)
+    dirs = _live_slices(state_path)
     if not dirs:
         return None
     if len(dirs) == 1:
@@ -389,9 +428,3 @@ def rebucket_tiered(
     _os.remove(pending)
     return True
 
-
-def _read_meta_file(path: str) -> dict | None:
-    if not _os.path.exists(path):
-        return None
-    with open(path) as f:
-        return _json.load(f)

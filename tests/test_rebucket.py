@@ -297,3 +297,59 @@ def test_suggest_rebucket_watermark(spark, tmpdirs):
     assert rebucket_state(spark, state, s2["target_n_buckets"])
     s3 = suggest_rebucket(spark, state, target_rows_per_bucket=1)
     assert not s3["due"]
+
+
+def test_interrupted_rebucket_resumes_at_staged_count(spark, tmpdirs):
+    """A crashed migration finishes at the parameters it was STAGED
+    with, even when re-invoked with the old count — the
+    rebucket_corpus resume pattern (it re-calls every table with its
+    CURRENT meta count), which must not silently revert a half-done
+    migration (round-10 review finding)."""
+    landing, state, ckpt = tmpdirs
+    snaps = _snapshots(spark, n_keys=10)
+    snaps.where(F.dayofmonth("updated_date") == 1).coalesce(1).write.mode(
+        "append"
+    ).parquet(landing)
+    _run_stream(spark, landing, state, ckpt)
+    before = _state_rows(spark, state)
+    old_count = json.load(open(f"{state}/_meta.json"))["n_buckets"]
+
+    with open(f"{state}/_meta.json.pending", "w") as f:
+        json.dump({"n_buckets": 64, "key": "offer_id"}, f)
+    # the resume call passes the CURRENT count — staged 64 must win
+    assert rebucket_state(spark, state, old_count)
+    assert json.load(open(f"{state}/_meta.json"))["n_buckets"] == 64
+    assert not os.path.exists(f"{state}/_meta.json.pending")
+    assert _state_rows(spark, state) == before
+
+
+def test_interrupted_slice_rebucket_resumes_at_staged_count(spark):
+    """Same staged-count discipline for the slice-table migrations
+    (vocabulary as the representative of index/labels/vocab/simhash)."""
+    from rental_data_pipeline_spark.streaming.df_stream import (
+        fold_docs_batch,
+        read_df_table,
+        rebucket_df,
+    )
+
+    base = tempfile.mkdtemp(prefix="rebucket_staged_df_")
+    state = f"{base}/vocab"
+    try:
+        docs = spark.createDataFrame(
+            [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+        )
+        fold_docs_batch(spark, state, docs, 0)
+        before = {
+            (r.term, r.df) for r in read_df_table(spark, state).collect()
+        }
+        old_count = json.load(open(f"{state}/_meta.json"))["n_buckets"]
+        with open(f"{state}/_meta.json.pending", "w") as f:
+            json.dump({"n_buckets": 32}, f)
+        assert rebucket_df(spark, state, old_count)  # resume call
+        assert json.load(open(f"{state}/_meta.json"))["n_buckets"] == 32
+        assert not os.path.exists(f"{state}/_meta.json.pending")
+        assert {
+            (r.term, r.df) for r in read_df_table(spark, state).collect()
+        } == before
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

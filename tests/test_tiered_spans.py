@@ -358,3 +358,90 @@ def test_migration_is_crash_safe(spark, root):
     assert not os.path.exists(f"{root}/_meta.json.pending")
     assert glob.glob(f"{root}/v_*") == []
     assert _srows(read_duplicated_spans(spark, root)) == want
+
+
+def test_migration_carries_legacy_replay_records(spark, root):
+    """The legacy chain's v_*_b{id} names are its replay guard; the
+    migration manifest must carry them as covered b_{id} names so a
+    stream that crashed between its last fold and the checkpoint
+    commit replays that batch as a no-op instead of double-counting."""
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        migrate_spans_to_tiered,
+    )
+
+    b0, b1 = _docs(spark, [1, 2]), _docs(spark, [3, 4])
+    _legacy_state(spark, root, [b0, b1])
+    want = _srows(
+        duplicated_spans(b0.unionByName(b1), window=10, min_docs=2)
+    )
+    assert migrate_spans_to_tiered(spark, root)
+    # the crash-window replay: batch id 1 re-folds after migration
+    fold_spans_batch(spark, root, b1, 1, window=10)
+    assert _srows(read_duplicated_spans(spark, root)) == want  # no-op
+    assert _dirs(root, "b_000000001") == []  # not rewritten as a slice
+
+
+def test_migration_refuses_foreign_pendings(spark, root):
+    """A staged pending that is NOT this migration's must never be
+    adopted or eaten: a crashed rebucket_state (legacy, no layout
+    stamp) redirects to rebucket_state; a crashed rebucket_tiered
+    (staged count differs from the committed meta) redirects to
+    rebucket_tiered."""
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        _reduce_span_stats,
+        migrate_spans_to_tiered,
+    )
+    from rental_data_pipeline_spark.streaming.tiered import (
+        rebucket_tiered,
+    )
+
+    b0 = _docs(spark, [1, 2])
+    # legacy state + interrupted legacy REBUCKET
+    _legacy_state(spark, root, [b0])
+    with open(f"{root}/_meta.json.pending", "w") as f:
+        json.dump({"n_buckets": 64, "key": "span_hash"}, f)
+    with pytest.raises(RuntimeError, match="rebucket_state"):
+        migrate_spans_to_tiered(spark, root)
+    os.remove(f"{root}/_meta.json.pending")
+
+    # migrate for real, then an interrupted TIERED rebucket
+    assert migrate_spans_to_tiered(spark, root)
+    want = _srows(read_duplicated_spans(spark, root))
+    with open(f"{root}/_meta.json") as f:
+        meta = json.load(f)
+    with open(f"{root}/_meta.json.pending", "w") as f:
+        json.dump({**meta, "n_buckets": 64}, f)
+    with pytest.raises(RuntimeError, match="rebucket_tiered"):
+        migrate_spans_to_tiered(spark, root)
+    # the staged rebucket is still there and finishes at ITS count
+    assert rebucket_tiered(spark, root, 999, _reduce_span_stats)
+    assert json.load(open(f"{root}/_meta.json"))["n_buckets"] == 64
+    assert _srows(read_duplicated_spans(spark, root)) == want
+
+
+def test_stray_entries_are_ignored_never_deleted(spark, root):
+    """Operator droppings inside the state dir (a .bak copy of a
+    slice, junk names) are invisible to reads, numbering, compaction
+    and the sweep — never parsed, double-counted or deleted."""
+    import shutil as sh
+
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        _reduce_span_stats,
+    )
+
+    for i in range(2):
+        fold_spans_batch(
+            spark, root, _docs(spark, [2 * i, 2 * i + 1]), i, window=10
+        )
+    want = _srows(read_duplicated_spans(spark, root))
+    # a manual backup copy (carries _SUCCESS) + junk dirs
+    sh.copytree(f"{root}/b_000000000", f"{root}/b_000000000.bak")
+    os.makedirs(f"{root}/c_junk")
+    open(f"{root}/c_junk/_SUCCESS", "w").close()
+    assert _srows(read_duplicated_spans(spark, root)) == want
+    assert maybe_compact(
+        spark, root, _reduce_span_stats, compact_every=1
+    )
+    assert _srows(read_duplicated_spans(spark, root)) == want
+    assert os.path.exists(f"{root}/b_000000000.bak")  # never deleted
+    assert os.path.exists(f"{root}/c_junk")
