@@ -930,6 +930,7 @@ def maintain_corpus(
     regrow_growth_factor: float = 2.0,
     dry_run: bool = False,
     n_iter: int = 3,
+    compact_spans: bool = False,
 ) -> dict:
     """ONE offline maintenance call for a corpus root — makes the
     runbook executable: finishes any interrupted migration, polls
@@ -964,6 +965,17 @@ def maintain_corpus(
     runs: a pending table cannot even be polled). Returns
     ``{"resumed": ..., "tables": {name: watermark report}, "ran":
     {name: bool}}``.
+
+    ``compact_spans=True`` additionally folds the tiered span state's
+    live slices into ONE (``tiered.maybe_compact(force_full=True)``)
+    when more than one is live, so every read until the next fold takes
+    the single-slice fast path (no merge-on-read reduce shuffle). OFF
+    by default because it is the one O(state) rewrite the tiered layout
+    exists to avoid paying per-fold — turn it on when the maintenance
+    window precedes a read-heavy phase (a full corpus export, a
+    scale-out span scan), not on every cadence. The spans watermark
+    report carries ``live_slices`` either way. A spans REBUCKET in the
+    same call already compacts to one slice; the knob then no-ops.
     """
     import glob as _glob2
 
@@ -1129,6 +1141,20 @@ def maintain_corpus(
         )
         for t, r in ran.items():
             report["ran"][t] = r
+    if compact_spans and (_read_meta(spans_path) or {}).get(
+        "layout"
+    ) == "tiered":
+        from rental_data_pipeline_spark.streaming.tiered import (
+            _live_slices,
+            maybe_compact,
+        )
+
+        # a rebucket above already force-compacted to one slice; the
+        # slice listing (not the stale pre-migration report) decides
+        if len(_live_slices(spans_path)) > 1:
+            report["ran"]["spans_compact"] = maybe_compact(
+                spark, spans_path, _reduce_span_stats, force_full=True
+            )
     return report
 
 

@@ -123,6 +123,7 @@ def fold_spans_batch(
     compact_every: int = 16,
     n_state_buckets: int = N_STATE_BUCKETS,
     fanin: int = 8,
+    sweep_grace_sec: float = 0.0,
 ) -> None:
     """Fold one document batch's span statistics into the size-tiered
     state table: the batch's pre-aggregated rows land as ONE O(batch)
@@ -192,6 +193,7 @@ def fold_spans_batch(
         n_buckets=n_state_buckets,
         compact_every=compact_every,
         fanin=fanin,
+        sweep_grace_sec=sweep_grace_sec,
     )
 
 

@@ -36,9 +36,12 @@ This store writes pure O(batch) delta slices and defers merging:
 Crash safety rides the shared manifest protocol
 (``incremental.sliced_committed``): a compaction is committed by its
 ``_covered.json`` (written LAST); a crash before it leaves an
-invisible ``c_*`` dir whose sources stay live (swept on the next
-compaction); a crash after it but before source deletion leaves
-covered dirs that readers already ignore (also swept). Manifests
+invisible ``c_*`` dir whose sources stay live (swept later). Covered
+sources are never deleted inline — physical deletion belongs to the
+sweep, which honors a ``sweep_grace_sec`` retention window (the
+lakehouse vacuum discipline) so a reader that listed slices just
+before a compaction commit keeps its files while it scans; the
+default grace of 0 sweeps within the same fold call. Manifests
 record coverage TRANSITIVELY (direct sources plus everything those
 sources covered), so ``slice_id_compacted``'s covered-id replay
 contract survives any number of compaction generations — without
@@ -53,12 +56,13 @@ keyed-unique (a batch slice is the fold's pre-aggregate, a compaction
 slice is a reduction output), so a single-slice read skips the
 reduction entirely.
 
-This store keeps NO version history (compaction deletes its sources) —
-deliberately: its one tenant's time-travel contract is served at the
-corpus level by re-deriving from the never-compacted keeper event log
-(``read_incremental_corpus(as_of_batch=)``), and keeping superseded
-span slices would double the dominant state table to serve reads the
-event log already serves.
+This store keeps NO version history (a compaction's sources become
+garbage at its commit; the grace window is reader protection, not
+time travel) — deliberately: its one tenant's time-travel contract is
+served at the corpus level by re-deriving from the never-compacted
+keeper event log (``read_incremental_corpus(as_of_batch=)``), and
+keeping superseded span slices would double the dominant state table
+to serve reads the event log already serves.
 
 Reference: the reference's state handling is a full JSON rewrite per
 run (``parse_data.py:131-132,217-223``); this store exists so the one
@@ -204,23 +208,55 @@ def _write_slice(
     _os.rename(tdir, out_dir)
 
 
-def _sweep(state_path: str) -> None:
-    """Remove compaction leftovers: uncommitted ``c_*`` dirs (crash
-    before manifest — their sources are still live), covered dirs a
-    crash-after-manifest left undeleted, and ``t_*`` staging dirs a
-    crash mid-write abandoned. Only canonical slice names are touched
-    — an operator's stray entry is never deleted."""
-    covered = manifest_covered(state_path)
+def _sweep(state_path: str, grace_sec: float = 0.0) -> None:
+    """Physically delete garbage: slices a committed compaction covers
+    (deletion is DEFERRED out of the commit path — see
+    :func:`maybe_compact`), uncommitted ``c_*`` dirs (crash before
+    manifest — their sources are still live), and ``t_*`` staging dirs
+    a crash mid-write abandoned. Only canonical slice names are touched
+    — an operator's stray entry is never deleted.
+
+    ``grace_sec`` keeps a covered slice on disk until its covering
+    MANIFEST (the commit that made it garbage — the moment after which
+    no new reader lists it) is at least that old. A reader that listed
+    slices just before the commit keeps its files for the grace window
+    even though the logical state has moved on — the vacuum-retention
+    discipline of the lakehouse formats, needed once reads run
+    concurrently with folds at scale. 0 (the default) sweeps
+    immediately: the single-process posture, where no reader can
+    straddle a fold."""
+    import time as _time
+
+    now = _time.time()
+    covered_at: dict[str, float] = {}
     for c in _glob.glob(f"{state_path}/c_*"):
         if not _SLICE_RE.fullmatch(_os.path.basename(c)):
             continue
-        if _read_manifest(f"{c}/_covered.json") is None:
-            _shutil.rmtree(c, ignore_errors=True)
+        mf = f"{c}/_covered.json"
+        names = _read_manifest(mf)
+        if names is None or not _os.path.exists(f"{c}/_SUCCESS"):
+            # crash before the manifest: invisible to readers already;
+            # grace still applies (mtime — there is no commit event)
+            try:
+                old_enough = now - _os.path.getmtime(c) >= grace_sec
+            except OSError:
+                old_enough = False
+            if old_enough:
+                _shutil.rmtree(c, ignore_errors=True)
+            continue
+        try:
+            mt = _os.path.getmtime(mf)
+        except OSError:
+            continue
+        for n in names:
+            covered_at[n] = max(covered_at.get(n, 0.0), mt)
     for pat in ("b_*", "c_*"):
         for d in _glob.glob(f"{state_path}/{pat}"):
+            name = _os.path.basename(d)
             if (
-                _SLICE_RE.fullmatch(_os.path.basename(d))
-                and _os.path.basename(d) in covered
+                _SLICE_RE.fullmatch(name)
+                and name in covered_at
+                and now - covered_at[name] >= grace_sec
             ):
                 _shutil.rmtree(d, ignore_errors=True)
     for t in _glob.glob(f"{state_path}/t_*"):
@@ -238,7 +274,10 @@ def _compact_once(
 ) -> None:
     """Merge ``dirs`` into one level-``out_level`` slice. Commit order:
     parquet (+``_SUCCESS``) → ``_tier.json`` → ``_covered.json``
-    (COMMIT, transitive) → delete sources."""
+    (COMMIT, transitive). The sources become garbage at the manifest
+    write but are NOT deleted here — physical deletion is the sweep's
+    job (:func:`_sweep`), so a grace window can protect readers that
+    listed them before the commit."""
     n = max(
         (
             int(_os.path.basename(c)[2:])
@@ -257,8 +296,6 @@ def _compact_once(
         covered.add(_os.path.basename(d))
         covered.update(_read_manifest(f"{d}/_covered.json") or ())
     atomic_json_write(f"{cdir}/_covered.json", sorted(covered))
-    for d in dirs:
-        _shutil.rmtree(d, ignore_errors=True)
 
 
 def maybe_compact(
@@ -269,19 +306,28 @@ def maybe_compact(
     fanin: int = 8,
     force_full: bool = False,
     n_buckets: int | None = None,
+    sweep_grace_sec: float = 0.0,
 ) -> bool:
     """Run every due size-tiered compaction: level 0 merges at
     ``compact_every`` slices, higher levels at ``fanin``. Cascades
     (a level-1 merge can trip level 2) until nothing is due.
     ``force_full`` merges ALL live slices into one top slice regardless
     of counts (rebucket / measurement hook). Returns True if any
-    compaction ran."""
+    compaction ran.
+
+    A compaction COMMITS at its manifest write; the covered sources
+    are deleted by the surrounding sweeps, never inline —
+    ``sweep_grace_sec`` keeps them on disk until their covering commit
+    is that old, protecting concurrent readers that listed slices just
+    before the commit (set it above the longest expected read; the
+    extra disk is bounded by one compaction's inputs per window). The
+    default 0 deletes within this call — single-process behavior."""
     meta = _read_meta(state_path)
     if meta is None:
         return False
     key = meta["key"]
     nb = int(n_buckets if n_buckets is not None else meta["n_buckets"])
-    _sweep(state_path)
+    _sweep(state_path, grace_sec=sweep_grace_sec)
     ran = False
     if force_full:
         dirs = _live_slices(state_path)
@@ -291,22 +337,29 @@ def maybe_compact(
                 spark, state_path, dirs, top + 1, reduce_fn, key, nb
             )
             ran = True
-        return ran
-    while True:
-        by_level: dict[int, list[str]] = {}
-        for d in _live_slices(state_path):
-            by_level.setdefault(_slice_level(d), []).append(d)
-        due = None
-        for lvl in sorted(by_level):
-            fan = compact_every if lvl == 0 else fanin
-            if len(by_level[lvl]) >= fan:
-                due = (lvl, sorted(by_level[lvl]))
+    else:
+        while True:
+            by_level: dict[int, list[str]] = {}
+            for d in _live_slices(state_path):
+                by_level.setdefault(_slice_level(d), []).append(d)
+            due = None
+            for lvl in sorted(by_level):
+                fan = compact_every if lvl == 0 else fanin
+                if len(by_level[lvl]) >= fan:
+                    due = (lvl, sorted(by_level[lvl]))
+                    break
+            if due is None:
                 break
-        if due is None:
-            return ran
-        lvl, dirs = due
-        _compact_once(spark, state_path, dirs, lvl + 1, reduce_fn, key, nb)
-        ran = True
+            lvl, dirs = due
+            _compact_once(
+                spark, state_path, dirs, lvl + 1, reduce_fn, key, nb
+            )
+            ran = True
+    if ran:
+        # the just-covered sources: gone now at grace 0, kept for the
+        # window otherwise (a later sweep collects them)
+        _sweep(state_path, grace_sec=sweep_grace_sec)
+    return ran
 
 
 def tiered_fold(
@@ -318,13 +371,16 @@ def tiered_fold(
     n_buckets: int = N_STATE_BUCKETS,
     compact_every: int = 16,
     fanin: int = 8,
+    sweep_grace_sec: float = 0.0,
 ) -> None:
     """Fold one batch's PRE-AGGREGATED rows as a pure delta slice,
     then run any due compactions. O(batch) write — the state is never
     read, let alone rewritten, on the fold path. Idempotent per
     ``batch_id`` (committed replay and covered-id replay are both
     no-ops); a crashed attempt's marker-less dir is rewritten
-    wholesale."""
+    wholesale. ``sweep_grace_sec`` defers physical deletion of
+    compacted-away slices for concurrent readers (see
+    :func:`maybe_compact`)."""
     bdir = f"{state_path}/b_{batch_id:09d}"
     if _os.path.exists(f"{bdir}/_SUCCESS") or slice_id_compacted(
         state_path, batch_id
@@ -339,6 +395,7 @@ def tiered_fold(
     maybe_compact(
         spark, state_path, reduce_fn,
         compact_every=compact_every, fanin=fanin,
+        sweep_grace_sec=sweep_grace_sec,
     )
 
 
@@ -372,12 +429,26 @@ def suggest_rebucket_tiered(
     shape as ``incremental.suggest_rebucket``. Buckets here size FILES
     (compaction output layout), not fold cost (the fold never reads
     them), so the default target is file-sized (~100k rows ≈ a few MB)
-    rather than fold-sized."""
+    rather than fold-sized.
+
+    The report also carries the READ-AMPLIFICATION watermark:
+    ``live_slices`` (how many slices every merge-on-read unions —
+    bounded by the compaction fan-ins in steady state, but a stopped
+    stream freezes whatever backlog its last fold left) and
+    ``slices_by_level``. A maintenance window can reset both to 1 with
+    ``maybe_compact(force_full=True)`` (one O(state) pass) so
+    subsequent reads take the single-slice fast path — that is
+    :func:`corpus_stream.maintain_corpus`'s ``compact_spans`` knob."""
     meta = _read_meta(state_path)
     if meta is None:
         raise ValueError(
             f"not a tiered state table (no {_META_NAME}): {state_path}"
         )
+    dirs = _live_slices(state_path)
+    by_level: dict[int, int] = {}
+    for d in dirs:
+        lvl = _slice_level(d)
+        by_level[lvl] = by_level.get(lvl, 0) + 1
     st = read_tiered(spark, state_path, reduce_fn)
     n = 0 if st is None else st.count()
     n_buckets = int(meta["n_buckets"])
@@ -390,6 +461,8 @@ def suggest_rebucket_tiered(
         "rows_per_bucket": round(n / max(n_buckets, 1), 1),
         "target_n_buckets": target,
         "due": target >= growth_factor * n_buckets,
+        "live_slices": len(dirs),
+        "slices_by_level": {str(k): by_level[k] for k in sorted(by_level)},
     }
 
 

@@ -179,6 +179,52 @@ def test_frozen_semantic_threshold_reads_sem_meta(root):
     assert _frozen_semantic_threshold(root) == 0.3
 
 
+def test_maintain_compact_spans_resets_read_amplification(spark, root):
+    """The tiered span store's read-amplification watermark and the
+    opt-in maintenance compaction: the poll reports live slice counts,
+    ``compact_spans=True`` folds them to ONE (reads take the
+    single-slice fast path until the next fold), reads are unchanged,
+    and the knob no-ops when a single slice is already live."""
+    from tests.test_tiered_spans import _docs, _srows
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        _reduce_span_stats,
+        fold_spans_batch,
+        read_duplicated_spans,
+    )
+    from rental_data_pipeline_spark.streaming.tiered import (
+        suggest_rebucket_tiered,
+    )
+
+    spans = f"{root}/spans"
+    for i in range(3):
+        fold_spans_batch(
+            spark, spans, _docs(spark, [2 * i, 2 * i + 1]), i, window=10
+        )
+    want = _srows(read_duplicated_spans(spark, spans))
+
+    rep = maintain_corpus(spark, root, dry_run=True)
+    assert rep["tables"]["spans"]["live_slices"] == 3
+    assert rep["tables"]["spans"]["slices_by_level"] == {"0": 3}
+    sug = suggest_rebucket_tiered(spark, spans, _reduce_span_stats)
+    assert sug["live_slices"] == 3 and sug["slices_by_level"] == {"0": 3}
+
+    # dry_run never compacts, even with the knob on
+    rep = maintain_corpus(spark, root, dry_run=True, compact_spans=True)
+    assert rep["tables"]["spans"]["live_slices"] == 3
+
+    rep = maintain_corpus(spark, root, compact_spans=True)
+    assert rep["ran"]["spans_compact"] is True
+    assert suggest_rebucket_tiered(
+        spark, spans, _reduce_span_stats
+    )["live_slices"] == 1
+    assert _srows(read_duplicated_spans(spark, spans)) == want
+
+    # single live slice: the knob no-ops (no O(state) rewrite)
+    rep = maintain_corpus(spark, root, compact_spans=True)
+    assert "spans_compact" not in rep["ran"]
+    assert _srows(read_duplicated_spans(spark, spans)) == want
+
+
 def test_maintain_upgrades_legacy_span_layout(spark, root):
     """A corpus whose span state predates the tiered layout gets the
     layout migration as part of maintenance: dry_run reports it due,

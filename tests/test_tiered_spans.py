@@ -114,6 +114,42 @@ def test_compaction_preserves_equivalence_and_replay(spark, root):
     assert _srows(read_duplicated_spans(spark, root)) == want
 
 
+def test_sweep_grace_defers_covered_slice_deletion(spark, root):
+    """``sweep_grace_sec``: a compaction's sources become invisible to
+    new reads at the manifest commit but stay ON DISK for the grace
+    window — a concurrent reader that listed them just before the
+    commit keeps its files (the vacuum-retention discipline). A sweep
+    past the grace deletes them; the default grace of 0 keeps the
+    single-process delete-within-the-fold behavior."""
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        _reduce_span_stats,
+    )
+
+    for i in range(2):
+        fold_spans_batch(
+            spark, root, _docs(spark, [2 * i + 1, 2 * i + 2]), i,
+            window=10, compact_every=2, sweep_grace_sec=3600,
+        )
+    # the fold's inline compaction committed...
+    assert _dirs(root, "c_*") == ["c_000000000"]
+    # ...but its sources survive the call (covered, within grace)
+    assert _dirs(root, "b_*") == ["b_000000000", "b_000000001"]
+    # reads ignore the covered dirs: no double count
+    want = _srows(
+        duplicated_spans(_docs(spark, [1, 2, 3, 4]), window=10, min_docs=2)
+    )
+    assert _srows(read_duplicated_spans(spark, root)) == want
+
+    # a sweep still inside the grace keeps them
+    maybe_compact(spark, root, _reduce_span_stats, sweep_grace_sec=3600)
+    assert _dirs(root, "b_*") == ["b_000000000", "b_000000001"]
+
+    # past the grace (0 here): physically deleted, reads unchanged
+    maybe_compact(spark, root, _reduce_span_stats)
+    assert _dirs(root, "b_*") == []
+    assert _srows(read_duplicated_spans(spark, root)) == want
+
+
 def test_crash_artifacts_are_swept(spark, root):
     """An uncommitted c_* (crash before manifest) is invisible and
     swept; a covered source dir left behind (crash after manifest,
