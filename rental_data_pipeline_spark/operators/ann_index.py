@@ -373,7 +373,10 @@ def _append_slice_dirs(index_path: str, meta: dict) -> list[str]:
 
 
 def compact_ann_appends(
-    spark: SparkSession, index_path: str, min_slices: int = 2
+    spark: SparkSession,
+    index_path: str,
+    min_slices: int = 2,
+    sweep_grace_sec: float = 0.0,
 ) -> bool:
     """Merge the committed append slices into ONE consolidated slice
     (same (cid, vb) partitioning, so probe pruning is unchanged) and
@@ -383,14 +386,18 @@ def compact_ann_appends(
     Crash-safe under the shared manifest protocol: the consolidated
     ``c_*`` slice commits with an atomic ``_covered.json`` naming its
     sources; readers skip covered dirs, a crash before the manifest
-    leaves an invisible ``c_*`` and the sources stay live. Returns
-    True when a compaction ran."""
+    leaves an invisible ``c_*`` and the sources stay live. Physical
+    source deletion is the shared covered-slice sweep
+    (``sweep_grace_sec`` defers it for concurrent readers; the commit
+    marker here is the last-written sub-table's ``_SUCCESS``, not a
+    root one). Returns True when a compaction ran."""
     import glob as _glob
     import shutil as _shutil
 
     from rental_data_pipeline_spark.streaming.incremental import (
         _read_manifest,
         atomic_json_write,
+        sweep_covered_slices,
     )
 
     meta = read_meta(index_path)
@@ -400,6 +407,9 @@ def compact_ann_appends(
     for c in _glob.glob(f"{root}/c_*"):
         if _read_manifest(f"{c}/_covered.json") is None:
             _shutil.rmtree(c, ignore_errors=True)
+    sweep_covered_slices(
+        root, sweep_grace_sec, commit_marker=f"{commit_sub}/_SUCCESS"
+    )
     dirs = _append_slice_dirs(index_path, meta)
     if len(dirs) < min_slices:
         return False
@@ -424,8 +434,9 @@ def compact_ann_appends(
     atomic_json_write(
         f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in dirs)
     )
-    for d in dirs:
-        _shutil.rmtree(d, ignore_errors=True)
+    sweep_covered_slices(
+        root, sweep_grace_sec, commit_marker=f"{commit_sub}/_SUCCESS"
+    )
     return True
 
 

@@ -407,6 +407,7 @@ def compact_labels(
     min_slices: int = 2,
     n_buckets: int | None = None,
     _during_rebucket: bool = False,
+    sweep_grace_sec: float = 0.0,
 ) -> bool:
     """Apply the forest to the member table (one bucketed ``c_*``
     slice of fully-resolved labels + manifest) and empty the forest —
@@ -415,9 +416,15 @@ def compact_labels(
     shared manifest protocol: members compact first (applying a
     still-live forest to already-resolved labels is a no-op — only
     demoted roots appear as forest keys, and a resolved label is never
-    a demoted root), forest second. ``n_buckets`` overrides the meta
+    a demoted root), forest second; physical source deletion is the
+    shared covered-slice sweep (``sweep_grace_sec`` defers it for
+    concurrent readers). ``n_buckets`` overrides the meta
     bucket count ONLY for :func:`rebucket_labels` (whose pending
     marker blocks every pruned reader until the meta swap commits)."""
+    from rental_data_pipeline_spark.streaming.incremental import (
+        sweep_covered_slices,
+    )
+
     if not _during_rebucket:
         _assert_no_pending_rebucket(labels_path)
     members = _read_union(spark, labels_path, _MEMBERS)
@@ -435,6 +442,7 @@ def compact_labels(
         for c in _glob.glob(f"{labels_path}/{sub}/c_*"):
             if not _os.path.exists(f"{c}/_covered.json"):
                 _shutil.rmtree(c, ignore_errors=True)
+        sweep_covered_slices(f"{labels_path}/{sub}", sweep_grace_sec)
 
     def _next_c(sub: str) -> str:
         n = max(
@@ -467,8 +475,7 @@ def compact_labels(
     _atomic_json_write(
         f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in mdirs)
     )
-    for d in mdirs:
-        _shutil.rmtree(d, ignore_errors=True)
+    sweep_covered_slices(f"{labels_path}/{_MEMBERS}", sweep_grace_sec)
 
     cdir = _next_c(_FOREST)
     spark.createDataFrame([], f"old_root {dt}, new_root {dt}").write.parquet(
@@ -477,8 +484,7 @@ def compact_labels(
     _atomic_json_write(
         f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in fdirs)
     )
-    for d in fdirs:
-        _shutil.rmtree(d, ignore_errors=True)
+    sweep_covered_slices(f"{labels_path}/{_FOREST}", sweep_grace_sec)
     return True
 
 

@@ -184,16 +184,22 @@ def compact_df(
     min_slices: int = 2,
     n_buckets: int | None = None,
     _during_rebucket: bool = False,
+    sweep_grace_sec: float = 0.0,
 ) -> bool:
     """Fold the committed slices into one consolidated ``c_*`` slice
     per table (SUM merge — same associativity as the sketch stream)
-    under the shared manifest protocol. Returns True when ran.
-    ``n_buckets`` overrides the frozen meta count ONLY for
-    :func:`rebucket_df` (whose pending marker blocks every other
-    reader/writer until the meta swap commits); the term bucket is
-    recomputed from the key either way, so a same-count compaction is
-    unchanged."""
+    under the shared manifest protocol; physical source deletion is
+    the shared covered-slice sweep (``sweep_grace_sec`` defers it for
+    concurrent readers). Returns True when ran. ``n_buckets``
+    overrides the frozen meta count ONLY for :func:`rebucket_df`
+    (whose pending marker blocks every other reader/writer until the
+    meta swap commits); the term bucket is recomputed from the key
+    either way, so a same-count compaction is unchanged."""
     import glob as _glob
+
+    from rental_data_pipeline_spark.streaming.incremental import (
+        sweep_covered_slices,
+    )
 
     if not _during_rebucket:
         _assert_no_pending_rebucket(state_path)
@@ -203,6 +209,7 @@ def compact_df(
         for c in _glob.glob(f"{state_path}/{sub}/c_*"):
             if _read_manifest(f"{c}/_covered.json") is None:
                 _shutil.rmtree(c, ignore_errors=True)
+        sweep_covered_slices(f"{state_path}/{sub}", sweep_grace_sec)
         dirs = _committed(state_path, sub)
         if not dirs or (not _during_rebucket and len(dirs) < min_slices):
             continue
@@ -239,8 +246,7 @@ def compact_df(
             f"{cdir}/_covered.json",
             sorted(_os.path.basename(d) for d in dirs),
         )
-        for d in dirs:
-            _shutil.rmtree(d, ignore_errors=True)
+        sweep_covered_slices(f"{state_path}/{sub}", sweep_grace_sec)
         ran = True
     return ran
 

@@ -262,6 +262,55 @@ def sliced_committed(root: str) -> list[str]:
     return sorted(out)
 
 
+def sweep_covered_slices(
+    root: str, grace_sec: float = 0.0, commit_marker: str = "_SUCCESS"
+) -> None:
+    """Physically delete slice dirs under ``root`` that a COMMITTED
+    ``c_*`` manifest covers — the shared GC for every compacting slice
+    store. Coverage (not deletion) is the commit: readers already skip
+    covered dirs (:func:`sliced_committed`), so deletion is pure disk
+    reclamation and can be deferred.
+
+    ``grace_sec`` keeps a covered slice until its covering MANIFEST
+    (the moment after which no new reader lists it) is at least that
+    old — the vacuum-retention discipline: a reader that listed slices
+    just before the compaction commit keeps its files for the grace
+    window. 0 (the default) reclaims immediately, the single-process
+    posture. Compactions call this instead of deleting their sources
+    inline, which also heals the crash-after-manifest leak: a covered
+    dir whose deletion crashed used to be skipped by every later
+    listing but deleted by nothing.
+
+    Only dirs NAMED IN a committed manifest are ever deleted — a
+    stray operator entry (``b_000000001.bak``) never appears in one.
+    ``commit_marker`` is the path (relative to the ``c_*`` dir) whose
+    existence commits that compaction (the ANN appends commit on their
+    last-written sub-table, not a root ``_SUCCESS``)."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+
+    now = _time.time()
+    covered_at: dict[str, float] = {}
+    for c in _glob.glob(f"{root}/c_*"):
+        mf = f"{c}/_covered.json"
+        names = _read_manifest(mf)
+        if names is None or not _os.path.exists(f"{c}/{commit_marker}"):
+            continue
+        try:
+            mt = _os.path.getmtime(mf)
+        except OSError:
+            continue
+        for n in names:
+            covered_at[n] = max(covered_at.get(n, 0.0), mt)
+    for pat in ("b_*", "c_*"):
+        for d in _glob.glob(f"{root}/{pat}"):
+            name = _os.path.basename(d)
+            if name in covered_at and now - covered_at[name] >= grace_sec:
+                _shutil.rmtree(d, ignore_errors=True)
+
+
 def _read_meta(state_path: str) -> dict | None:
     import json as _json
     import os as _os

@@ -62,19 +62,31 @@ def read_hll_estimate(
     return hll_estimate_from_registers(regs, group_cols, p)
 
 
-def compact_sketch(spark: SparkSession, state_path: str, min_slices: int = 2) -> bool:
+def compact_sketch(
+    spark: SparkSession,
+    state_path: str,
+    min_slices: int = 2,
+    sweep_grace_sec: float = 0.0,
+) -> bool:
     """Merge every committed register slice into ONE consolidated
     slice (the registers' groupBy-max union — the same value the
     reader computes) and drop the sources, under the shared
     manifest-commit contract (``incremental.sliced_committed``): a
     crash in either window never double-counts or loses registers.
-    Returns True when a compaction ran."""
+    Physical source deletion is the shared covered-slice sweep
+    (``sweep_grace_sec`` defers it for concurrent readers). Returns
+    True when a compaction ran."""
     import glob as _glob
     import json as _json
+
+    from rental_data_pipeline_spark.streaming.incremental import (
+        sweep_covered_slices,
+    )
 
     for c in _glob.glob(f"{state_path}/c_*"):
         if not _os.path.exists(f"{c}/_covered.json"):
             _shutil.rmtree(c, ignore_errors=True)  # crashed compaction
+    sweep_covered_slices(state_path, sweep_grace_sec)
     dirs = _committed(state_path)
     if len(dirs) < min_slices:
         return False
@@ -86,8 +98,7 @@ def compact_sketch(spark: SparkSession, state_path: str, min_slices: int = 2) ->
     cdir = f"{state_path}/c_{n:09d}"
     merged.write.parquet(cdir)
     _atomic_json_write(f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in dirs))
-    for d in dirs:
-        _shutil.rmtree(d, ignore_errors=True)
+    sweep_covered_slices(state_path, sweep_grace_sec)
     return True
 
 

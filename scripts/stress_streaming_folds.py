@@ -22,6 +22,15 @@ startup cost (identical across tiers — it's the flat floor both
 numbers sit on); the label fold is called directly. Each timing is
 min-of-2 to damp this host's known scheduler stalls.
 
+Each fold also reports its measured FLOOR — the state-independent
+fixed cost a fold pays before touching any state: for the stream-based
+folds, one AvailableNow run with NO pending files (pure
+StreamingQuery startup + commit); for the direct folds, the same fold
+with a ONE-ROW batch. ``ratio_above_floor`` re-states the flatness
+claim on the engine work alone: (sec_10x - floor) / (sec_1x - floor).
+With the raw ratio the floor flatters small numerators; above-floor is
+the honest per-batch state-machinery scaling.
+
 Usage: python scripts/stress_streaming_folds.py [fold...]
 """
 
@@ -52,7 +61,7 @@ def _timed(fn) -> float:
 # ---------------------------------------------------------------------------
 
 
-def cdc_fold_sec(spark, n_keys: int, batch_keys: int) -> float:
+def cdc_fold_sec(spark, n_keys: int, batch_keys: int) -> tuple[float, float]:
     from rental_data_pipeline_spark.streaming import (
         incremental_merge_stream,
         read_snapshot_stream,
@@ -84,6 +93,9 @@ def cdc_fold_sec(spark, n_keys: int, batch_keys: int) -> float:
             q.awaitTermination(600)
 
         fold()  # seed fold (full snapshot)
+        # floor: an AvailableNow run with NO pending files — pure
+        # StreamingQuery startup + commit, zero engine state work
+        floor = min(_timed(fold) for _ in range(2))
         times = []
         for i in range(2):
             seed.where(F.col("offer_id") < batch_keys).select(
@@ -96,7 +108,7 @@ def cdc_fold_sec(spark, n_keys: int, batch_keys: int) -> float:
                 (F.col("event_id") + n_keys * (i + 1)).alias("event_id"),
             ).coalesce(1).write.mode("append").parquet(landing)
             times.append(_timed(fold))
-        return min(times)
+        return min(times), floor
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -124,7 +136,7 @@ def _docs(spark, n: int, start: int = 0):
     )
 
 
-def index_fold_sec(spark, n_docs: int, batch_docs: int) -> float:
+def index_fold_sec(spark, n_docs: int, batch_docs: int) -> tuple[float, float]:
     from rental_data_pipeline_spark.streaming.dedup_index import (
         incremental_minhash_index_stream,
     )
@@ -144,13 +156,14 @@ def index_fold_sec(spark, n_docs: int, batch_docs: int) -> float:
             q.awaitTermination(600)
 
         fold()  # seed fold: the whole corpus becomes the stored index
+        floor = min(_timed(fold) for _ in range(2))  # no pending files
         times = []
         for i in range(2):
             _docs(spark, batch_docs, start=10_000_000 * (i + 1)).coalesce(
                 1
             ).write.mode("append").parquet(landing)
             times.append(_timed(fold))
-        return min(times)
+        return min(times), floor
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -160,7 +173,7 @@ def index_fold_sec(spark, n_docs: int, batch_docs: int) -> float:
 # ---------------------------------------------------------------------------
 
 
-def labels_fold_sec(spark, n_pairs: int, batch_pairs: int) -> float:
+def labels_fold_sec(spark, n_pairs: int, batch_pairs: int) -> tuple[float, float]:
     from rental_data_pipeline_spark.streaming.components import (
         bootstrap_components,
         fold_pairs_batch,
@@ -173,6 +186,16 @@ def labels_fold_sec(spark, n_pairs: int, batch_pairs: int) -> float:
             (F.col("id") * 2).alias("doc_a"), (F.col("id") * 2 + 1).alias("doc_b")
         )
         bootstrap_components(spark, base, seed, 0)
+        # floor: the same fold with a ONE-pair batch — per-call fixed
+        # cost (job submission, slice commit), ~zero state work
+        one = spark.range(1).select(
+            (F.col("id") + 40_000_000).alias("doc_a"),
+            (F.col("id") + 50_000_000).alias("doc_b"),
+        )
+        floor = min(
+            _timed(lambda: fold_pairs_batch(spark, base, one, j + 1))
+            for j in range(2)
+        )
         times = []
         for i in range(2):
             # fixed batch: half bridge existing clusters, half are new
@@ -185,9 +208,9 @@ def labels_fold_sec(spark, n_pairs: int, batch_pairs: int) -> float:
                 .alias("doc_b"),
             )
             times.append(
-                _timed(lambda: fold_pairs_batch(spark, base, batch, i + 1))
+                _timed(lambda: fold_pairs_batch(spark, base, batch, i + 3))
             )
-        return min(times)
+        return min(times), floor
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
@@ -215,7 +238,7 @@ def _corpus_docs(spark, n: int, start: int = 0):
 
 def corpus_fold_sec(
     spark, n_docs: int, batch_docs: int, n_buckets: int = 16
-) -> float:
+) -> tuple[float, float]:
     """One fold_corpus_batch call with every artifact enabled except
     SemDeDup (whose per-batch cost is the blocking trade — O(batch x
     N/n_cells), flat only when n_cells grows ~sqrt(N) with the corpus;
@@ -245,6 +268,21 @@ def corpus_fold_sec(
             compact_every=1000, span_window=10, simhash_max_hamming=3,
             n_state_buckets=n_buckets,
         )
+
+        def one_doc_fold(bid: int, start: int) -> None:
+            fold_corpus_batch(
+                spark, base, _corpus_docs(spark, 1, start=start), bid,
+                cfg, holdout=holdout, ann_centroids=cents,
+                vec_col="embedding", compact_every=1000, span_window=10,
+                simhash_max_hamming=3, n_state_buckets=n_buckets,
+            )
+
+        # floor: the full composed fold over a ONE-doc batch — the
+        # per-call fixed cost of every stage's job/commit machinery
+        floor = min(
+            _timed(lambda: one_doc_fold(j + 1, 5_000_000 + j))
+            for j in range(2)
+        )
         times = []
         for i in range(2):
             batch = _corpus_docs(
@@ -253,7 +291,7 @@ def corpus_fold_sec(
             times.append(
                 _timed(
                     lambda: fold_corpus_batch(
-                        spark, base, batch, i + 1, cfg,
+                        spark, base, batch, i + 3, cfg,
                         holdout=holdout, ann_centroids=cents,
                         vec_col="embedding", compact_every=1000,
                         span_window=10, simhash_max_hamming=3,
@@ -261,12 +299,12 @@ def corpus_fold_sec(
                     )
                 )
             )
-        return min(times)
+        return min(times), floor
     finally:
         shutil.rmtree(base, ignore_errors=True)
 
 
-def corpus_fold_sec_256(spark, n_docs: int, batch_docs: int) -> float:
+def corpus_fold_sec_256(spark, n_docs: int, batch_docs: int) -> tuple[float, float]:
     """The corpus fold at production-shaped n_buckets=256 — the
     counter-probe to corpus100's bend: per-bucket occupancy at 200k
     docs matches the 16-bucket table's at 12.5k, so flatness should
@@ -296,15 +334,23 @@ def main() -> None:
     for name, (fn, n1, n10, b) in FOLDS.items():
         if only and name not in only:
             continue
-        s1 = fn(spark, n1, b)
-        s10 = fn(spark, n10, b)
+        s1, f1 = fn(spark, n1, b)
+        s10, f10 = fn(spark, n10, b)
         results[name] = {
             "state_1x": n1, "state_10x": n10, "batch": b,
             "sec_1x": s1, "sec_10x": s10,
+            "floor_1x": f1, "floor_10x": f10,
             "ratio": round(s10 / max(s1, 0.01), 2),
+            # the flatness claim on the engine work alone — each
+            # tier's own floor subtracted
+            "ratio_above_floor": round(
+                max(s10 - f10, 0.0) / max(s1 - f1, 0.01), 2
+            ),
         }
         print(f"{name:7s} state {n1}->{n10} (batch {b}): "
-              f"{s1}s -> {s10}s  ratio {results[name]['ratio']}x", flush=True)
+              f"{s1}s -> {s10}s  ratio {results[name]['ratio']}x  "
+              f"(floors {f1}/{f10}s, above-floor "
+              f"{results[name]['ratio_above_floor']}x)", flush=True)
     print(json.dumps(results))
 
 

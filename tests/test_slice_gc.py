@@ -1,0 +1,128 @@
+"""Shared covered-slice GC (`incremental.sweep_covered_slices`):
+coverage (the manifest) is the commit, physical deletion is the sweep
+— grace-deferred for concurrent readers, guarded to names a committed
+manifest actually lists, and healing the crash-after-manifest leak
+(covered dirs that every listing skips but nothing used to delete)."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.streaming.incremental import (
+    sweep_covered_slices,
+)
+
+
+def _mk(root, name, files=("_SUCCESS",)):
+    d = os.path.join(root, name)
+    os.makedirs(d, exist_ok=True)
+    for f in files:
+        p = os.path.join(d, f)
+        os.makedirs(os.path.dirname(p), exist_ok=True)
+        open(p, "w").close()
+    return d
+
+
+@pytest.fixture()
+def root():
+    d = tempfile.mkdtemp(prefix="slice_gc_test_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_sweep_covered_slices_semantics(root):
+    """Grace keeps covered dirs; grace 0 reclaims exactly the dirs a
+    committed manifest names — live slices, the covering compaction,
+    stray operator entries and uncommitted compactions untouched."""
+    _mk(root, "b_000000000")
+    _mk(root, "b_000000001")
+    _mk(root, "b_000000002")
+    c = _mk(root, "c_000000000")
+    with open(f"{c}/_covered.json", "w") as f:
+        json.dump(["b_000000000", "b_000000001"], f)
+    _mk(root, "b_000000000.bak")  # never named in a manifest
+    _mk(root, "c_000000001")  # uncommitted compaction: not GC's business
+
+    sweep_covered_slices(root, grace_sec=3600)  # within grace: all kept
+    assert os.path.exists(f"{root}/b_000000000")
+    assert os.path.exists(f"{root}/b_000000001")
+
+    sweep_covered_slices(root)  # grace 0: covered reclaimed
+    assert not os.path.exists(f"{root}/b_000000000")
+    assert not os.path.exists(f"{root}/b_000000001")
+    assert os.path.exists(f"{root}/b_000000002")  # live
+    assert os.path.exists(f"{root}/c_000000000")  # the covering slice
+    assert os.path.exists(f"{root}/b_000000000.bak")  # stray: kept
+    assert os.path.exists(f"{root}/c_000000001")  # uncommitted: kept
+
+
+def test_sweep_requires_the_commit_marker(root):
+    """A manifest without its commit marker is not a committed
+    compaction: its 'covered' names stay live and must not be deleted.
+    The marker is configurable (the ANN appends commit on a nested
+    sub-table's _SUCCESS)."""
+    _mk(root, "b_000000000")
+    c = os.path.join(root, "c_000000000")
+    os.makedirs(c)
+    with open(f"{c}/_covered.json", "w") as f:
+        json.dump(["b_000000000"], f)
+
+    sweep_covered_slices(root)  # no _SUCCESS on the compaction
+    assert os.path.exists(f"{root}/b_000000000")
+
+    open(f"{c}/_SUCCESS", "w").close()
+    sweep_covered_slices(root, commit_marker="codes/_SUCCESS")
+    assert os.path.exists(f"{root}/b_000000000")  # nested marker absent
+
+    os.makedirs(f"{c}/codes", exist_ok=True)
+    open(f"{c}/codes/_SUCCESS", "w").close()
+    sweep_covered_slices(root, commit_marker="codes/_SUCCESS")
+    assert not os.path.exists(f"{root}/b_000000000")
+
+
+def test_compaction_grace_and_leak_heal_on_a_real_store(spark, root):
+    """End to end on the HLL sketch store: a compaction with a grace
+    window leaves its sources on disk (reads unchanged — covered dirs
+    are invisible), a later sweep past the grace reclaims them, and a
+    resurrected covered dir (a deletion that crashed after the
+    manifest) is reclaimed by the next compaction call even when no
+    new compaction is due — the leak the shared sweep closes."""
+    from rental_data_pipeline_spark.streaming.sketch_stream import (
+        compact_sketch,
+        fold_registers_batch,
+        read_hll_estimate,
+    )
+
+    state = f"{root}/sketch"
+    for i in range(2):
+        batch = spark.range(100 * i, 100 * (i + 1)).select(
+            F.lit("g").alias("grp"), F.col("id").alias("v")
+        )
+        fold_registers_batch(
+            spark, state, batch, i, ["grp"], "v", compact_every=1000
+        )
+    want = read_hll_estimate(spark, state).collect()
+
+    assert compact_sketch(spark, state, sweep_grace_sec=3600)
+    srcs = ["b_000000000", "b_000000001"]
+    for s in srcs:  # covered, within grace: still on disk
+        assert os.path.exists(f"{state}/{s}"), s
+    assert read_hll_estimate(spark, state).collect() == want
+
+    # next call, grace expired (0): sources reclaimed even though no
+    # new compaction is due (single live slice)
+    compact_sketch(spark, state)
+    for s in srcs:
+        assert not os.path.exists(f"{state}/{s}"), s
+
+    # crash-after-manifest leak: resurrect a covered dir; the next
+    # compaction call's pre-clean sweep deletes it
+    zombie = _mk(state, "b_000000000")
+    assert read_hll_estimate(spark, state).collect() == want
+    compact_sketch(spark, state)
+    assert not os.path.exists(zombie)
+    assert read_hll_estimate(spark, state).collect() == want
