@@ -376,7 +376,7 @@ def compact_ann_appends(
     spark: SparkSession,
     index_path: str,
     min_slices: int = 2,
-    sweep_grace_sec: float = 0.0,
+    sweep_grace_sec: float | None = None,
 ) -> bool:
     """Merge the committed append slices into ONE consolidated slice
     (same (cid, vb) partitioning, so probe pruning is unchanged) and
@@ -388,13 +388,15 @@ def compact_ann_appends(
     sources; readers skip covered dirs, a crash before the manifest
     leaves an invisible ``c_*`` and the sources stay live. Physical
     source deletion is the shared covered-slice sweep
-    (``sweep_grace_sec`` defers it for concurrent readers; the commit
+    (``sweep_grace_sec`` defers it for concurrent readers — ``None`` =
+    the index's persisted ``set_gc_grace`` setting; the commit
     marker here is the last-written sub-table's ``_SUCCESS``, not a
     root one). Returns True when a compaction ran."""
     import glob as _glob
     import shutil as _shutil
 
     from rental_data_pipeline_spark.streaming.incremental import (
+        C_SLICE_RE,
         _read_manifest,
         atomic_json_write,
         sweep_covered_slices,
@@ -403,12 +405,11 @@ def compact_ann_appends(
     meta = read_meta(index_path)
     commit_sub = "codes" if meta.get("pq") else "assignments"
     root = f"{index_path}/appends"
-    # clear garbage from a crashed prior compaction (no valid manifest)
-    for c in _glob.glob(f"{root}/c_*"):
-        if _read_manifest(f"{c}/_covered.json") is None:
-            _shutil.rmtree(c, ignore_errors=True)
+    # reclaim crashed compactions (manifest-less c_*) and covered
+    # leftovers a crashed deletion stranded — grace-gated
     sweep_covered_slices(
-        root, sweep_grace_sec, commit_marker=f"{commit_sub}/_SUCCESS"
+        root, sweep_grace_sec, commit_marker=f"{commit_sub}/_SUCCESS",
+        config_path=index_path, uncommitted_re=C_SLICE_RE,
     )
     dirs = _append_slice_dirs(index_path, meta)
     if len(dirs) < min_slices:
@@ -435,7 +436,8 @@ def compact_ann_appends(
         f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in dirs)
     )
     sweep_covered_slices(
-        root, sweep_grace_sec, commit_marker=f"{commit_sub}/_SUCCESS"
+        root, sweep_grace_sec, commit_marker=f"{commit_sub}/_SUCCESS",
+        config_path=index_path,
     )
     return True
 

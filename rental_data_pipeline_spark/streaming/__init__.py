@@ -15,9 +15,12 @@ from rental_data_pipeline_spark.streaming.incremental import (  # noqa: F401
     StateVersionUnavailable,
     incremental_merge_stream,
     read_snapshot_stream,
+    read_gc_grace,
     read_state,
+    set_gc_grace,
     state_version_log,
     suggest_rebucket,
+    sweep_covered_slices,
     windowed_price_stats,
     windowed_price_stats_stream_exact,
 )

@@ -407,7 +407,7 @@ def compact_labels(
     min_slices: int = 2,
     n_buckets: int | None = None,
     _during_rebucket: bool = False,
-    sweep_grace_sec: float = 0.0,
+    sweep_grace_sec: float | None = None,
 ) -> bool:
     """Apply the forest to the member table (one bucketed ``c_*``
     slice of fully-resolved labels + manifest) and empty the forest —
@@ -418,10 +418,12 @@ def compact_labels(
     demoted roots appear as forest keys, and a resolved label is never
     a demoted root), forest second; physical source deletion is the
     shared covered-slice sweep (``sweep_grace_sec`` defers it for
-    concurrent readers). ``n_buckets`` overrides the meta
+    concurrent readers; ``None`` = the table's persisted
+    ``set_gc_grace`` setting). ``n_buckets`` overrides the meta
     bucket count ONLY for :func:`rebucket_labels` (whose pending
     marker blocks every pruned reader until the meta swap commits)."""
     from rental_data_pipeline_spark.streaming.incremental import (
+        C_SLICE_RE,
         sweep_covered_slices,
     )
 
@@ -439,10 +441,10 @@ def compact_labels(
     import glob as _glob
 
     for sub in (_MEMBERS, _FOREST):
-        for c in _glob.glob(f"{labels_path}/{sub}/c_*"):
-            if not _os.path.exists(f"{c}/_covered.json"):
-                _shutil.rmtree(c, ignore_errors=True)
-        sweep_covered_slices(f"{labels_path}/{sub}", sweep_grace_sec)
+        sweep_covered_slices(
+            f"{labels_path}/{sub}", sweep_grace_sec,
+            config_path=labels_path, uncommitted_re=C_SLICE_RE,
+        )
 
     def _next_c(sub: str) -> str:
         n = max(
@@ -475,7 +477,9 @@ def compact_labels(
     _atomic_json_write(
         f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in mdirs)
     )
-    sweep_covered_slices(f"{labels_path}/{_MEMBERS}", sweep_grace_sec)
+    sweep_covered_slices(
+        f"{labels_path}/{_MEMBERS}", sweep_grace_sec, config_path=labels_path
+    )
 
     cdir = _next_c(_FOREST)
     spark.createDataFrame([], f"old_root {dt}, new_root {dt}").write.parquet(
@@ -484,7 +488,9 @@ def compact_labels(
     _atomic_json_write(
         f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in fdirs)
     )
-    sweep_covered_slices(f"{labels_path}/{_FOREST}", sweep_grace_sec)
+    sweep_covered_slices(
+        f"{labels_path}/{_FOREST}", sweep_grace_sec, config_path=labels_path
+    )
     return True
 
 

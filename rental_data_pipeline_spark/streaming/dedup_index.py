@@ -427,7 +427,7 @@ def compact_index(
     min_slices: int = 2,
     n_buckets: int | None = None,
     _during_rebucket: bool = False,
-    sweep_grace_sec: float = 0.0,
+    sweep_grace_sec: float | None = None,
 ) -> bool:
     """Merge the committed per-batch band/shingle slices into one
     consolidated slice each (same bucket partitioning, so probe pruning
@@ -440,18 +440,20 @@ def compact_index(
     ``_covered.json`` manifest naming the source dirs; readers skip any
     dir listed in a committed manifest, so a crash between the
     consolidated write and the source deletion never double-counts.
-    Physical deletion is the shared covered-slice sweep —
-    ``sweep_grace_sec`` defers it for concurrent readers
-    (``incremental.sweep_covered_slices``). Emitted pairs are history,
-    not index — never compacted here. Returns True when a compaction
-    ran. ``n_buckets`` overrides the frozen meta count ONLY for
-    :func:`rebucket_index` (whose pending marker blocks every other
-    reader/writer until the meta swap commits); the bucket columns are
-    recomputed from their keys either way, so a same-count compaction
-    is unchanged."""
+    Physical deletion is the shared covered-slice sweep
+    (``incremental.sweep_covered_slices``), deferred for concurrent
+    readers by ``sweep_grace_sec`` — ``None`` reads the table's
+    persisted ``set_gc_grace`` setting, so the stream fold's own
+    compactions honor it. Emitted pairs are history, not index — never
+    compacted here. Returns True when a compaction ran. ``n_buckets``
+    overrides the frozen meta count ONLY for :func:`rebucket_index`
+    (whose pending marker blocks every other reader/writer until the
+    meta swap commits); the bucket columns are recomputed from their
+    keys either way, so a same-count compaction is unchanged."""
     import json as _json
 
     from rental_data_pipeline_spark.streaming.incremental import (
+        C_SLICE_RE,
         sweep_covered_slices,
     )
 
@@ -460,13 +462,12 @@ def compact_index(
     nb = n_buckets if n_buckets is not None else _ensure_index_meta(index_path)
     ran = False
     for sub in (_BANDS, _SHINGLES):
-        # clear garbage from a compaction that crashed between the
-        # parquet write and the manifest (invisible to readers), and
-        # covered leftovers a crashed deletion stranded
-        for c in _glob.glob(f"{index_path}/{sub}/c_*"):
-            if not _os.path.exists(f"{c}/_covered.json"):
-                _shutil.rmtree(c, ignore_errors=True)
-        sweep_covered_slices(f"{index_path}/{sub}", sweep_grace_sec)
+        # reclaim crashed compactions (manifest-less c_*) and covered
+        # leftovers a crashed deletion stranded — grace-gated
+        sweep_covered_slices(
+            f"{index_path}/{sub}", sweep_grace_sec,
+            config_path=index_path, uncommitted_re=C_SLICE_RE,
+        )
         dirs = _committed(index_path, sub)
         if not dirs or (not _during_rebucket and len(dirs) < min_slices):
             continue
@@ -493,7 +494,9 @@ def compact_index(
             ).parquet(cdir)
         _atomic_json_write(f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in dirs))
         # shadowed by the manifest; reclaim now (or after the grace)
-        sweep_covered_slices(f"{index_path}/{sub}", sweep_grace_sec)
+        sweep_covered_slices(
+            f"{index_path}/{sub}", sweep_grace_sec, config_path=index_path
+        )
         ran = True
     return ran
 

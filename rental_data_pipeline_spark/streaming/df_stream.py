@@ -184,13 +184,14 @@ def compact_df(
     min_slices: int = 2,
     n_buckets: int | None = None,
     _during_rebucket: bool = False,
-    sweep_grace_sec: float = 0.0,
+    sweep_grace_sec: float | None = None,
 ) -> bool:
     """Fold the committed slices into one consolidated ``c_*`` slice
     per table (SUM merge — same associativity as the sketch stream)
     under the shared manifest protocol; physical source deletion is
     the shared covered-slice sweep (``sweep_grace_sec`` defers it for
-    concurrent readers). Returns True when ran. ``n_buckets``
+    concurrent readers; ``None`` = the table's persisted
+    ``set_gc_grace`` setting). Returns True when ran. ``n_buckets``
     overrides the frozen meta count ONLY for :func:`rebucket_df`
     (whose pending marker blocks every other reader/writer until the
     meta swap commits); the term bucket is recomputed from the key
@@ -198,6 +199,7 @@ def compact_df(
     import glob as _glob
 
     from rental_data_pipeline_spark.streaming.incremental import (
+        C_SLICE_RE,
         sweep_covered_slices,
     )
 
@@ -206,10 +208,10 @@ def compact_df(
     nb = n_buckets if n_buckets is not None else _ensure_df_meta(state_path)
     ran = False
     for sub in (_DFT, _COUNTS):
-        for c in _glob.glob(f"{state_path}/{sub}/c_*"):
-            if _read_manifest(f"{c}/_covered.json") is None:
-                _shutil.rmtree(c, ignore_errors=True)
-        sweep_covered_slices(f"{state_path}/{sub}", sweep_grace_sec)
+        sweep_covered_slices(
+            f"{state_path}/{sub}", sweep_grace_sec,
+            config_path=state_path, uncommitted_re=C_SLICE_RE,
+        )
         dirs = _committed(state_path, sub)
         if not dirs or (not _during_rebucket and len(dirs) < min_slices):
             continue
@@ -246,7 +248,9 @@ def compact_df(
             f"{cdir}/_covered.json",
             sorted(_os.path.basename(d) for d in dirs),
         )
-        sweep_covered_slices(f"{state_path}/{sub}", sweep_grace_sec)
+        sweep_covered_slices(
+            f"{state_path}/{sub}", sweep_grace_sec, config_path=state_path
+        )
         ran = True
     return ran
 

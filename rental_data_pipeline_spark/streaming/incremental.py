@@ -262,8 +262,54 @@ def sliced_committed(root: str) -> list[str]:
     return sorted(out)
 
 
+_GC_NAME = "_gc.json"
+
+# canonical compaction-slice name — the only manifest-less c_* dirs the
+# sweep treats as crashed compactions (an operator's stray entry is
+# never parsed or deleted)
+import re as _re
+
+C_SLICE_RE = _re.compile(r"c_\d{9}")
+
+
+def set_gc_grace(table_path: str, grace_sec: float) -> None:
+    """Persist a table-level GC retention window (``_gc.json``): every
+    sweep under this table — including the ones the STREAM FOLDS
+    trigger at their ``compact_every`` cadence, which an operator
+    cannot pass arguments to — keeps covered slices on disk until
+    their covering compaction commit is at least this old. Set it
+    above the longest expected concurrent read; 0 (the default when
+    the file is absent) reclaims immediately."""
+    import os as _os
+
+    _os.makedirs(table_path, exist_ok=True)
+    atomic_json_write(
+        f"{table_path}/{_GC_NAME}", {"grace_sec": float(grace_sec)}
+    )
+
+
+def read_gc_grace(table_path: str) -> float:
+    """The table's persisted GC grace (``set_gc_grace``), 0.0 when
+    never configured."""
+    import json as _json
+    import os as _os
+
+    p = f"{table_path}/{_GC_NAME}"
+    if not _os.path.exists(p):
+        return 0.0
+    try:
+        with open(p) as f:
+            return float(_json.load(f).get("grace_sec", 0.0))
+    except (ValueError, OSError):
+        return 0.0
+
+
 def sweep_covered_slices(
-    root: str, grace_sec: float = 0.0, commit_marker: str = "_SUCCESS"
+    root: str,
+    grace_sec: float | None = None,
+    commit_marker: str = "_SUCCESS",
+    config_path: str | None = None,
+    uncommitted_re=None,
 ) -> None:
     """Physically delete slice dirs under ``root`` that a COMMITTED
     ``c_*`` manifest covers — the shared GC for every compacting slice
@@ -271,32 +317,60 @@ def sweep_covered_slices(
     covered dirs (:func:`sliced_committed`), so deletion is pure disk
     reclamation and can be deferred.
 
-    ``grace_sec`` keeps a covered slice until its covering MANIFEST
-    (the moment after which no new reader lists it) is at least that
-    old — the vacuum-retention discipline: a reader that listed slices
-    just before the compaction commit keeps its files for the grace
-    window. 0 (the default) reclaims immediately, the single-process
-    posture. Compactions call this instead of deleting their sources
-    inline, which also heals the crash-after-manifest leak: a covered
-    dir whose deletion crashed used to be skipped by every later
-    listing but deleted by nothing.
+    The grace keeps a covered slice until its covering MANIFEST (the
+    moment after which no new reader lists it) is at least that old —
+    the vacuum-retention discipline: a reader that listed slices just
+    before the compaction commit keeps its files for the grace window.
+    ``grace_sec=None`` (the normal call shape) reads the TABLE-LEVEL
+    setting (``set_gc_grace`` on ``config_path``, which defaults to
+    ``root``; absent → 0 = reclaim immediately) — table-level because
+    the sweeps that run inside stream folds take no operator
+    arguments; a per-call float overrides it. Compactions call this
+    instead of deleting their sources inline, which also heals the
+    crash-after-manifest leak: a covered dir whose deletion crashed
+    used to be skipped by every later listing but deleted by nothing.
 
     Only dirs NAMED IN a committed manifest are ever deleted — a
     stray operator entry (``b_000000001.bak``) never appears in one.
     ``commit_marker`` is the path (relative to the ``c_*`` dir) whose
     existence commits that compaction (the ANN appends commit on their
-    last-written sub-table, not a root ``_SUCCESS``)."""
+    last-written sub-table, not a root ``_SUCCESS``).
+
+    ``uncommitted_re`` (a compiled regex, fullmatched against the
+    basename — pass :data:`C_SLICE_RE` for the canonical layout) also
+    reclaims manifest-less ``c_*`` dirs: crashed compactions, already
+    invisible to every reader. These have no commit event, so the SAME
+    grace gates them on dir mtime — which additionally protects a
+    concurrent compactor's just-written, not-yet-committed output from
+    another process's sweep (the in-flight window between the parquet
+    write and the manifest)."""
     import glob as _glob
     import os as _os
     import shutil as _shutil
     import time as _time
 
+    g = (
+        read_gc_grace(config_path if config_path is not None else root)
+        if grace_sec is None
+        else float(grace_sec)
+    )
     now = _time.time()
     covered_at: dict[str, float] = {}
     for c in _glob.glob(f"{root}/c_*"):
         mf = f"{c}/_covered.json"
         names = _read_manifest(mf)
-        if names is None or not _os.path.exists(f"{c}/{commit_marker}"):
+        if names is None:
+            if uncommitted_re is not None and uncommitted_re.fullmatch(
+                _os.path.basename(c)
+            ):
+                try:
+                    old = now - _os.path.getmtime(c) >= g
+                except OSError:
+                    old = False
+                if old:
+                    _shutil.rmtree(c, ignore_errors=True)
+            continue
+        if not _os.path.exists(f"{c}/{commit_marker}"):
             continue
         try:
             mt = _os.path.getmtime(mf)
@@ -307,7 +381,7 @@ def sweep_covered_slices(
     for pat in ("b_*", "c_*"):
         for d in _glob.glob(f"{root}/{pat}"):
             name = _os.path.basename(d)
-            if name in covered_at and now - covered_at[name] >= grace_sec:
+            if name in covered_at and now - covered_at[name] >= g:
                 _shutil.rmtree(d, ignore_errors=True)
 
 

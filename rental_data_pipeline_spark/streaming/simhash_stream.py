@@ -322,25 +322,27 @@ def compact_simhash_index(
     min_slices: int = 2,
     n_buckets: int | None = None,
     _during_rebucket: bool = False,
-    sweep_grace_sec: float = 0.0,
+    sweep_grace_sec: float | None = None,
 ) -> bool:
     """Merge committed per-batch band slices into one consolidated
     ``c_*`` slice (same bucket partitioning; ``_covered.json``
     manifest-commit — crashed compactions stay invisible). Physical
     source deletion is the shared covered-slice sweep;
-    ``sweep_grace_sec`` defers it for concurrent readers. Pairs are
+    ``sweep_grace_sec`` defers it for concurrent readers (``None`` =
+    the table's persisted ``set_gc_grace`` setting). Pairs are
     history, never compacted. Returns True when a compaction ran."""
     from rental_data_pipeline_spark.streaming.incremental import (
+        C_SLICE_RE,
         sweep_covered_slices,
     )
 
     if not _during_rebucket:
         _assert_no_pending_rebucket(index_path)
     nb = n_buckets if n_buckets is not None else _ensure_meta(index_path)
-    for c in _glob.glob(f"{index_path}/{_BANDS}/c_*"):
-        if not _os.path.exists(f"{c}/_covered.json"):
-            _shutil.rmtree(c, ignore_errors=True)
-    sweep_covered_slices(f"{index_path}/{_BANDS}", sweep_grace_sec)
+    sweep_covered_slices(
+        f"{index_path}/{_BANDS}", sweep_grace_sec,
+        config_path=index_path, uncommitted_re=C_SLICE_RE,
+    )
     dirs = _committed(index_path, _BANDS)
     if not dirs or (not _during_rebucket and len(dirs) < min_slices):
         return False
@@ -365,7 +367,9 @@ def compact_simhash_index(
         f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in dirs)
     )
     # shadowed by the manifest; reclaim now (or after the grace)
-    sweep_covered_slices(f"{index_path}/{_BANDS}", sweep_grace_sec)
+    sweep_covered_slices(
+        f"{index_path}/{_BANDS}", sweep_grace_sec, config_path=index_path
+    )
     return True
 
 

@@ -66,7 +66,7 @@ def compact_sketch(
     spark: SparkSession,
     state_path: str,
     min_slices: int = 2,
-    sweep_grace_sec: float = 0.0,
+    sweep_grace_sec: float | None = None,
 ) -> bool:
     """Merge every committed register slice into ONE consolidated
     slice (the registers' groupBy-max union — the same value the
@@ -74,19 +74,20 @@ def compact_sketch(
     manifest-commit contract (``incremental.sliced_committed``): a
     crash in either window never double-counts or loses registers.
     Physical source deletion is the shared covered-slice sweep
-    (``sweep_grace_sec`` defers it for concurrent readers). Returns
-    True when a compaction ran."""
+    (``sweep_grace_sec`` defers it for concurrent readers; ``None`` =
+    the table's persisted ``set_gc_grace`` setting). Returns True when
+    a compaction ran."""
     import glob as _glob
     import json as _json
 
     from rental_data_pipeline_spark.streaming.incremental import (
+        C_SLICE_RE,
         sweep_covered_slices,
     )
 
-    for c in _glob.glob(f"{state_path}/c_*"):
-        if not _os.path.exists(f"{c}/_covered.json"):
-            _shutil.rmtree(c, ignore_errors=True)  # crashed compaction
-    sweep_covered_slices(state_path, sweep_grace_sec)
+    sweep_covered_slices(
+        state_path, sweep_grace_sec, uncommitted_re=C_SLICE_RE
+    )
     dirs = _committed(state_path)
     if len(dirs) < min_slices:
         return False

@@ -123,7 +123,7 @@ def fold_spans_batch(
     compact_every: int = 16,
     n_state_buckets: int = N_STATE_BUCKETS,
     fanin: int = 8,
-    sweep_grace_sec: float = 0.0,
+    sweep_grace_sec: float | None = None,
 ) -> None:
     """Fold one document batch's span statistics into the size-tiered
     state table: the batch's pre-aggregated rows land as ONE O(batch)

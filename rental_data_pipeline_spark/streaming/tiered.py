@@ -87,9 +87,9 @@ from rental_data_pipeline_spark.streaming.incremental import (
     _read_manifest,
     atomic_json_write,
     has_part_files,
-    manifest_covered,
     slice_id_compacted,
     sliced_committed,
+    sweep_covered_slices,
 )
 
 _META_NAME = "_meta.json"
@@ -208,57 +208,21 @@ def _write_slice(
     _os.rename(tdir, out_dir)
 
 
-def _sweep(state_path: str, grace_sec: float = 0.0) -> None:
+def _sweep(state_path: str, grace_sec: float | None = None) -> None:
     """Physically delete garbage: slices a committed compaction covers
     (deletion is DEFERRED out of the commit path — see
     :func:`maybe_compact`), uncommitted ``c_*`` dirs (crash before
     manifest — their sources are still live), and ``t_*`` staging dirs
-    a crash mid-write abandoned. Only canonical slice names are touched
-    — an operator's stray entry is never deleted.
-
-    ``grace_sec`` keeps a covered slice on disk until its covering
-    MANIFEST (the commit that made it garbage — the moment after which
-    no new reader lists it) is at least that old. A reader that listed
-    slices just before the commit keeps its files for the grace window
-    even though the logical state has moved on — the vacuum-retention
-    discipline of the lakehouse formats, needed once reads run
-    concurrently with folds at scale. 0 (the default) sweeps
-    immediately: the single-process posture, where no reader can
-    straddle a fold."""
-    import time as _time
-
-    now = _time.time()
-    covered_at: dict[str, float] = {}
-    for c in _glob.glob(f"{state_path}/c_*"):
-        if not _SLICE_RE.fullmatch(_os.path.basename(c)):
-            continue
-        mf = f"{c}/_covered.json"
-        names = _read_manifest(mf)
-        if names is None or not _os.path.exists(f"{c}/_SUCCESS"):
-            # crash before the manifest: invisible to readers already;
-            # grace still applies (mtime — there is no commit event)
-            try:
-                old_enough = now - _os.path.getmtime(c) >= grace_sec
-            except OSError:
-                old_enough = False
-            if old_enough:
-                _shutil.rmtree(c, ignore_errors=True)
-            continue
-        try:
-            mt = _os.path.getmtime(mf)
-        except OSError:
-            continue
-        for n in names:
-            covered_at[n] = max(covered_at.get(n, 0.0), mt)
-    for pat in ("b_*", "c_*"):
-        for d in _glob.glob(f"{state_path}/{pat}"):
-            name = _os.path.basename(d)
-            if (
-                _SLICE_RE.fullmatch(name)
-                and name in covered_at
-                and now - covered_at[name] >= grace_sec
-            ):
-                _shutil.rmtree(d, ignore_errors=True)
+    a crash mid-write abandoned. The covered/uncommitted reclamation
+    is the SHARED GC (``incremental.sweep_covered_slices``): only dirs
+    a committed manifest names — or canonical manifest-less ``c_*``
+    dirs — are touched, so an operator's stray entry is never deleted,
+    and the grace window (``None`` = the table's persisted
+    ``set_gc_grace`` setting) keeps a covered slice on disk until its
+    covering commit is that old, protecting concurrent readers."""
+    sweep_covered_slices(
+        state_path, grace_sec, uncommitted_re=_SLICE_RE
+    )
     for t in _glob.glob(f"{state_path}/t_*"):
         _shutil.rmtree(t, ignore_errors=True)
 
@@ -306,7 +270,7 @@ def maybe_compact(
     fanin: int = 8,
     force_full: bool = False,
     n_buckets: int | None = None,
-    sweep_grace_sec: float = 0.0,
+    sweep_grace_sec: float | None = None,
 ) -> bool:
     """Run every due size-tiered compaction: level 0 merges at
     ``compact_every`` slices, higher levels at ``fanin``. Cascades
@@ -320,8 +284,11 @@ def maybe_compact(
     ``sweep_grace_sec`` keeps them on disk until their covering commit
     is that old, protecting concurrent readers that listed slices just
     before the commit (set it above the longest expected read; the
-    extra disk is bounded by one compaction's inputs per window). The
-    default 0 deletes within this call — single-process behavior."""
+    extra disk is bounded by one compaction's inputs per window).
+    ``None`` (the default) reads the table's persisted ``set_gc_grace``
+    setting — table-level so the sweeps inside stream folds honor it —
+    and an unconfigured table deletes within this call, the
+    single-process behavior."""
     meta = _read_meta(state_path)
     if meta is None:
         return False
@@ -371,7 +338,7 @@ def tiered_fold(
     n_buckets: int = N_STATE_BUCKETS,
     compact_every: int = 16,
     fanin: int = 8,
-    sweep_grace_sec: float = 0.0,
+    sweep_grace_sec: float | None = None,
 ) -> None:
     """Fold one batch's PRE-AGGREGATED rows as a pure delta slice,
     then run any due compactions. O(batch) write — the state is never

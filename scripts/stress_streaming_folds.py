@@ -336,21 +336,26 @@ def main() -> None:
             continue
         s1, f1 = fn(spark, n1, b)
         s10, f10 = fn(spark, n10, b)
+        # the flatness claim on the engine work alone — each tier's
+        # own floor subtracted. A delta under 50 ms is measurement
+        # noise on this host (calibration probes run ~100-300 ms), so
+        # rather than clamp a tiny/negative numerator or denominator
+        # into a fake 0.0x or an exploded ratio, report null: the raw
+        # ratio is the honest number for a fold that IS mostly floor.
+        d1, d10 = s1 - f1, s10 - f10
+        raf = round(d10 / d1, 2) if d1 >= 0.05 and d10 >= 0.05 else None
         results[name] = {
             "state_1x": n1, "state_10x": n10, "batch": b,
             "sec_1x": s1, "sec_10x": s10,
             "floor_1x": f1, "floor_10x": f10,
             "ratio": round(s10 / max(s1, 0.01), 2),
-            # the flatness claim on the engine work alone — each
-            # tier's own floor subtracted
-            "ratio_above_floor": round(
-                max(s10 - f10, 0.0) / max(s1 - f1, 0.01), 2
-            ),
+            "ratio_above_floor": raf,
         }
         print(f"{name:7s} state {n1}->{n10} (batch {b}): "
               f"{s1}s -> {s10}s  ratio {results[name]['ratio']}x  "
               f"(floors {f1}/{f10}s, above-floor "
-              f"{results[name]['ratio_above_floor']}x)", flush=True)
+              f"{raf if raf is not None else 'n/a (sub-noise delta)'}"
+              f")", flush=True)
     print(json.dumps(results))
 
 

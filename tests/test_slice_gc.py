@@ -4,6 +4,7 @@ coverage (the manifest) is the commit, physical deletion is the sweep
 manifest actually lists, and healing the crash-after-manifest leak
 (covered dirs that every listing skips but nothing used to delete)."""
 
+import glob
 import json
 import os
 import shutil
@@ -82,6 +83,56 @@ def test_sweep_requires_the_commit_marker(root):
     open(f"{c}/codes/_SUCCESS", "w").close()
     sweep_covered_slices(root, commit_marker="codes/_SUCCESS")
     assert not os.path.exists(f"{root}/b_000000000")
+
+
+def test_table_level_grace_reaches_stream_fold_compactions(spark, root):
+    """``set_gc_grace`` persists the retention window AT THE TABLE, so
+    the compactions a stream fold itself triggers at its
+    ``compact_every`` cadence — which take no operator arguments —
+    honor it: the reader-protection guarantee is enforceable end to
+    end, not only on manual compaction calls. An explicit per-call
+    grace still overrides; and an in-flight (manifest-less, canonical)
+    compaction dir from another process survives a graced sweep."""
+    from rental_data_pipeline_spark.streaming.incremental import (
+        set_gc_grace,
+    )
+    from rental_data_pipeline_spark.streaming.sketch_stream import (
+        compact_sketch,
+        fold_registers_batch,
+        read_hll_estimate,
+    )
+
+    state = f"{root}/sketch"
+    set_gc_grace(state, 3600)
+    for i in range(2):
+        batch = spark.range(100 * i, 100 * (i + 1)).select(
+            F.lit("g").alias("grp"), F.col("id").alias("v")
+        )
+        # compact_every=2: the SECOND fold trips a compaction inside
+        # the fold itself, with no grace argument anywhere
+        fold_registers_batch(
+            spark, state, batch, i, ["grp"], "v", compact_every=2
+        )
+    assert glob.glob(f"{state}/c_*")  # the fold's compaction committed
+    for s in ("b_000000000", "b_000000001"):
+        assert os.path.exists(f"{state}/{s}"), s  # grace kept sources
+    want = read_hll_estimate(spark, state).collect()
+
+    # an in-flight compaction from a concurrent process: canonical
+    # name, parquet started, manifest not yet written — a graced sweep
+    # must not eat it mid-commit
+    inflight = _mk(state, "c_000000055")
+    compact_sketch(spark, state, sweep_grace_sec=None)  # table grace
+    assert os.path.exists(inflight)
+    for s in ("b_000000000", "b_000000001"):
+        assert os.path.exists(f"{state}/{s}"), s
+
+    # explicit per-call grace overrides the table setting
+    compact_sketch(spark, state, sweep_grace_sec=0)
+    for s in ("b_000000000", "b_000000001"):
+        assert not os.path.exists(f"{state}/{s}"), s
+    assert not os.path.exists(inflight)  # past grace 0: crashed, swept
+    assert read_hll_estimate(spark, state).collect() == want
 
 
 def test_compaction_grace_and_leak_heal_on_a_real_store(spark, root):
