@@ -247,3 +247,36 @@ def test_pipeline_join_strategies_are_pinned(spark, sf_dir):
     smj = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
     assert smj and all("LeftAnti" in ln and "offer_id" in ln for ln in smj), smj
     assert "BroadcastHashJoin" in plan, "geo lookups must broadcast"
+
+
+def test_tiered_single_slice_read_skips_reduce_shuffle(spark, tmp_path):
+    """The tiered span store's steady state right after a compaction
+    is ONE live slice; read_tiered must plan it as a bare scan (zero
+    exchanges — every slice is keyed-unique by contract, so reducing
+    one slice is the identity), while a multi-slice read pays exactly
+    the merge-on-read reduce's aggregate shuffle."""
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        _reduce_span_stats,
+        fold_spans_batch,
+    )
+    from rental_data_pipeline_spark.streaming.tiered import (
+        maybe_compact,
+        read_tiered,
+    )
+    from tests.test_tiered_spans import _docs
+
+    root = str(tmp_path / "spans")
+    for i in range(2):
+        fold_spans_batch(
+            spark, root, _docs(spark, [2 * i + 1, 2 * i + 2]), i, window=10
+        )
+    multi = read_tiered(spark, root, _reduce_span_stats)
+    multi.write.format("noop").mode("overwrite").save()
+    mp = multi._jdf.queryExecution().executedPlan().toString()
+    assert _exchanges(mp) >= 1, "multi-slice read must reduce (shuffle)"
+
+    maybe_compact(spark, root, _reduce_span_stats, force_full=True)
+    single = read_tiered(spark, root, _reduce_span_stats)
+    single.write.format("noop").mode("overwrite").save()
+    sp = single._jdf.queryExecution().executedPlan().toString()
+    assert _exchanges(sp) == 0, f"single-slice read must be a bare scan:\n{sp}"
