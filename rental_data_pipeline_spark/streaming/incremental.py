@@ -304,6 +304,22 @@ def read_gc_grace(table_path: str) -> float:
         return 0.0
 
 
+def parquet_rows(path: str) -> int:
+    """Exact row count from parquet FOOTERS under ``path`` — no Spark
+    job, no data scan. The maintenance watermarks use this whenever
+    the layout makes footer sums exact (a keyed-unique single slice, a
+    newest-commit full snapshot): at a multi-TB state the occupancy
+    poll must not cost a full table scan."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    total = 0
+    for f in _glob.glob(f"{path}/**/*.parquet", recursive=True):
+        total += _pq.ParquetFile(f).metadata.num_rows
+    return total
+
+
 def sweep_covered_slices(
     root: str,
     grace_sec: float | None = None,
@@ -450,16 +466,25 @@ def suggest_rebucket(
     and a power-of-two target holding ``target_rows_per_bucket``
     (default 2000: comfortably inside the measured-flat regime, which
     held at ~780 rows/bucket and bent at ~12,500); ``due`` once the
-    target reaches ``growth_factor`` × the current count. One count
-    job, offline — a maintenance job polls this between batches and
-    runs ``rebucket_state`` / ``rebucket_corpus`` when due."""
+    target reaches ``growth_factor`` × the current count. Offline —
+    a maintenance job polls this between batches and runs
+    ``rebucket_state`` / ``rebucket_corpus`` when due. When the newest
+    commit is a ``_FULL`` snapshot (the steady state right after a
+    compaction) the row count comes from parquet FOOTERS — exact, no
+    Spark job, no state scan (at a multi-TB state the poll must not
+    cost a full read); a delta tail composes and counts as before."""
     meta = _read_meta(state_path)
     if meta is None:
         raise ValueError(
             f"not a bucketed state table (no {_META_NAME}): {state_path}"
         )
-    st = read_state(spark, state_path)
-    n = 0 if st is None else st.count()
+    vers = _state_versions(state_path)
+    if vers and _is_full(vers[-1]):
+        # newest commit is the whole state: footer sums are exact
+        n = parquet_rows(vers[-1])
+    else:
+        st = read_state(spark, state_path)
+        n = 0 if st is None else st.count()
     n_buckets = int(meta["n_buckets"])
     target = n_buckets
     while target * target_rows_per_bucket < n:

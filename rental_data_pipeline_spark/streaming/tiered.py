@@ -87,6 +87,7 @@ from rental_data_pipeline_spark.streaming.incremental import (
     _read_manifest,
     atomic_json_write,
     has_part_files,
+    parquet_rows,
     slice_id_compacted,
     sliced_committed,
     sweep_covered_slices,
@@ -405,7 +406,10 @@ def suggest_rebucket_tiered(
     ``slices_by_level``. A maintenance window can reset both to 1 with
     ``maybe_compact(force_full=True)`` (one O(state) pass) so
     subsequent reads take the single-slice fast path — that is
-    :func:`corpus_stream.maintain_corpus`'s ``compact_spans`` knob."""
+    :func:`corpus_stream.maintain_corpus`'s ``compact_spans`` knob.
+    On a single live slice the row count itself comes from parquet
+    FOOTERS (keyed-unique by contract — exact, no Spark job): the
+    poll of the corpus's largest table must not cost a scan of it."""
     meta = _read_meta(state_path)
     if meta is None:
         raise ValueError(
@@ -416,8 +420,15 @@ def suggest_rebucket_tiered(
     for d in dirs:
         lvl = _slice_level(d)
         by_level[lvl] = by_level.get(lvl, 0) + 1
-    st = read_tiered(spark, state_path, reduce_fn)
-    n = 0 if st is None else st.count()
+    if len(dirs) == 1:
+        # keyed-unique single slice (the steady state right after a
+        # compaction): parquet footer sums are the exact row count —
+        # no Spark job, no scan of a state that is by design the
+        # largest table in the corpus
+        n = parquet_rows(dirs[0])
+    else:
+        st = read_tiered(spark, state_path, reduce_fn)
+        n = 0 if st is None else st.count()
     n_buckets = int(meta["n_buckets"])
     target = n_buckets
     while target * target_rows_per_bucket < n:

@@ -225,6 +225,79 @@ def test_maintain_compact_spans_resets_read_amplification(spark, root):
     assert _srows(read_duplicated_spans(spark, spans)) == want
 
 
+def _boom(*a, **k):
+    raise AssertionError("the poll must not read the state")
+
+
+def test_tiered_poll_answers_from_footers_on_single_slice(
+    spark, root, monkeypatch
+):
+    """The occupancy poll of the corpus's LARGEST table must not cost
+    a scan of it: on a single live slice (keyed-unique by contract —
+    the steady state right after a compaction) suggest_rebucket_tiered
+    answers from parquet footers, pinned exact against the scan-count
+    answer and proven scan-free by a read bomb; a multi-slice backlog
+    still counts via the merged read."""
+    from rental_data_pipeline_spark.streaming import tiered
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        _reduce_span_stats,
+        fold_spans_batch,
+    )
+    from tests.test_tiered_spans import _docs
+
+    spans = f"{root}/spans"
+    for i in range(3):
+        fold_spans_batch(
+            spark, spans, _docs(spark, [2 * i + 1, 2 * i + 2]), i, window=10
+        )
+    slow = tiered.suggest_rebucket_tiered(spark, spans, _reduce_span_stats)
+    assert slow["live_slices"] == 3 and slow["state_rows"] > 0
+    tiered.maybe_compact(
+        spark, spans, _reduce_span_stats, force_full=True
+    )
+    monkeypatch.setattr(tiered, "read_tiered", _boom)
+    fast = tiered.suggest_rebucket_tiered(spark, spans, _reduce_span_stats)
+    assert fast["live_slices"] == 1
+    assert fast["state_rows"] == slow["state_rows"]
+
+
+def test_suggest_rebucket_answers_from_footers_on_full_snapshot(
+    spark, root, monkeypatch
+):
+    """Same for the merge-on-write chain: when the newest commit is a
+    _FULL snapshot the poll sums its footers (read bomb proves no
+    compose); a delta tail composes and counts as before."""
+    from pyspark.sql import DataFrame
+    from rental_data_pipeline_spark.streaming import incremental
+
+    state = f"{root}/state"
+
+    def merge(target: DataFrame | None, batch: DataFrame) -> DataFrame:
+        if target is None:
+            return batch
+        return (
+            target.unionByName(batch)
+            .groupBy("k")
+            .agg(F.max("v").alias("v"))
+        )
+
+    b0 = spark.range(10).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    incremental.bucketed_keyed_fold(b0, 0, state, key="k", merge_fn=merge)
+    # the bootstrap commit is a FULL snapshot: footer fast path
+    monkeypatch.setattr(incremental, "read_state", _boom)
+    rep = incremental.suggest_rebucket(spark, state)
+    assert rep["state_rows"] == 10
+    monkeypatch.undo()
+
+    b1 = spark.range(10, 15).select(
+        F.col("id").alias("k"), F.lit(2).alias("v")
+    )
+    incremental.bucketed_keyed_fold(b1, 1, state, key="k", merge_fn=merge)
+    # delta tail: the poll composes and counts (exact either way)
+    rep2 = incremental.suggest_rebucket(spark, state)
+    assert rep2["state_rows"] == 15
+
+
 def test_maintain_upgrades_legacy_span_layout(spark, root):
     """A corpus whose span state predates the tiered layout gets the
     layout migration as part of maintenance: dry_run reports it due,
