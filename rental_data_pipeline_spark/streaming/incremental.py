@@ -478,6 +478,11 @@ def suggest_rebucket(
         raise ValueError(
             f"not a bucketed state table (no {_META_NAME}): {state_path}"
         )
+    # the footer fast path never reads the state, so it must refuse a
+    # half-migrated table explicitly (read_state's guard): a staged
+    # pending means the layout is about to change under the meta this
+    # report would describe
+    _assert_no_pending_rebucket(state_path)
     vers = _state_versions(state_path)
     if vers and _is_full(vers[-1]):
         # newest commit is the whole state: footer sums are exact

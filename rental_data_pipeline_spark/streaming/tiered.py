@@ -415,6 +415,11 @@ def suggest_rebucket_tiered(
         raise ValueError(
             f"not a tiered state table (no {_META_NAME}): {state_path}"
         )
+    # the footer fast path below never reads the state, so it must
+    # refuse a half-migrated table EXPLICITLY (the read path's guard):
+    # an interrupted rebucket leaves exactly ONE live slice — bucketed
+    # at the staged count the stale meta here does not describe
+    _assert_no_pending_rebucket(state_path)
     dirs = _live_slices(state_path)
     by_level: dict[int, int] = {}
     for d in dirs:

@@ -260,6 +260,15 @@ def test_tiered_poll_answers_from_footers_on_single_slice(
     assert fast["live_slices"] == 1
     assert fast["state_rows"] == slow["state_rows"]
 
+    # a half-migrated table refuses even the footer poll — an
+    # interrupted rebucket leaves exactly one live slice (bucketed at
+    # the staged count), so the fast path is the branch that must guard
+    smeta = json.load(open(f"{spans}/_meta.json"))
+    with open(f"{spans}/_meta.json.pending", "w") as f:
+        json.dump({**smeta, "n_buckets": smeta["n_buckets"] * 2}, f)
+    with pytest.raises(RuntimeError, match="pending"):
+        tiered.suggest_rebucket_tiered(spark, spans, _reduce_span_stats)
+
 
 def test_suggest_rebucket_answers_from_footers_on_full_snapshot(
     spark, root, monkeypatch
@@ -287,6 +296,14 @@ def test_suggest_rebucket_answers_from_footers_on_full_snapshot(
     monkeypatch.setattr(incremental, "read_state", _boom)
     rep = incremental.suggest_rebucket(spark, state)
     assert rep["state_rows"] == 10
+    # a staged pending refuses even the footer poll (read_state's
+    # guard, restored explicitly on the no-read path)
+    smeta = json.load(open(f"{state}/_meta.json"))
+    with open(f"{state}/_meta.json.pending", "w") as f:
+        json.dump({**smeta, "n_buckets": 256}, f)
+    with pytest.raises(RuntimeError, match="pending"):
+        incremental.suggest_rebucket(spark, state)
+    os.remove(f"{state}/_meta.json.pending")
     monkeypatch.undo()
 
     b1 = spark.range(10, 15).select(
