@@ -270,6 +270,28 @@ def test_tiered_poll_answers_from_footers_on_single_slice(
         tiered.suggest_rebucket_tiered(spark, spans, _reduce_span_stats)
 
 
+def test_p2_polls_use_footers_for_union_readers(spark, root, monkeypatch):
+    """The index/labels/simhash occupancy polls are union-only readers
+    whose rows land in exactly one slice each — maintain_corpus counts
+    them from parquet footers (reader bomb proves no scan), equal to
+    the reader's own count; the multi-slice vocabulary must still
+    reduce (terms repeat across SUM-merge slices) so its reader runs."""
+    from rental_data_pipeline_spark.streaming import dedup_index
+    from tests.test_tiered_spans import _docs
+
+    idx = f"{root}/index"
+    for i in range(2):
+        dedup_index.fold_index_batch(
+            spark, idx, _docs(spark, [2 * i + 1, 2 * i + 2]), i,
+            compact_every=1000,
+        )
+    want = dedup_index.read_index_bands(spark, idx).count()
+    assert want > 0
+    monkeypatch.setattr(dedup_index, "read_index_bands", _boom)
+    rep = maintain_corpus(spark, root, dry_run=True)
+    assert rep["tables"]["index"]["state_rows"] == want
+
+
 def test_suggest_rebucket_answers_from_footers_on_full_snapshot(
     spark, root, monkeypatch
 ):
