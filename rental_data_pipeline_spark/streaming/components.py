@@ -321,6 +321,22 @@ def bootstrap_components(
     )
 
 
+def occupancy_rows(labels_path: str) -> int:
+    """Exact label-table row count from parquet FOOTERS (zero Spark
+    jobs) — members are written once per doc (only docs not already
+    labeled get a row; later merges go through the forest, which
+    relabels without adding rows), counted over THIS store's
+    batch-commit-gated listing so a crashed fold's members slice
+    (forest counterpart missing) is excluded exactly as the reader
+    excludes it. The maintenance watermark's poll path."""
+    _assert_no_pending_rebucket(labels_path)
+    from rental_data_pipeline_spark.streaming.incremental import (
+        parquet_rows,
+    )
+
+    return sum(parquet_rows(d) for d in _committed(labels_path, _MEMBERS))
+
+
 def read_components(
     spark: SparkSession, labels_path: str
 ) -> DataFrame | None:

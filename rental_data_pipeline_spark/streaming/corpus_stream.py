@@ -1091,37 +1091,36 @@ def maintain_corpus(
             target_rows_per_bucket=spans_target_rows_per_bucket,
             growth_factor=growth_factor,
         )
-    from rental_data_pipeline_spark.streaming.incremental import (
-        parquet_rows,
-        sliced_committed,
+    from rental_data_pipeline_spark.streaming.components import (
+        occupancy_rows as _labels_rows,
+    )
+    from rental_data_pipeline_spark.streaming.dedup_index import (
+        occupancy_rows as _index_rows,
+    )
+    from rental_data_pipeline_spark.streaming.df_stream import (
+        occupancy_rows as _vocab_rows,
+    )
+    from rental_data_pipeline_spark.streaming.simhash_stream import (
+        occupancy_rows as _simhash_rows,
     )
 
-    # (table, reader, frozen-meta fn, slice sub-dir, reader reduces?)
-    for name, reader, meta_fn, sub, reduced in (
-        ("index", read_index_bands, _ensure_index_meta, "bands", False),
-        ("labels", read_components, _ensure_label_meta, "members", False),
-        ("vocab", read_df_table, _ensure_df_meta, "df", True),
-        ("simhash", read_simhash_bands, _ensure_simhash_meta, "bands", False),
+    # each store's own occupancy_rows counts parquet footers over its
+    # own batch-commit-gated listing (zero Spark jobs, crashed folds
+    # excluded, pendings refused) — None means the reader must reduce
+    # (the multi-slice SUM-merge vocabulary)
+    for name, reader, meta_fn, rows_fn in (
+        ("index", read_index_bands, _ensure_index_meta, _index_rows),
+        ("labels", read_components, _ensure_label_meta, _labels_rows),
+        ("vocab", read_df_table, _ensure_df_meta, _vocab_rows),
+        ("simhash", read_simhash_bands, _ensure_simhash_meta, _simhash_rows),
     ):
         path = f"{root}/{name}"
         if not _os.path.exists(f"{path}/_meta.json"):
             continue
-        dirs = sliced_committed(f"{path}/{sub}")
-        if _os.path.exists(f"{path}/_meta.json.pending") or (
-            reduced and len(dirs) > 1
-        ):
-            # the reader guards the half-migrated case (raises on a
-            # pending — unreachable after the resume pass, kept for
-            # the refuse-while-pending contract), and the multi-slice
-            # vocab must reduce (terms repeat across SUM-merge slices)
+        rows = rows_fn(path)
+        if rows is None:
             df = reader(spark, path)
             rows = 0 if df is None else df.count()
-        else:
-            # union-only readers (band/member rows land in exactly one
-            # slice) and a single merged vocab slice: parquet footers
-            # are the exact row count — at production state sizes the
-            # occupancy poll must not cost a scan per table
-            rows = sum(parquet_rows(d) for d in dirs)
         report["tables"][name] = _p2(
             rows, int(meta_fn(path)), target_rows_per_bucket
         )

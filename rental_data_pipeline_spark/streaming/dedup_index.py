@@ -170,6 +170,22 @@ def _read_union(spark: SparkSession, root: str, sub: str) -> DataFrame | None:
     return out
 
 
+def occupancy_rows(index_path: str) -> int:
+    """Exact row count of the live band index from parquet FOOTERS —
+    zero Spark jobs, the maintenance watermark's poll path. Exact
+    because band rows land in exactly one live slice (each doc folds
+    once; compaction rewrites the same rows under one dir), and
+    counted over THIS store's batch-commit-gated listing — a crashed
+    fold's bands slice (pairs counterpart missing) is excluded here
+    exactly as :func:`read_index_bands` excludes it."""
+    _assert_no_pending_rebucket(index_path)
+    from rental_data_pipeline_spark.streaming.incremental import (
+        parquet_rows,
+    )
+
+    return sum(parquet_rows(d) for d in _committed(index_path, _BANDS))
+
+
 def read_index_bands(spark: SparkSession, index_path: str) -> DataFrame | None:
     """The accumulated (doc, band, bkey) index, or None before the
     first fold."""

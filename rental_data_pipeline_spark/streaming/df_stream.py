@@ -159,6 +159,25 @@ def fold_docs_batch(
     spark.createDataFrame([(n_docs,)], "n_docs long").write.parquet(cdir)
 
 
+def occupancy_rows(state_path: str) -> int | None:
+    """Exact vocabulary row count from parquet FOOTERS when a SINGLE
+    live df slice exists (a merged compaction output — term-unique),
+    else ``None``: terms repeat across SUM-merge slices, so a
+    multi-slice count must reduce via :func:`read_df_table`. Counted
+    over THIS store's batch-commit-gated listing (a crashed fold's df
+    slice — counts counterpart missing — is excluded exactly as the
+    reader excludes it). The maintenance watermark's poll path."""
+    _assert_no_pending_rebucket(state_path)
+    from rental_data_pipeline_spark.streaming.incremental import (
+        parquet_rows,
+    )
+
+    dirs = _committed(state_path, _DFT)
+    if len(dirs) > 1:
+        return None
+    return sum(parquet_rows(d) for d in dirs)
+
+
 def read_df_table(spark: SparkSession, state_path: str) -> DataFrame | None:
     """Current ``(term, df)`` vocabulary — document frequencies summed
     over every committed slice (df is additive across disjoint doc

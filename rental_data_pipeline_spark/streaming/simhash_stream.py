@@ -141,6 +141,20 @@ def _read_union(spark: SparkSession, root: str, sub: str) -> DataFrame | None:
     return out
 
 
+def occupancy_rows(index_path: str) -> int:
+    """Exact live-band row count from parquet FOOTERS (zero Spark
+    jobs) over THIS store's batch-commit-gated listing — the
+    maintenance watermark's poll path; a crashed fold's bands slice
+    (pairs counterpart missing) is excluded exactly as the reader
+    excludes it."""
+    _assert_no_pending_rebucket(index_path)
+    from rental_data_pipeline_spark.streaming.incremental import (
+        parquet_rows,
+    )
+
+    return sum(parquet_rows(d) for d in _committed(index_path, _BANDS))
+
+
 def read_simhash_bands(
     spark: SparkSession, index_path: str
 ) -> DataFrame | None:

@@ -271,12 +271,21 @@ def test_tiered_poll_answers_from_footers_on_single_slice(
 
 
 def test_p2_polls_use_footers_for_union_readers(spark, root, monkeypatch):
-    """The index/labels/simhash occupancy polls are union-only readers
-    whose rows land in exactly one slice each — maintain_corpus counts
-    them from parquet footers (reader bomb proves no scan), equal to
-    the reader's own count; the multi-slice vocabulary must still
-    reduce (terms repeat across SUM-merge slices) so its reader runs."""
-    from rental_data_pipeline_spark.streaming import dedup_index
+    """Every p2 occupancy poll counts via the STORE'S OWN
+    batch-commit-gated footer helper: equal to the reader's count
+    (reader bombs prove no scan), and a crashed fold's half-committed
+    slice (written first, its commit counterpart missing — exactly
+    the stopped-stream window the runbook calls maintain_corpus in)
+    is excluded just as the reader excludes it. The multi-slice
+    vocabulary still reduces via its reader."""
+    import shutil as sh
+
+    from rental_data_pipeline_spark.streaming import (
+        components,
+        dedup_index,
+        df_stream,
+        simhash_stream,
+    )
     from tests.test_tiered_spans import _docs
 
     idx = f"{root}/index"
@@ -285,11 +294,47 @@ def test_p2_polls_use_footers_for_union_readers(spark, root, monkeypatch):
             spark, idx, _docs(spark, [2 * i + 1, 2 * i + 2]), i,
             compact_every=1000,
         )
-    want = dedup_index.read_index_bands(spark, idx).count()
-    assert want > 0
-    monkeypatch.setattr(dedup_index, "read_index_bands", _boom)
+    want_idx = dedup_index.read_index_bands(spark, idx).count()
+    assert want_idx > 0
+    # crashed fold: bands slice on disk (Spark's _SUCCESS), pairs
+    # counterpart absent — the reader hides it; the poll must too
+    sh.copytree(f"{idx}/bands/b_000000000", f"{idx}/bands/b_000000099")
+    assert dedup_index.read_index_bands(spark, idx).count() == want_idx
+
+    lab = f"{root}/labels"
+    pairs = spark.createDataFrame([(1, 2), (3, 4)], "doc_a long, doc_b long")
+    components.fold_pairs_batch(spark, lab, pairs, 0)
+    want_lab = components.read_components(spark, lab).count()
+    sh.copytree(f"{lab}/members/b_000000000", f"{lab}/members/b_000000099")
+
+    shx = f"{root}/simhash"
+    simhash_stream.fold_simhash_batch(spark, shx, _docs(spark, [1, 2]), 0)
+    want_sh = simhash_stream.read_simhash_bands(spark, shx).count()
+
+    voc = f"{root}/vocab"
+    df_stream.fold_docs_batch(spark, voc, _docs(spark, [1, 2]), 0)
+    want_v = df_stream.read_df_table(spark, voc).count()
+
+    for mod, reader in (
+        (dedup_index, "read_index_bands"),
+        (components, "read_components"),
+        (simhash_stream, "read_simhash_bands"),
+        (df_stream, "read_df_table"),
+    ):
+        monkeypatch.setattr(mod, reader, _boom)
     rep = maintain_corpus(spark, root, dry_run=True)
-    assert rep["tables"]["index"]["state_rows"] == want
+    assert rep["tables"]["index"]["state_rows"] == want_idx
+    assert rep["tables"]["labels"]["state_rows"] == want_lab
+    assert rep["tables"]["simhash"]["state_rows"] == want_sh
+    assert rep["tables"]["vocab"]["state_rows"] == want_v  # single slice
+
+    # a second vocab fold makes terms repeat across slices: the poll
+    # must fall back to the reducing reader (un-bombed again)
+    monkeypatch.undo()
+    df_stream.fold_docs_batch(spark, voc, _docs(spark, [3, 4]), 1)
+    want_v2 = df_stream.read_df_table(spark, voc).count()
+    rep = maintain_corpus(spark, root, dry_run=True)
+    assert rep["tables"]["vocab"]["state_rows"] == want_v2
 
 
 def test_suggest_rebucket_answers_from_footers_on_full_snapshot(
