@@ -351,6 +351,8 @@ def _append_slice_dirs(index_path: str, meta: dict) -> list[str]:
     import glob as _glob
 
     from rental_data_pipeline_spark.streaming.incremental import (
+        B_SLICE_RE,
+        C_SLICE_RE,
         _read_manifest,
     )
 
@@ -358,14 +360,26 @@ def _append_slice_dirs(index_path: str, meta: dict) -> list[str]:
     root = f"{index_path}/appends"
     covered: set[str] = set()
     cs = []
+    # canonical names only (shared stray discipline): a .bak COPY of a
+    # slice carries the commit marker and manifest just the same, and
+    # listing it would double-count its vectors in every probe
     for c in _glob.glob(f"{root}/c_*"):
+        if not C_SLICE_RE.fullmatch(_os.path.basename(c)):
+            continue
         m = _read_manifest(f"{c}/_covered.json")
         if m is not None and _os.path.exists(f"{c}/{commit_sub}/_SUCCESS"):
             covered.update(m)
             cs.append(c)
     live = [
         d
-        for d in _glob.glob(f"{root}/b_*") + cs
+        for d in (
+            [
+                b
+                for b in _glob.glob(f"{root}/b_*")
+                if B_SLICE_RE.fullmatch(_os.path.basename(b))
+            ]
+            + cs
+        )
         if _os.path.exists(f"{d}/{commit_sub}/_SUCCESS")
         and _os.path.basename(d) not in covered
     ]
@@ -414,11 +428,11 @@ def compact_ann_appends(
     dirs = _append_slice_dirs(index_path, meta)
     if len(dirs) < min_slices:
         return False
-    n = max(
-        (int(_os.path.basename(d)[2:]) for d in _glob.glob(f"{root}/c_*")),
-        default=-1,
-    ) + 1
-    cdir = f"{root}/c_{n:09d}"
+    from rental_data_pipeline_spark.streaming.incremental import (
+        next_slice_dir,
+    )
+
+    cdir = next_slice_dir(root)
     subs = ["assignments"] + (["codes"] if meta.get("pq") else [])
     for sub in subs:  # commit_sub written last = the commit
         frames = [spark.read.parquet(f"{d}/{sub}") for d in dirs]
@@ -501,14 +515,19 @@ def append_ann_index(
         # claimed — restarting at 0 would write a slice a manifest
         # already marks covered, making it permanently invisible to
         # _append_slice_dirs (silent data loss)
+        from rental_data_pipeline_spark.streaming.incremental import (
+            B_SLICE_RE,
+        )
+
         existing = [
             int(_os.path.basename(d)[2:])
             for d in _glob.glob(f"{index_path}/appends/b_*")
+            if B_SLICE_RE.fullmatch(_os.path.basename(d))
         ]
         for c in _glob.glob(f"{index_path}/appends/c_*"):
             covered = _read_manifest(f"{c}/_covered.json")
             for name in covered or []:
-                if name.startswith("b_"):
+                if B_SLICE_RE.fullmatch(name):
                     existing.append(int(name[2:]))
         batch_id = max(existing, default=-1) + 1
     sdir = f"{index_path}/appends/b_{batch_id:09d}"

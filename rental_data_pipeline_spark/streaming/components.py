@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import json as _json
 import os as _os
+import re as _re
 import shutil as _shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -405,6 +406,8 @@ def catchup_components(
             upto = -1
     folded = 0
     for d in sliced_committed(f"{index_path}/pairs"):
+        if not _re.fullmatch(r"[bc]_\d{9}", _os.path.basename(d)):
+            continue  # stray operator entry with a _SUCCESS inside
         bid = int(_os.path.basename(d)[2:])
         if bid <= upto:
             continue
@@ -463,14 +466,11 @@ def compact_labels(
         )
 
     def _next_c(sub: str) -> str:
-        n = max(
-            (
-                int(_os.path.basename(d)[2:])
-                for d in _glob.glob(f"{labels_path}/{sub}/c_*")
-            ),
-            default=-1,
-        ) + 1
-        return f"{labels_path}/{sub}/c_{n:09d}"
+        from rental_data_pipeline_spark.streaming.incremental import (
+            next_slice_dir,
+        )
+
+        return next_slice_dir(f"{labels_path}/{sub}")
 
     resolved = _resolved_components(spark, labels_path).select(
         F.col("node").alias("doc"), F.col("component").alias("label")

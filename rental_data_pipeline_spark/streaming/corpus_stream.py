@@ -104,9 +104,15 @@ def _fully_committed(
     to batch ids ≤ it (the time-travel read)."""
     import glob as _glob
 
+    from rental_data_pipeline_spark.streaming.incremental import (
+        B_SLICE_RE,
+    )
+
     out = []
     for d in sorted(_glob.glob(f"{root}/{sub}/b_*")):
         b = _os.path.basename(d)
+        if not B_SLICE_RE.fullmatch(b):
+            continue  # stray operator entry: never parsed
         if as_of_batch is not None and int(b[2:]) > as_of_batch:
             continue
         if _os.path.exists(f"{d}/_SUCCESS") and _os.path.exists(
@@ -797,20 +803,34 @@ def rebucket_corpus(
     spans_path = f"{root}/spans"
     smeta = _read_meta(spans_path)
     if smeta is not None:
-        # an interrupted LAYOUT migration (staged pending carries the
-        # tiered meta while _meta.json is still the version-chain's)
-        # must finish as a migration — resuming it as a rebucket would
-        # stamp the tiered meta onto a v_* chain
+        # an interrupted LAYOUT migration must finish as a migration —
+        # resuming it as a rebucket would eat its pending. The dispatch
+        # keys on the migration's COMMIT point (_span_window.json's
+        # layout stamp), NOT on _meta.json: the migration swaps
+        # _meta.json BEFORE flipping the window stamp, so a crash
+        # between the two leaves _meta.json already "tiered" while the
+        # state is still the legacy v_* chain — routing that window to
+        # rebucket_tiered would consume the pending and wedge every
+        # later fold against the legacy stamp. staged == committed with
+        # the window already tiered is the post-commit cleanup window
+        # (of the migration or of a finished rebucket) — migrate's
+        # resume is a pure cleanup there.
         spend = f"{spans_path}/_meta.json.pending"
         migrated = False
-        if _os.path.exists(spend) and smeta.get("layout") != "tiered":
+        if _os.path.exists(spend):
+            from rental_data_pipeline_spark.streaming.span_stream import (
+                _span_meta,
+                migrate_spans_to_tiered,
+            )
+
             with open(spend) as f:
                 staged = _json.load(f)
-            if staged.get("layout") == "tiered":
-                from rental_data_pipeline_spark.streaming.span_stream import (
-                    migrate_spans_to_tiered,
-                )
-
+            window_tiered = (
+                _span_meta(spans_path).get("layout") == "tiered"
+            )
+            if staged.get("layout") == "tiered" and (
+                not window_tiered or staged == smeta
+            ):
                 migrated = migrate_spans_to_tiered(spark, spans_path)
                 smeta = _read_meta(spans_path)
         new_nb = (
@@ -977,8 +997,6 @@ def maintain_corpus(
     report carries ``live_slices`` either way. A spans REBUCKET in the
     same call already compacts to one slice; the knob then no-ops.
     """
-    import glob as _glob2
-
     from rental_data_pipeline_spark.operators.ann_index import (
         suggest_regrow,
     )

@@ -487,14 +487,11 @@ def compact_index(
         dirs = _committed(index_path, sub)
         if not dirs or (not _during_rebucket and len(dirs) < min_slices):
             continue
-        n = max(
-            (
-                int(_os.path.basename(d)[2:])
-                for d in _glob.glob(f"{index_path}/{sub}/c_*")
-            ),
-            default=-1,
-        ) + 1
-        cdir = f"{index_path}/{sub}/c_{n:09d}"
+        from rental_data_pipeline_spark.streaming.incremental import (
+            next_slice_dir,
+        )
+
+        cdir = next_slice_dir(f"{index_path}/{sub}")
         part_col = _BB if sub == _BANDS else _DB
         bucket = _bucket_of_bkey(nb) if sub == _BANDS else _bucket_of_doc(nb)
         df = _read_union(spark, index_path, sub).drop(part_col).withColumn(

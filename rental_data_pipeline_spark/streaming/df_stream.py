@@ -234,14 +234,11 @@ def compact_df(
         dirs = _committed(state_path, sub)
         if not dirs or (not _during_rebucket and len(dirs) < min_slices):
             continue
-        n = max(
-            (
-                int(_os.path.basename(d)[2:])
-                for d in _glob.glob(f"{state_path}/{sub}/c_*")
-            ),
-            default=-1,
-        ) + 1
-        cdir = f"{state_path}/{sub}/c_{n:09d}"
+        from rental_data_pipeline_spark.streaming.incremental import (
+            next_slice_dir,
+        )
+
+        cdir = next_slice_dir(f"{state_path}/{sub}")
         u = spark.read.parquet(dirs[0])
         for d in dirs[1:]:
             u = u.unionByName(spark.read.parquet(d), allowMissingColumns=True)

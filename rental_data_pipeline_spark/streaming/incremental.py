@@ -170,6 +170,10 @@ def manifest_covered(root: str) -> set[str]:
 
     out: set[str] = set()
     for c in _glob.glob(f"{root}/c_*"):
+        # canonical names only: a stray copy's manifest must not get a
+        # vote on what is covered (it could shadow a live slice)
+        if not C_SLICE_RE.fullmatch(_os.path.basename(c)):
+            continue
         if _os.path.exists(f"{c}/_SUCCESS"):
             covered = _read_manifest(f"{c}/_covered.json")
             if covered is not None:
@@ -245,13 +249,19 @@ def sliced_committed(root: str) -> list[str]:
     """The LIVE slice dirs of an append-only per-batch layout:
     ``b_*`` batch slices (plain ``_SUCCESS``) plus manifest-committed
     ``c_*`` compactions, minus anything a committed manifest covers.
-    The one listing shared by the dedup index and the sketch stream."""
+    The one listing shared by the dedup index and the sketch stream.
+    CANONICAL names only: an operator's stray copy of a slice
+    (``c_000000000.bak``, ``b_000000001 copy``) carries ``_SUCCESS``
+    and a manifest just the same, and listing it would double-count
+    its rows in every SUM-style merge-on-read."""
     import os as _os
 
     covered = manifest_covered(root)
     out = []
-    for pat in ("b_*", "c_*"):
+    for pat, regex in (("b_*", B_SLICE_RE), ("c_*", C_SLICE_RE)):
         for d in success_dirs(f"{root}/{pat}"):
+            if not regex.fullmatch(_os.path.basename(d)):
+                continue  # stray operator entry: never parsed
             # a c_* dir without a VALID manifest is an uncommitted
             # compaction (crash before/mid manifest): invisible, its
             # source dirs are still live
@@ -270,6 +280,29 @@ _GC_NAME = "_gc.json"
 import re as _re
 
 C_SLICE_RE = _re.compile(r"c_\d{9}")
+B_SLICE_RE = _re.compile(r"b_\d{9}")
+
+
+def next_slice_dir(parent: str, prefix: str = "c_") -> str:
+    """Path of the next free canonical ``{prefix}#########`` slice dir
+    under ``parent``. The max scans CANONICAL names only: the graced
+    sweep deliberately preserves a non-canonical ``c_*`` entry (an
+    operator's ``c_000000003.bak``), so an unguarded
+    ``int(basename[2:])`` here would turn that stray into a permanent
+    compaction crash at every fold."""
+    import glob as _glob
+    import os as _os
+
+    pat = _re.compile(_re.escape(prefix) + r"\d{9}")
+    n = max(
+        (
+            int(_os.path.basename(d)[len(prefix):])
+            for d in _glob.glob(f"{parent}/{prefix}*")
+            if pat.fullmatch(_os.path.basename(d))
+        ),
+        default=-1,
+    ) + 1
+    return f"{parent}/{prefix}{n:09d}"
 
 
 def set_gc_grace(table_path: str, grace_sec: float) -> None:
@@ -373,6 +406,12 @@ def sweep_covered_slices(
     now = _time.time()
     covered_at: dict[str, float] = {}
     for c in _glob.glob(f"{root}/c_*"):
+        if not C_SLICE_RE.fullmatch(_os.path.basename(c)):
+            # a stray operator entry's manifest (a .bak copy, junk)
+            # must not get a vote on what is covered: readers ignore
+            # it (manifest_covered is canonical-only), so honoring it
+            # here could delete a dir readers still list
+            continue
         mf = f"{c}/_covered.json"
         names = _read_manifest(mf)
         if names is None:

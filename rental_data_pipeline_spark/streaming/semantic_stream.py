@@ -46,6 +46,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from rental_data_pipeline_spark.streaming.incremental import (
+    B_SLICE_RE,
+    C_SLICE_RE,
     _read_manifest,
     atomic_json_write,
     sliced_committed,
@@ -217,6 +219,8 @@ def read_semantic_labels(
         # sharing an as_of (threshold-only migration with no
         # intervening folds) the LATEST committed regrow wins
         for c in sorted(_glob.glob(f"{sem_path}/c_*")):
+            if not C_SLICE_RE.fullmatch(_os.path.basename(c)):
+                continue  # stray operator entry: never parsed
             info = _regrow_info(c)
             if info is None:
                 continue
@@ -225,7 +229,8 @@ def read_semantic_labels(
         dirs = ([best_c] if best_c else []) + [
             d
             for d in success_dirs(f"{sem_path}/b_*")
-            if best_as_of < int(_os.path.basename(d)[2:]) <= as_of_batch
+            if B_SLICE_RE.fullmatch(_os.path.basename(d))
+            and best_as_of < int(_os.path.basename(d)[2:]) <= as_of_batch
         ]
         if not dirs:
             return None
@@ -304,8 +309,12 @@ def regrow_semantic_cells(
         # folds refuse once the pending lands, so it cannot move
         as_of = -1
         for d in success_dirs(f"{sem_path}/b_*"):
+            if not B_SLICE_RE.fullmatch(_os.path.basename(d)):
+                continue  # stray operator entry: never parsed
             as_of = max(as_of, int(_os.path.basename(d)[2:]))
         for c in _glob.glob(f"{sem_path}/c_*"):
+            if not C_SLICE_RE.fullmatch(_os.path.basename(c)):
+                continue
             info = _regrow_info(c)
             if info is not None:
                 as_of = max(as_of, int(info["as_of"]))
@@ -345,6 +354,8 @@ def regrow_semantic_cells(
     # already committed it
     done = None
     for c in _glob.glob(f"{sem_path}/c_*"):
+        if not C_SLICE_RE.fullmatch(_os.path.basename(c)):
+            continue  # stray operator entry: never parsed
         info = _regrow_info(c)
         if (
             info is not None
@@ -360,18 +371,20 @@ def regrow_semantic_cells(
             done = c
             break
     if done is None:
-        # clear garbage from a crashed prior attempt (no valid manifest)
+        # clear garbage from a crashed prior attempt (no valid
+        # manifest) — CANONICAL names only: a stray operator entry is
+        # never parsed or deleted, and the numbering below must skip
+        # it instead of crashing on int()
         for c in _glob.glob(f"{sem_path}/c_*"):
-            if _read_manifest(f"{c}/_covered.json") is None:
+            if C_SLICE_RE.fullmatch(
+                _os.path.basename(c)
+            ) and _read_manifest(f"{c}/_covered.json") is None:
                 _shutil.rmtree(c, ignore_errors=True)
-        gen = max(
-            (
-                int(_os.path.basename(c)[2:])
-                for c in _glob.glob(f"{sem_path}/c_*")
-            ),
-            default=-1,
-        ) + 1
-        cdir = f"{sem_path}/c_{gen:09d}"
+        from rental_data_pipeline_spark.streaming.incremental import (
+            next_slice_dir,
+        )
+
+        cdir = next_slice_dir(sem_path)
         if _os.path.exists(cdir):
             _shutil.rmtree(cdir, ignore_errors=True)
         meta = read_meta(index_path)

@@ -360,14 +360,11 @@ def compact_simhash_index(
     dirs = _committed(index_path, _BANDS)
     if not dirs or (not _during_rebucket and len(dirs) < min_slices):
         return False
-    n = max(
-        (
-            int(_os.path.basename(d)[2:])
-            for d in _glob.glob(f"{index_path}/{_BANDS}/c_*")
-        ),
-        default=-1,
-    ) + 1
-    cdir = f"{index_path}/{_BANDS}/c_{n:09d}"
+    from rental_data_pipeline_spark.streaming.incremental import (
+        next_slice_dir,
+    )
+
+    cdir = next_slice_dir(f"{index_path}/{_BANDS}")
     df = _read_union(spark, index_path, _BANDS).drop(_BB).withColumn(
         _BB, _bucket_col(nb)
     )

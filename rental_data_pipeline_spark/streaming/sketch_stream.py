@@ -92,11 +92,11 @@ def compact_sketch(
     if len(dirs) < min_slices:
         return False
     merged = read_hll_registers(spark, state_path)
-    n = max(
-        (int(_os.path.basename(d)[2:]) for d in _glob.glob(f"{state_path}/c_*")),
-        default=-1,
-    ) + 1
-    cdir = f"{state_path}/c_{n:09d}"
+    from rental_data_pipeline_spark.streaming.incremental import (
+        next_slice_dir,
+    )
+
+    cdir = next_slice_dir(state_path)
     merged.write.parquet(cdir)
     _atomic_json_write(f"{cdir}/_covered.json", sorted(_os.path.basename(d) for d in dirs))
     sweep_covered_slices(state_path, sweep_grace_sec)

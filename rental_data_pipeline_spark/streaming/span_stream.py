@@ -384,9 +384,13 @@ def migrate_spans_to_tiered(
         # instead of double-counting it into the migrated state
         import re as _re
 
-        covered = sorted(
+        from rental_data_pipeline_spark.streaming.tiered import (
+            REPLAY_HORIZON,
+        )
+
+        bids = sorted(
             {
-                f"b_{m.group(1)}"
+                int(m.group(1))
                 for v in _glob.glob(f"{state_path}/v_*")
                 for m in [
                     _re.fullmatch(
@@ -396,6 +400,15 @@ def migrate_spans_to_tiered(
                 if m is not None
             }
         )
+        # pruned to the replay horizon like every tiered manifest: a
+        # years-old legacy chain carries one record per batch ever
+        # folded, but replay detection only consults the window between
+        # the last fold and the stream checkpoint commit
+        covered = [
+            f"b_{b:09d}"
+            for b in bids
+            if not bids or b > bids[-1] - REPLAY_HORIZON
+        ]
         atomic_json_write(f"{cdir}/_covered.json", covered)
 
     atomic_json_write(f"{state_path}/_meta.json", new_meta)

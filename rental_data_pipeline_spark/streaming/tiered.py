@@ -82,6 +82,7 @@ from pyspark.sql import functions as F
 
 from rental_data_pipeline_spark.streaming.incremental import (
     BUCKET_COL,
+    B_SLICE_RE,
     N_STATE_BUCKETS,
     _bucket_of,
     _read_manifest,
@@ -92,6 +93,18 @@ from rental_data_pipeline_spark.streaming.incremental import (
     sliced_committed,
     sweep_covered_slices,
 )
+
+# how far back (in batch ordinals) covered-id replay detection reaches:
+# manifests prune inherited b_* ids older than the newest covered id
+# minus this horizon, so transitive coverage stays O(horizon) instead
+# of growing one id per batch for the stream's lifetime (a force_full
+# compaction would otherwise write a manifest naming every batch ever
+# folded, and manifest_covered re-parses every manifest on every fold).
+# Structured Streaming replays at most the single batch between the
+# last fold and the checkpoint commit, so any positive horizon covers
+# the crash window — 4096 keeps the metadata cost trivial (~50 KB)
+# while also absorbing pathological operator re-runs far beyond it.
+REPLAY_HORIZON = 4096
 
 _META_NAME = "_meta.json"
 _META_PENDING = "_meta.json.pending"
@@ -243,23 +256,45 @@ def _compact_once(
     write but are NOT deleted here — physical deletion is the sweep's
     job (:func:`_sweep`), so a grace window can protect readers that
     listed them before the commit."""
-    n = max(
-        (
-            int(_os.path.basename(c)[2:])
-            for c in _glob.glob(f"{state_path}/c_*")
-            if _SLICE_RE.fullmatch(_os.path.basename(c))
-        ),
-        default=-1,
-    ) + 1
-    cdir = f"{state_path}/c_{n:09d}"
+    from rental_data_pipeline_spark.streaming.incremental import (
+        next_slice_dir,
+    )
+
+    cdir = next_slice_dir(state_path)
     _write_slice(reduce_fn(_union_dirs(spark, dirs)), cdir, key, n_buckets)
     atomic_json_write(f"{cdir}/{_TIER_NAME}", {"level": out_level})
-    # transitive coverage: the sources AND everything they covered, so
-    # covered-id replay detection survives source deletion
-    covered = set()
+    # transitive coverage, PRUNED to what the contracts still need:
+    # the sources AND everything they covered — so covered-id replay
+    # detection survives source deletion — but an inherited name is
+    # carried forward only while some contract can still consult it:
+    # it is still on disk (the listing must keep hiding it and the
+    # graced sweep must still find it), or it is a b_* batch id within
+    # REPLAY_HORIZON of the newest covered id (replay detection only
+    # ever looks at the window between the last fold and the stream
+    # checkpoint commit). Without the prune every manifest carries
+    # every batch id ever folded and the O(batch) fold's metadata cost
+    # silently degrades to O(stream lifetime).
+    direct = {_os.path.basename(d) for d in dirs}
+    inherited: set[str] = set()
     for d in dirs:
-        covered.add(_os.path.basename(d))
-        covered.update(_read_manifest(f"{d}/_covered.json") or ())
+        inherited.update(_read_manifest(f"{d}/_covered.json") or ())
+    b_max = max(
+        (
+            int(n[2:])
+            for n in (direct | inherited)
+            if B_SLICE_RE.fullmatch(n)
+        ),
+        default=-1,
+    )
+    covered = set(direct)
+    for n in inherited - direct:
+        if _os.path.exists(f"{state_path}/{n}"):
+            covered.add(n)
+        elif (
+            B_SLICE_RE.fullmatch(n)
+            and int(n[2:]) > b_max - REPLAY_HORIZON
+        ):
+            covered.add(n)
     atomic_json_write(f"{cdir}/_covered.json", sorted(covered))
 
 

@@ -177,3 +177,75 @@ def test_compaction_grace_and_leak_heal_on_a_real_store(spark, root):
     compact_sketch(spark, state)
     assert not os.path.exists(zombie)
     assert read_hll_estimate(spark, state).collect() == want
+
+
+def test_next_slice_dir_ignores_stray_entries(root):
+    """Compaction numbering scans CANONICAL slice names only: the
+    graced sweep deliberately preserves an operator's stray ``c_*``
+    entry (``c_000000003.bak``), so an unguarded
+    ``int(basename[2:])`` would turn that stray into a permanent
+    compaction crash at every fold."""
+    from rental_data_pipeline_spark.streaming.incremental import (
+        next_slice_dir,
+    )
+
+    assert next_slice_dir(root) == f"{root}/c_000000000"
+    _mk(root, "c_000000002")
+    _mk(root, "c_000000003.bak")  # stray: the sweep preserves it
+    _mk(root, "c_junk")
+    _mk(root, "b_000000009")
+    assert next_slice_dir(root) == f"{root}/c_000000003"
+    assert next_slice_dir(root, prefix="b_") == f"{root}/b_000000010"
+
+
+def test_stray_slice_copy_neither_crashes_nor_double_counts(spark, root):
+    """Regression, both halves of the stray discipline on a real
+    SUM-style store: (1) the sweep preserves a non-canonical ``c_*``
+    stray, so slice NUMBERING must ignore it instead of crashing every
+    later compaction; (2) a stray COPY of a slice carries ``_SUCCESS``
+    and a manifest just the same, so the shared LISTING must ignore it
+    instead of double-counting its rows in the merged read."""
+    from rental_data_pipeline_spark.streaming.df_stream import (
+        compact_df,
+        fold_docs_batch,
+        read_df_table,
+    )
+
+    state = f"{root}/vocab"
+    for i in range(2):
+        batch = spark.createDataFrame(
+            [(i * 2, "alpha beta"), (i * 2 + 1, "alpha gamma")],
+            "doc_id long, text string",
+        )
+        fold_docs_batch(spark, state, batch, i)
+    assert compact_df(spark, state)
+    want = sorted(
+        (r.term, r.df) for r in read_df_table(spark, state).collect()
+    )
+    assert ("alpha", 4) in want
+
+    # stray copies of a COMMITTED compaction slice + junk entries
+    shutil.copytree(
+        f"{state}/df/c_000000000", f"{state}/df/c_000000000.bak"
+    )
+    os.makedirs(f"{state}/df/c_junk")
+    open(f"{state}/df/c_junk/_SUCCESS", "w").close()
+    got = sorted(
+        (r.term, r.df) for r in read_df_table(spark, state).collect()
+    )
+    assert got == want  # no double count from the .bak copy
+
+    # two more folds and another compaction: numbering must skip the
+    # strays (and never delete them)
+    for i in range(2, 4):
+        batch = spark.createDataFrame(
+            [(i * 2, "alpha beta")], "doc_id long, text string"
+        )
+        fold_docs_batch(spark, state, batch, i)
+    assert compact_df(spark, state)
+    got = dict(
+        (r.term, r.df) for r in read_df_table(spark, state).collect()
+    )
+    assert got["alpha"] == 6
+    assert os.path.exists(f"{state}/df/c_000000000.bak")
+    assert os.path.exists(f"{state}/df/c_junk")

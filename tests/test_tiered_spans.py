@@ -481,3 +481,106 @@ def test_stray_entries_are_ignored_never_deleted(spark, root):
     assert _srows(read_duplicated_spans(spark, root)) == want
     assert os.path.exists(f"{root}/b_000000000.bak")  # never deleted
     assert os.path.exists(f"{root}/c_junk")
+
+
+def test_maintain_heals_half_committed_layout_migration(
+    spark, root, monkeypatch
+):
+    """Crash window BETWEEN the migration's _meta.json swap and its
+    _span_window.json commit: _meta.json already says tiered while the
+    state is still the legacy v_* chain. The maintenance resume must
+    dispatch on the COMMIT point (_span_window.json) — resuming this
+    window as rebucket_tiered would eat the pending and wedge every
+    later fold against the legacy window stamp."""
+    import rental_data_pipeline_spark.streaming.incremental as inc
+    from rental_data_pipeline_spark.streaming.corpus_stream import (
+        maintain_corpus,
+    )
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        migrate_spans_to_tiered,
+    )
+
+    croot = f"{root}/corpus"
+    spans = f"{croot}/spans"
+    os.makedirs(croot, exist_ok=True)
+    b0 = _docs(spark, [1, 2])
+    _legacy_state(spark, spans, [b0])
+    want = _srows(duplicated_spans(b0, window=10, min_docs=2))
+
+    real = inc.atomic_json_write
+
+    def crash_at_window(path, obj):
+        if path.endswith("_span_window.json"):
+            raise RuntimeError("injected crash before the commit point")
+        real(path, obj)
+
+    monkeypatch.setattr(inc, "atomic_json_write", crash_at_window)
+    with pytest.raises(RuntimeError, match="injected"):
+        migrate_spans_to_tiered(spark, spans)
+    monkeypatch.setattr(inc, "atomic_json_write", real)
+
+    # the poisoned half-state: meta says tiered, the commit point not
+    assert json.load(open(f"{spans}/_meta.json"))["layout"] == "tiered"
+    assert (
+        json.load(open(f"{spans}/_span_window.json")).get("layout")
+        != "tiered"
+    )
+    assert os.path.exists(f"{spans}/_meta.json.pending")
+
+    rep = maintain_corpus(spark, croot)
+    assert rep["resumed"]["rebucket"]["spans"] is True
+    assert not os.path.exists(f"{spans}/_meta.json.pending")
+    assert glob.glob(f"{spans}/v_*") == []
+    assert (
+        json.load(open(f"{spans}/_span_window.json"))["layout"]
+        == "tiered"
+    )
+    assert _srows(read_duplicated_spans(spark, spans)) == want
+    # and folding works again — the wedge the old dispatch caused
+    b1 = _docs(spark, [3, 4])
+    fold_spans_batch(spark, spans, b1, 1, window=10)
+    assert _srows(read_duplicated_spans(spark, spans)) == _srows(
+        duplicated_spans(b0.unionByName(b1), window=10, min_docs=2)
+    )
+
+
+def test_compaction_manifests_prune_to_replay_horizon(
+    spark, root, monkeypatch
+):
+    """Transitive coverage must stay O(horizon), not O(stream
+    lifetime): an inherited b_* id is carried forward only while it is
+    within REPLAY_HORIZON of the newest covered id (or its dir is
+    still on disk awaiting a graced sweep). Replay detection inside
+    the horizon still no-ops; content is exact regardless."""
+    import rental_data_pipeline_spark.streaming.tiered as tiered_mod
+    from rental_data_pipeline_spark.streaming.incremental import (
+        slice_id_compacted,
+    )
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        _reduce_span_stats,
+    )
+
+    monkeypatch.setattr(tiered_mod, "REPLAY_HORIZON", 3)
+    all_docs = None
+    for i in range(8):
+        b = _docs(spark, [2 * i, 2 * i + 1])
+        all_docs = b if all_docs is None else all_docs.unionByName(b)
+        fold_spans_batch(spark, root, b, i, window=10, compact_every=2)
+    assert maybe_compact(
+        spark, root, _reduce_span_stats, force_full=True
+    )
+    assert _srows(read_duplicated_spans(spark, root)) == _srows(
+        duplicated_spans(all_docs, window=10, min_docs=2)
+    )
+    covered = set()
+    for c in glob.glob(f"{root}/c_*"):
+        covered.update(json.load(open(f"{c}/_covered.json")))
+    b_ids = sorted(int(n[2:]) for n in covered if n.startswith("b_"))
+    # bounded: only ids within the horizon of the newest (7) survive
+    assert b_ids == [5, 6, 7]
+    # replay inside the horizon is still a covered-id no-op
+    assert slice_id_compacted(root, 7)
+    before = _srows(read_duplicated_spans(spark, root))
+    fold_spans_batch(spark, root, _docs(spark, [90, 91]), 7, window=10)
+    assert _srows(read_duplicated_spans(spark, root)) == before
+    assert not os.path.exists(f"{root}/b_000000007")
