@@ -45,7 +45,6 @@ from __future__ import annotations
 
 import json as _json
 import os as _os
-import re as _re
 import shutil as _shutil
 
 from pyspark.sql import DataFrame, SparkSession
@@ -406,8 +405,8 @@ def catchup_components(
             upto = -1
     folded = 0
     for d in sliced_committed(f"{index_path}/pairs"):
-        if not _re.fullmatch(r"[bc]_\d{9}", _os.path.basename(d)):
-            continue  # stray operator entry with a _SUCCESS inside
+        # canonical names guaranteed: sliced_committed fullmatches
+        # every basename against the shared slice regexes
         bid = int(_os.path.basename(d)[2:])
         if bid <= upto:
             continue

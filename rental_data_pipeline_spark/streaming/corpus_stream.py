@@ -1085,9 +1085,13 @@ def maintain_corpus(
         # (measured: scripts/span_compaction_churn.py) — the layout
         # upgrade IS maintenance, so run it here unless dry_run
         if dry_run:
+            # preview at the SAME threshold the real run decides with
+            # (spans_target_rows_per_bucket feeds the post-migration
+            # tiered poll) — previewing at the generic bucket-table
+            # threshold would promise rebuckets the run never does
             rep = suggest_rebucket(
                 spark, spans_path,
-                target_rows_per_bucket=target_rows_per_bucket,
+                target_rows_per_bucket=spans_target_rows_per_bucket,
                 growth_factor=growth_factor,
             )
             report["tables"]["spans"] = {

@@ -384,14 +384,22 @@ def migrate_spans_to_tiered(
         # instead of double-counting it into the migrated state
         import re as _re
 
+        from rental_data_pipeline_spark.streaming.incremental import (
+            _state_versions,
+        )
         from rental_data_pipeline_spark.streaming.tiered import (
             REPLAY_HORIZON,
         )
 
+        # COMMITTED versions only (_state_versions): a crashed fold's
+        # marker-less v_* dir holds a batch whose rows _compose above
+        # did NOT include — naming its id covered would turn the
+        # stream's post-restart replay of that batch into a no-op and
+        # silently lose its span statistics
         bids = sorted(
             {
                 int(m.group(1))
-                for v in _glob.glob(f"{state_path}/v_*")
+                for v in _state_versions(state_path)
                 for m in [
                     _re.fullmatch(
                         r"v_\d{9}_b(\d{9})", _os.path.basename(v)

@@ -505,7 +505,12 @@ def rebucket_tiered(
     pending = f"{state_path}/{_META_PENDING}"
     staged = _read_meta_file(pending)
     if staged is not None:
-        new_meta = staged  # resume at the staged count
+        # resume at the staged count — merged OVER the committed meta,
+        # so a hand-staged {"n_buckets": N} pending (the shape the
+        # other bucket tables accept, demonstrated in test_rebucket)
+        # cannot drop "layout"/"key" at the meta swap and wedge every
+        # later fold against the layout guard
+        new_meta = {**meta, **staged, "n_buckets": int(staged["n_buckets"])}
     else:
         if int(meta["n_buckets"]) == int(new_n_buckets):
             return False

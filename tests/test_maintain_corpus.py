@@ -405,6 +405,17 @@ def test_maintain_upgrades_legacy_span_layout(spark, root):
     assert rep["tables"]["spans"]["layout_migration_due"] is True
     assert rep["ran"] == {}
 
+    # the dry-run previews the spans table at the SAME threshold the
+    # real run decides with (spans_target_rows_per_bucket), not the
+    # generic bucket-table one — otherwise the preview promises
+    # rebuckets the run never performs
+    rep = maintain_corpus(
+        spark, root, dry_run=True,
+        spans_target_rows_per_bucket=1,
+        target_rows_per_bucket=10**9,
+    )
+    assert rep["tables"]["spans"]["due"] is True
+
     rep = maintain_corpus(spark, root)
     assert rep["ran"]["spans_layout"] is True
     assert rep["tables"]["spans"]["n_buckets"] == 16  # tiered poll ran

@@ -584,3 +584,64 @@ def test_compaction_manifests_prune_to_replay_horizon(
     fold_spans_batch(spark, root, _docs(spark, [90, 91]), 7, window=10)
     assert _srows(read_duplicated_spans(spark, root)) == before
     assert not os.path.exists(f"{root}/b_000000007")
+
+
+def test_migration_never_covers_uncommitted_legacy_batches(spark, root):
+    """A crashed legacy fold leaves a marker-less v_* dir whose batch
+    is NOT in the committed state (and whose checkpoint never
+    committed). The migration manifest must not name that batch id
+    covered — doing so would turn the stream's post-restart replay
+    into a no-op and silently lose the batch's span statistics."""
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        migrate_spans_to_tiered,
+    )
+
+    b0, b1 = _docs(spark, [1, 2]), _docs(spark, [3, 4])
+    _legacy_state(spark, root, [b0])
+    # crashed fold of batch 1: dir exists, no _SUCCESS
+    os.makedirs(f"{root}/v_000000001_b000000001")
+    open(f"{root}/v_000000001_b000000001/part-junk.parquet", "w").close()
+
+    assert migrate_spans_to_tiered(spark, root)
+    covered = json.load(open(f"{root}/c_000000000/_covered.json"))
+    assert "b_000000000" in covered  # committed fold: replay no-ops
+    assert "b_000000001" not in covered  # crashed fold: must replay
+
+    # the replay actually folds batch 1 (not a covered-id no-op)
+    fold_spans_batch(spark, root, b1, 1, window=10)
+    assert _srows(read_duplicated_spans(spark, root)) == _srows(
+        duplicated_spans(b0.unionByName(b1), window=10, min_docs=2)
+    )
+
+
+def test_rebucket_tiered_resume_merges_hand_staged_pending(spark, root):
+    """Resuming a hand-staged {"n_buckets": N} pending (the shape the
+    other bucket tables accept as an operational action) must merge it
+    OVER the committed meta — adopting it verbatim would drop
+    layout/key at the meta swap and wedge every later fold against
+    the layout guard."""
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        _reduce_span_stats,
+    )
+    from rental_data_pipeline_spark.streaming.tiered import (
+        rebucket_tiered,
+    )
+
+    b0 = _docs(spark, [1, 2])
+    fold_spans_batch(spark, root, b0, 0, window=10)
+    want = _srows(read_duplicated_spans(spark, root))
+
+    with open(f"{root}/_meta.json.pending", "w") as f:
+        json.dump({"n_buckets": 8}, f)
+    assert rebucket_tiered(spark, root, 999, _reduce_span_stats)
+    meta = json.load(open(f"{root}/_meta.json"))
+    assert meta["n_buckets"] == 8  # staged count wins over the arg
+    assert meta["layout"] == "tiered"  # preserved, not dropped
+    assert meta["key"] == "span_hash"
+    # folds still work under the migrated meta
+    b1 = _docs(spark, [3, 4])
+    fold_spans_batch(spark, root, b1, 1, window=10)
+    assert _srows(read_duplicated_spans(spark, root)) == _srows(
+        duplicated_spans(b0.unionByName(b1), window=10, min_docs=2)
+    )
+    assert want  # sanity: the pre-rebucket read had rows
