@@ -282,6 +282,35 @@ import re as _re
 C_SLICE_RE = _re.compile(r"c_\d{9}")
 B_SLICE_RE = _re.compile(r"b_\d{9}")
 
+# covered-id replay reach, in batch ordinals — shared by the tiered
+# store's manifest prune (tiered.py imports it) and the versioned
+# store's pruned-batch record below. Structured Streaming replays at
+# most the one batch between the last fold and the checkpoint commit;
+# 4096 keeps the metadata trivial while absorbing operator re-runs.
+REPLAY_HORIZON = 4096
+
+_PRUNED_BIDS_NAME = "_pruned_bids.json"
+
+
+def _pruned_bids(state_path: str) -> set[int]:
+    """Batch ids whose v_*_b{id} version was pruned away — the fold's
+    replay record outliving the dir name it used to ride on. Bounded
+    to :data:`REPLAY_HORIZON` of the newest recorded id."""
+    import json as _json
+    import os as _os
+
+    p = f"{state_path}/{_PRUNED_BIDS_NAME}"
+    if not _os.path.exists(p):
+        return set()
+    with open(p) as f:
+        return {int(b) for b in _json.load(f)}
+
+
+def _record_pruned_bid(state_path: str, bid: int) -> None:
+    ids = sorted(_pruned_bids(state_path) | {int(bid)})
+    ids = [i for i in ids if i > ids[-1] - REPLAY_HORIZON]
+    atomic_json_write(f"{state_path}/{_PRUNED_BIDS_NAME}", ids)
+
 
 def next_slice_dir(parent: str, prefix: str = "c_") -> str:
     """Path of the next free canonical ``{prefix}#########`` slice dir
@@ -618,8 +647,11 @@ def rebucket_state(
             "n_buckets": int(new_n_buckets),
             "migrated_at_version": n,
         }
-        with open(pending, "w") as f:
-            _json.dump(new_meta, f)
+        # atomic stage: a torn pending would both wedge the table
+        # (folds/reads refuse on its existence) and crash every
+        # documented resume path at json.load — unrecoverable without
+        # hand-deleting the file
+        atomic_json_write(pending, new_meta)
     # compose under the OLD meta (still in place — flat residual
     # filtering, if any, needs the old bucket function); _compose
     # directly, since read_state refuses while our own stage marker is
@@ -635,6 +667,13 @@ def rebucket_state(
         ).repartition(dp, F.col(BUCKET_COL)).write.mode(
             "overwrite"
         ).partitionBy(BUCKET_COL).parquet(vdir)
+        if not has_part_files(vdir):
+            # zero-row state: the partitionBy write left no readable
+            # part file — rewrite as a schema-bearing plain frame
+            # (the flat-full shape the composed read handles)
+            spark.createDataFrame([], st.schema).write.mode(
+                "overwrite"
+            ).parquet(vdir)
         _mark_full(vdir)
     # commit point: swap the meta, clear the stage marker
     tmp = f"{state_path}/{_META_NAME}.tmp"
@@ -836,18 +875,16 @@ def read_state_buckets(
     legacy flat root when no version chain exists yet."""
     if not _state_versions(state_path):
         if _legacy_root_files(state_path):
+            # part files ARE present (the guard above checked), so a
+            # read failure here means a corrupt/torn legacy state —
+            # propagate it: swallowing it would report "no state" and
+            # silently restart the table from empty
             meta = _read_meta(state_path)
             if meta is None:
-                try:
-                    return spark.read.parquet(state_path)
-                except Exception:
-                    return None
-            try:
-                return spark.read.parquet(state_path).where(
-                    _bucket_of(meta["key"], meta["n_buckets"]).isin(*buckets)
-                )
-            except Exception:
-                return None
+                return spark.read.parquet(state_path)
+            return spark.read.parquet(state_path).where(
+                _bucket_of(meta["key"], meta["n_buckets"]).isin(*buckets)
+            )
         return None
     return _compose(spark, state_path, buckets)
 
@@ -870,10 +907,12 @@ def read_state_or_legacy(spark: SparkSession, state_path: str) -> DataFrame | No
     # wedged fold in a corpus-stream log
     if not _legacy_root_files(state_path):
         return None
-    try:
-        return spark.read.parquet(state_path)
-    except Exception:
-        return None
+    # part files ARE present, so a failure here means a corrupt/torn
+    # legacy state — propagate it rather than reporting "no state" and
+    # silently restarting the table from empty (once a version chain
+    # exists the flat root would never be consulted again, making the
+    # loss permanent and invisible)
+    return spark.read.parquet(state_path)
 
 
 def _prune_versions(state_path: str, keep_versions: int) -> None:
@@ -883,7 +922,29 @@ def _prune_versions(state_path: str, keep_versions: int) -> None:
     before this commit never loses its files). Un-shadowed deltas are
     never deleted — a cold bucket's only copy stays live until a full
     snapshot (compaction) covers it."""
+    import os as _os
+    import re as _re
     import shutil as _shutil
+
+    def _uncommit_then_delete(v: str) -> None:
+        # record the batch id FIRST: the v_*_b{id} dir name is the
+        # fold's only replay record, and two full commits while a
+        # crashed stream is down would otherwise prune it — the
+        # restarted stream would then double-fold its last batch
+        m = _re.fullmatch(r"v_\d{9}_b(\d{9})", _os.path.basename(v))
+        if m is not None:
+            _record_pruned_bid(state_path, int(m.group(1)))
+        # then drop the commit marker, THEN rmtree: rmtree deletes
+        # entries in arbitrary order, so a crash mid-delete could
+        # otherwise leave _SUCCESS/_FULL intact over missing bucket
+        # dirs — a time-travel read bottoming out on that version
+        # would return silently partial state instead of raising
+        for marker in ("_SUCCESS", "_FULL"):
+            try:
+                _os.remove(f"{v}/{marker}")
+            except OSError:
+                pass
+        _shutil.rmtree(v, ignore_errors=True)
 
     committed = _state_versions(state_path)
     for i, v in enumerate(committed):
@@ -891,7 +952,7 @@ def _prune_versions(state_path: str, keep_versions: int) -> None:
         if len(newer) < keep_versions:
             break
         if any(_is_full(nv) for nv in newer):
-            _shutil.rmtree(v, ignore_errors=True)
+            _uncommit_then_delete(v)
             continue
         vb = _version_buckets(v)
         if vb is None:
@@ -900,7 +961,7 @@ def _prune_versions(state_path: str, keep_versions: int) -> None:
         for nv in newer:
             covered.update(_version_buckets(nv) or ())
         if set(vb) <= covered:
-            _shutil.rmtree(v, ignore_errors=True)
+            _uncommit_then_delete(v)
 
 
 def bucketed_keyed_fold(
@@ -936,8 +997,14 @@ def bucketed_keyed_fold(
     _assert_no_pending_rebucket(state_path)
     suffix = f"_b{batch_id:09d}"
     committed = _state_versions(state_path)
-    if any(v.endswith(suffix) for v in committed):
-        return  # this batch already committed; replay is a no-op
+    # replay no-op: the batch already committed — as a live v_*_b{id}
+    # dir, or as a pruned one whose id outlives in the sidecar record
+    # (_prune_versions can delete the dir while a crashed stream is
+    # down, once two newer full commits shadow it)
+    if any(v.endswith(suffix) for v in committed) or batch_id in _pruned_bids(
+        state_path
+    ):
+        return
     # clear garbage from a crashed attempt of this same batch
     for d in _all_version_dirs(state_path):
         if d.endswith(suffix) and d not in committed:
@@ -981,6 +1048,24 @@ def bucketed_keyed_fold(
     out.repartition(n_parts, F.col(BUCKET_COL)).write.mode(
         "overwrite"
     ).partitionBy(BUCKET_COL).parquet(vdir)
+    if not has_part_files(vdir):
+        # a zero-row partitionBy write leaves only _SUCCESS — no part
+        # files, no bucket dirs — which _version_buckets would misread
+        # as a FLAT full snapshot that cannot even infer a schema,
+        # wedging every later read AND fold (reachable: a first batch
+        # whose rows are all keyless-unmatched merges to zero rows
+        # while touched is non-empty, xxhash64(NULL) being the seed).
+        # An empty DELTA is a no-op on state: drop the dir, skip the
+        # commit (a replay recomputes the same nothing). An empty FULL
+        # commit rewrites as a schema-bearing plain frame — the
+        # legacy-flat shape the composed read already handles
+        # (bucket membership recomputed from meta).
+        if not full:
+            _shutil.rmtree(vdir, ignore_errors=True)
+            return
+        sess.createDataFrame(
+            [], out.drop(BUCKET_COL).schema
+        ).write.mode("overwrite").parquet(vdir)
     if full:
         _mark_full(vdir)
     _prune_versions(state_path, keep_versions)
@@ -1046,12 +1131,26 @@ def incremental_merge_stream(
         )
 
     def needs_full(batch: DataFrame) -> bool:
-        # Full-state merge when the batch can adopt keys via offer_url
-        # (J5): adoption looks keys up in TARGET state, so a
-        # bucket-pruned target could silently miss the adopting row's
-        # true key — url batches must merge against full state.
+        # Full-state merge only when the batch actually CONTAINS a
+        # J5-adoptable row (NULL key + offer_url): adoption looks the
+        # url up across the whole keyed state, so the adopting row's
+        # bucket cannot be pruned from the batch side. Keyed rows never
+        # adopt (merge.py's J5 join takes only source keyless rows), so
+        # keyed-only batches fold bucket-pruned. Gating on mere column
+        # PRESENCE — the previous check — made every url-bearing stream
+        # pay an O(state) merge + full snapshot per micro-batch; the
+        # limit(1) probe costs one O(batch) job instead.
         url_col = merge_kwargs.get("url_col", "offer_url")
-        return url_col in batch.columns
+        if url_col not in batch.columns:
+            return False
+        return (
+            batch.where(
+                F.col(key).isNull() & F.col(url_col).isNotNull()
+            )
+            .limit(1)
+            .count()
+            > 0
+        )
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         if expectations:

@@ -146,6 +146,13 @@ def fold_spans_batch(
     windows = sorted(
         {int(window)} if isinstance(window, int) else {int(w) for w in window}
     )
+    if not windows or any(w < 1 for w in windows):
+        # an empty set would freeze windows=[] into _span_window.json
+        # on a fresh table and permanently refuse every later real fold
+        raise ValueError(
+            f"fold_spans_batch: window must be a non-empty set of "
+            f"positive lengths (got {windows})"
+        )
     frozen = read_span_windows(state_path)
     if frozen is None:
         import json as _json

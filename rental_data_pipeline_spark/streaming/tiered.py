@@ -104,7 +104,11 @@ from rental_data_pipeline_spark.streaming.incremental import (
 # last fold and the checkpoint commit, so any positive horizon covers
 # the crash window — 4096 keeps the metadata cost trivial (~50 KB)
 # while also absorbing pathological operator re-runs far beyond it.
-REPLAY_HORIZON = 4096
+# The value is shared with the versioned store's pruned-batch replay
+# record (incremental.REPLAY_HORIZON — one knob, two layouts).
+from rental_data_pipeline_spark.streaming.incremental import (
+    REPLAY_HORIZON,
+)
 
 _META_NAME = "_meta.json"
 _META_PENDING = "_meta.json.pending"
@@ -120,11 +124,9 @@ _SLICE_RE = _re.compile(r"[bc]_\d{9}")
 
 
 def _live_slices(state_path: str) -> list[str]:
-    return [
-        d
-        for d in sliced_committed(state_path)
-        if _SLICE_RE.fullmatch(_os.path.basename(d))
-    ]
+    # canonical names guaranteed: sliced_committed fullmatches every
+    # basename against the shared slice regexes
+    return sliced_committed(state_path)
 
 
 
@@ -325,6 +327,14 @@ def maybe_compact(
     setting — table-level so the sweeps inside stream folds honor it —
     and an unconfigured table deletes within this call, the
     single-process behavior."""
+    if fanin < 2 or compact_every < 1:
+        # fanin=1 would make a single level-L slice perpetually "due",
+        # and the cascade loop would rewrite the full state forever
+        # inside the stream fold
+        raise ValueError(
+            f"maybe_compact: fanin must be >= 2 and compact_every >= 1 "
+            f"(got fanin={fanin}, compact_every={compact_every})"
+        )
     meta = _read_meta(state_path)
     if meta is None:
         return False
@@ -460,6 +470,7 @@ def suggest_rebucket_tiered(
     for d in dirs:
         lvl = _slice_level(d)
         by_level[lvl] = by_level.get(lvl, 0) + 1
+    exact = True
     if len(dirs) == 1:
         # keyed-unique single slice (the steady state right after a
         # compaction): parquet footer sums are the exact row count —
@@ -467,14 +478,31 @@ def suggest_rebucket_tiered(
         # largest table in the corpus
         n = parquet_rows(dirs[0])
     else:
-        st = read_tiered(spark, state_path, reduce_fn)
-        n = 0 if st is None else st.count()
+        # multi-slice (the running-stream steady state): the footer
+        # sum across slices is an UPPER bound (the same key may live
+        # in several slices before compaction merges them). If even
+        # the upper bound says "not due", the true count cannot be
+        # due either — answer from footers, zero Spark jobs, report
+        # rows_exact=False. Only when the bound crosses the watermark
+        # does the poll pay the exact merge-on-read count that
+        # decides the actual target.
+        upper = sum(parquet_rows(d) for d in dirs)
+        if upper <= int(meta["n_buckets"]) * target_rows_per_bucket:
+            n = upper  # target stays at n_buckets -> provably not due
+            exact = False
+        else:
+            st = read_tiered(spark, state_path, reduce_fn)
+            n = 0 if st is None else st.count()
     n_buckets = int(meta["n_buckets"])
     target = n_buckets
     while target * target_rows_per_bucket < n:
         target *= 2
     return {
         "state_rows": n,
+        # False only on the scan-free multi-slice fast path, where
+        # state_rows is the footer UPPER bound (overcount ≤ the
+        # fan-in) — sufficient to prove "not due", not a merged count
+        "rows_exact": exact,
         "n_buckets": n_buckets,
         "rows_per_bucket": round(n / max(n_buckets, 1), 1),
         "target_n_buckets": target,
@@ -501,6 +529,15 @@ def rebucket_tiered(
     if meta is None:
         raise ValueError(
             f"not a tiered state table (no {_META_NAME}): {state_path}"
+        )
+    if meta.get("layout") != "tiered":
+        # pointing this at a merge-on-write (v_*) table would find no
+        # slices, no-op the compaction, and still swap n_buckets in
+        # _meta.json — silently corrupting every later bucket-pruned
+        # fold. Refuse like every sibling entry point.
+        raise ValueError(
+            f"state at {state_path} uses the merge-on-write layout; "
+            "rebucket it with rebucket_state() (or migrate first)"
         )
     pending = f"{state_path}/{_META_PENDING}"
     staged = _read_meta_file(pending)

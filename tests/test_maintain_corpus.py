@@ -250,15 +250,30 @@ def test_tiered_poll_answers_from_footers_on_single_slice(
         fold_spans_batch(
             spark, spans, _docs(spark, [2 * i + 1, 2 * i + 2]), i, window=10
         )
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        read_duplicated_spans,
+    )
+
+    true_rows = read_duplicated_spans(
+        spark, spans, min_docs=1
+    ).count()
+    orig_read = tiered.read_tiered
+    # multi-slice, far under the watermark: the poll answers from the
+    # footer UPPER bound — scan-free (read bomb) and labeled inexact
+    monkeypatch.setattr(tiered, "read_tiered", _boom)
     slow = tiered.suggest_rebucket_tiered(spark, spans, _reduce_span_stats)
-    assert slow["live_slices"] == 3 and slow["state_rows"] > 0
+    assert slow["live_slices"] == 3 and slow["due"] is False
+    assert slow["rows_exact"] is False
+    assert slow["state_rows"] >= true_rows  # an upper bound
+    monkeypatch.setattr(tiered, "read_tiered", orig_read)
     tiered.maybe_compact(
         spark, spans, _reduce_span_stats, force_full=True
     )
     monkeypatch.setattr(tiered, "read_tiered", _boom)
     fast = tiered.suggest_rebucket_tiered(spark, spans, _reduce_span_stats)
     assert fast["live_slices"] == 1
-    assert fast["state_rows"] == slow["state_rows"]
+    assert fast["rows_exact"] is True
+    assert fast["state_rows"] == true_rows  # footers exact on 1 slice
 
     # a half-migrated table refuses even the footer poll — an
     # interrupted rebucket leaves exactly one live slice (bucketed at
