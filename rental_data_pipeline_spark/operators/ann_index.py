@@ -85,8 +85,38 @@ def build_ann_index(
     centroids), one partitioned write clustered by (cell, id-bucket).
     The meta file freezes the layout; probes validate against it.
     Pass ``centroids`` (and, with ``pq=True``, ``codebooks``) to skip
-    training and index against an already-trained set."""
+    training and index against an already-trained set.
+
+    Rebuilding over a LIVE index (the centroid-drift maintenance path
+    ``append_ann_index`` defers to) stages the shared pending marker
+    for the duration of the overwrite sequence: without it a crash
+    between the assignments overwrite and the centroids write leaves
+    OLD meta over mixed-generation tables that ``read_meta`` happily
+    serves — probes would prune cells assigned under geometry that
+    was never persisted, silently wrong. A crashed rebuild resumes by
+    re-running this function with the same corpus/params (every write
+    is an idempotent overwrite); probes/appends/folds refuse while
+    the marker exists."""
     spark = df.sparkSession
+    from rental_data_pipeline_spark.streaming.incremental import (
+        atomic_json_write,
+    )
+
+    pending = f"{index_path}/{_META_PENDING}"
+    rebuild_staged = False
+    if _os.path.exists(f"{index_path}/{_META}"):
+        if _os.path.exists(pending):
+            with open(pending) as f:
+                _staged = _json.load(f)
+            if _staged.get("op") == "rebuild":
+                rebuild_staged = True  # resume our own crashed rebuild
+            # else: a regrow_ann_index drives this build under ITS
+            # pending — that migration owns the marker's lifecycle
+        else:
+            atomic_json_write(
+                pending, {"op": "rebuild", "n_cells": int(n_cells)}
+            )
+            rebuild_staged = True
     if centroids is None:
         centroids, _ = kmeans_train(
             df, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col
@@ -172,6 +202,8 @@ def build_ann_index(
     with open(tmp, "w") as f:
         _json.dump(meta, f)
     _os.replace(tmp, f"{index_path}/{_META}")
+    if rebuild_staged:
+        _os.remove(pending)
 
 
 def read_meta(index_path: str, allow_pending: bool = False) -> dict:
@@ -181,8 +213,10 @@ def read_meta(index_path: str, allow_pending: bool = False) -> dict:
     if not allow_pending and _os.path.exists(f"{index_path}/{_META_PENDING}"):
         raise RuntimeError(
             f"ANN index migration in progress ({_META_PENDING} exists): "
-            f"{index_path} — re-run regrow_ann_index to finish it before "
-            "probing, appending or folding"
+            f"{index_path} — finish it before probing, appending or "
+            "folding (re-run regrow_ann_index; for an interrupted "
+            "build_ann_index rebuild, re-run the build with the same "
+            "corpus and parameters)"
         )
     with open(p) as f:
         return _json.load(f)
@@ -273,6 +307,18 @@ def regrow_ann_index(
         atomic_json_write(pending, {"n_cells": int(new_n_cells)})
     with open(pending) as f:
         staged = _json.load(f)
+    if staged.get("op") == "rebuild":
+        # a DIRECT build_ann_index rebuild crashed mid-overwrite: its
+        # resume needs the operator's corpus frame (this function's
+        # snapshot was never taken — adopting the pending here would
+        # read a snapshot that does not exist, or worse, regrow from
+        # half-overwritten tables)
+        raise RuntimeError(
+            f"ANN index at {index_path} has an interrupted "
+            "build_ann_index rebuild (staged pending carries "
+            "op=rebuild); re-run build_ann_index with the same corpus "
+            "and parameters to finish it, then regrow"
+        )
     # Resume discipline: a crashed migration resumes at its STAGED
     # cell count; rebuilding at a different caller value would leave
     # downstream label metadata (regrow_semantic_cells' done-match)
@@ -642,15 +688,23 @@ def ivf_topk_persisted(
         .where(F.col("rn") <= nprobe)
         .select("query_id", "qv", "cid")
     )
-    # bounded driver scalars (|queries| · nprobe cell ids) drive the
-    # partition-pruned cell read
-    probed = sorted(r[0] for r in qprobe.select("cid").distinct().collect())
+    # bounded driver rows (|queries| · nprobe) — collected ONCE: the
+    # cell ids drive the partition-pruned read, and the rows are
+    # rebuilt as a local frame so the returned plan does not re-read
+    # the assignments table and re-rank centroids when the caller
+    # runs its action
+    qprobe_rows = qprobe.collect()
+    probed = sorted({r["cid"] for r in qprobe_rows})
+    qprobe_local = spark.createDataFrame(
+        [(r["query_id"], list(r["qv"]), r["cid"]) for r in qprobe_rows],
+        qprobe.schema,
+    )
     asg = _read_assignments(spark, index_path, meta)
     cells = asg.where(F.col("cid").isin(probed)).select("vec_id", "v", "cid")
     sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
     return (
-        cells.join(F.broadcast(qprobe), "cid")
+        cells.join(F.broadcast(qprobe_local), "cid")
         .where(F.col("vec_id") != F.col("query_id"))
         .select("query_id", "vec_id", sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w))
@@ -734,9 +788,13 @@ def pq_topk_persisted(
         .select("query_id", "vec_id")
     )
     # the shortlist is bounded (|queries|·shortlist ids) — collect it
-    # and fetch the raw vectors through vb pruning instead of scanning
-    # every cell for a broadcast semi-join
-    short_ids = sorted({r["vec_id"] for r in short.collect()} | set(qids))
+    # ONCE and fetch the raw vectors through vb pruning. The collected
+    # rows are rebuilt as a local frame below: re-using the `short`
+    # plan in the returned query would embed (and re-execute) the full
+    # codes-table ADC scan — the dominant probe cost — a second time
+    # when the caller runs its action.
+    short_rows = short.collect()
+    short_ids = sorted({r["vec_id"] for r in short_rows} | set(qids))
     sb = [
         r[0]
         for r in spark.createDataFrame([(i,) for i in short_ids], "vec_id long")
@@ -753,8 +811,12 @@ def pq_topk_persisted(
     )
     sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    short_local = spark.createDataFrame(
+        [(int(r["query_id"]), int(r["vec_id"])) for r in short_rows],
+        "query_id long, vec_id long",
+    )
     return (
-        corpus.join(F.broadcast(short), "vec_id")
+        corpus.join(F.broadcast(short_local), "vec_id")
         .join(F.broadcast(qframe), "query_id")
         .select("query_id", "vec_id", sim.alias("sim"))
         .withColumn("rank", F.row_number().over(w))

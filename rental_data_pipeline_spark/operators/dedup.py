@@ -12,9 +12,9 @@ joins + aggregations so Catalyst/AQE own the physical plan:
   shingles, self-join on the shingle, count co-occurrences per pair —
   never a cross join. Shuffle volume is O(total shingles), and hot
   shingles (stopword runs) can be frequency-capped.
-- **MinHash + LSH**: fixed-width signature (64 perms) per doc in ONE
-  aggregation pass over exploded shingles, then banding (16 bands x 4
-  rows) and a self-join on band keys. At scale this is the standard
+- **MinHash + LSH**: fixed-width signature (NUM_PERM=32 perms) per
+  doc in ONE aggregation pass over exploded shingles, then banding
+  (LSH_BANDS=8 bands x LSH_ROWS=4 rows) and a self-join on band keys. At scale this is the standard
   sub-quadratic near-dup path: candidate volume is governed by band
   collisions, not n^2; verification runs only on candidates.
 - **SimHash**: 32-bit signature via per-bit majority vote of token
@@ -170,18 +170,35 @@ def exact_duplicates(df: DataFrame, text_col: str = "text", id_col: str = "doc_i
 
 
 def fingerprint_duplicate_groups(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_group_members: int | None = None,
 ) -> DataFrame:
     """Near-exact dedup on the order-insensitive token-set fingerprint:
-    groups with >1 doc are shuffled/reordered duplicates."""
+    groups with >1 doc are shuffled/reordered duplicates.
+
+    Scale note: ``doc_ids`` collects the full group membership, which
+    is unbounded per-group state — the hottest fingerprint at corpus
+    scale (empty docs all share md5 of "", a boilerplate template has
+    millions of copies) lands in ONE aggregation buffer.
+    ``max_group_members`` truncates the emitted list (sorted, so the
+    sample is deterministic and always contains the keeper); it bounds
+    the output row, though the aggregation buffer still sees the full
+    group — a corpus-scale job that needs full membership should emit
+    ``(fp, doc)`` pairs unaggregated (or use :func:`exact_duplicates`'s
+    keeper+count shape, which carries no per-group list at all)."""
     fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokens(text_col)))))
+    members = F.array_sort(F.collect_list(id_col))
+    if max_group_members is not None:
+        members = F.slice(members, 1, int(max_group_members))
     return (
         df.select(F.col(id_col), fp.alias("fp"))
         .groupBy("fp")
         .agg(
             F.min(id_col).alias("keeper_id"),
             F.count(F.lit(1)).alias("n_docs"),
-            F.array_sort(F.collect_list(id_col)).alias("doc_ids"),
+            members.alias("doc_ids"),
         )
         .where(F.col("n_docs") > 1)
     )
@@ -515,17 +532,25 @@ def _shingle_pairs(
 
 
 def _cap_hot_shingles(exploded: DataFrame, max_doc_freq: int) -> DataFrame:
-    """Drop shingles whose doc-frequency exceeds the cap — a window
-    count over the shingle-partitioned index (one shuffle, no extra
-    join)."""
-    from pyspark.sql import Window
+    """Drop shingles whose doc-frequency exceeds the cap.
 
-    w = Window.partitionBy("shingle")
-    return (
-        exploded.withColumn("__df", F.count(F.lit(1)).over(w))
-        .where(F.col("__df") <= max_doc_freq)
-        .drop("__df")
+    Shape matters here more than anywhere: the cap exists to defuse
+    hot keys, so it must not itself materialize the hot key in one
+    task. A ``Window.partitionBy(shingle)`` count (the previous form)
+    sorted/buffered the hottest shingle's entire row set in a single
+    WindowExec task before discarding it — the guard WAS the
+    straggler. Instead: a map-side-combined groupBy counts per
+    shingle (partial aggregation keeps the hot key distributed), the
+    over-cap set is tiny by construction (the Zipf head above the
+    cap), and a broadcast anti-join filters the exploded index
+    map-side — the big table never shuffles at all."""
+    hot = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .where(F.col("__df") > max_doc_freq)
+        .select("shingle")
     )
+    return exploded.join(F.broadcast(hot), "shingle", "left_anti")
 
 
 def _pair_counts(exploded: DataFrame, sizes: DataFrame) -> DataFrame:
@@ -718,7 +743,9 @@ def near_pair_suite(
 
 def lsh_band_keys(sig: DataFrame) -> DataFrame:
     """Band the signature: band key = md5 of the band's concatenated
-    minhash values (16 bands x 4 rows). One row per (doc, band)."""
+    minhash values (LSH_BANDS=8 bands x LSH_ROWS=4 rows — the
+    hashing.py constants; recall curves must be computed for THIS
+    configuration). One row per (doc, band)."""
     bands = F.array(
         *[
             F.struct(
@@ -816,17 +843,11 @@ def _minhash_pairs_from_index(
         .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
         .distinct()
     )
-    sa = sh.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size("sh_a") + F.size("sh_b") - inter
-    jac = inter.cast("double") / union
-    pairs = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-        .where(F.col("jaccard") >= threshold)
-    )
+    # the SHARED verify stage (broadcast-candidate shape): the
+    # corpus-wide shingle table must never shuffle to verify a
+    # comparatively tiny candidate set — an unhinted join here was
+    # sort-merging the heaviest table in the pipeline on both sides
+    pairs = verify_jaccard_pairs(cand, sh, threshold)
     return pairs, bk
 
 
@@ -856,11 +877,14 @@ def simhash_signatures(
     """32-bit SimHash per document: per-bit majority vote over the
     portable hashes of its (distinct) tokens, folded in one aggregation.
 
-    Bound: the packed bit counters hold four 16-bit fields per long, so
-    a document must have fewer than 2^16 = 65536 DISTINCT tokens; a
-    larger doc would silently wrap a counter and corrupt its signature,
-    so the operator RAISES on such rows instead (one comparison per doc
-    — chunk oversized docs first, e.g. ``textstats.chunk_documents``).
+    Bound: the packed bit counters hold two 32-bit fields per long, so
+    the running SUM cannot overflow a signed long before ~2^31 tokens —
+    which makes the 2^16-distinct-token guard below actually
+    enforceable (four 16-bit fields would overflow the aggregation at
+    ~2^15 tokens in the top field, crashing under ANSI before the
+    guard could fire). A doc with >= 2^16 DISTINCT tokens RAISES (one
+    comparison per doc — chunk oversized docs first, e.g.
+    ``textstats.chunk_documents``).
     """
     exploded = _tokenized(df, text_col, id_col).select(
         "doc", F.explode(F.array_distinct(F.col("toks"))).alias("tok")
@@ -868,15 +892,14 @@ def simhash_signatures(
     # materialize the hash once per token row (the bit-sum expressions
     # reference the column, not inlined md5 computations)
     hashed = exploded.select("doc", portable_hash64(F.col("tok")).alias("h"))
-    # PACKED per-bit counters: four 16-bit counters per 64-bit sum, so
-    # the aggregation carries SIMHASH_BITS/4 sum expressions instead of
-    # SIMHASH_BITS — 4× narrower partial-agg rows and 4× fewer agg
-    # expressions in codegen (measured ~2× faster on the corpus scan).
-    # Group g packs bits {g, g+G, g+2G, g+3G} at offsets 0/16/32/48;
-    # sound while a doc has < 2^16 DISTINCT tokens (the counter field
-    # width), which the upstream token gates guarantee by orders of
-    # magnitude.
-    G = SIMHASH_BITS // 4
+    # PACKED per-bit counters: two 32-bit counters per 64-bit sum, so
+    # the aggregation carries SIMHASH_BITS/2 sum expressions instead of
+    # SIMHASH_BITS — narrower partial-agg rows and fewer agg
+    # expressions in codegen. Group g packs bits {g, g+G} at offsets
+    # 0/32: per-row contributions are <= 2^32+1, so the signed-long
+    # sum is exact up to ~2^31 tokens and the 2^16 guard below fires
+    # before any arithmetic can misbehave.
+    G = SIMHASH_BITS // 2
 
     def _balanced(terms):
         # balanced pairwise sum: Catalyst's analysis of a left-deep
@@ -893,9 +916,9 @@ def simhash_signatures(
         return F.sum(_balanced([
             F.shiftleft(
                 F.shiftright(F.col("h"), g + G * j).bitwiseAND(F.lit(1)),
-                16 * j,
+                32 * j,
             )
-            for j in range(4)
+            for j in range(2)
         ])).alias(f"s{g}")
 
     agg = hashed.groupBy("doc").agg(
@@ -904,7 +927,9 @@ def simhash_signatures(
     terms = []
     for i in range(SIMHASH_BITS):
         g, j = i % G, i // G
-        cnt = F.shiftright(F.col(f"s{g}"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+        cnt = F.shiftright(F.col(f"s{g}"), 32 * j).bitwiseAND(
+            F.lit(0xFFFFFFFF)
+        )
         terms.append(
             F.shiftleft((cnt * 2 >= F.col("n")).cast("long"), i)
         )
@@ -963,7 +988,20 @@ def simhash_near_pairs(
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 32-bit signature into 4 bytes —
     any pair within Hamming distance 3 shares at least one exact byte
-    (pigeonhole) — join per band, verify with bit_count(xor)."""
+    (pigeonhole) — join per band, verify with bit_count(xor).
+
+    The banding is COMPLETE only for ``max_hamming <= SIMHASH_BANDS-1``
+    (a pair differing in every band shares no band value and is never
+    a candidate); a larger threshold would silently return truncated
+    recall, so it raises instead."""
+    if max_hamming > SIMHASH_BANDS - 1:
+        raise ValueError(
+            f"simhash_near_pairs: max_hamming={max_hamming} exceeds "
+            f"the banding's complete-recall bound of SIMHASH_BANDS-1="
+            f"{SIMHASH_BANDS - 1} (pigeonhole) — pairs beyond it would "
+            "be silently missing; lower the threshold or widen the "
+            "banding"
+        )
     sig = simhash_signatures(df, text_col, id_col)
     bk = simhash_band_rows(sig).persist()
     a, b = bk.alias("a"), bk.alias("b")
@@ -1072,7 +1110,14 @@ def connected_components(
         .distinct()
         .select("node", F.col("node").alias("component"))
     )
-    total = labels.agg(F.sum("component")).collect()[0][0]
+    # convergence metric: labels only ever DECREASE per node, so the
+    # sum strictly decreases until fixpoint. Sum over decimal(38,0) —
+    # a signed-long sum overflows for hash-derived id domains (ids up
+    # to 2^56 here; a few hundred nodes already pass 2^63), which
+    # under ANSI mode crashes the collect and with ANSI off could
+    # wrap two different states to equal sums.
+    _metric = F.sum(F.col("component").cast("decimal(38,0)"))
+    total = labels.agg(_metric).collect()[0][0]
     converged = False
     for i in range(max_iter):
         neighbor_min = edges.join(
@@ -1106,7 +1151,7 @@ def connected_components(
                 )
             )
         new_labels = barrier(new_labels)
-        new_total = new_labels.agg(F.sum("component")).collect()[0][0]
+        new_total = new_labels.agg(_metric).collect()[0][0]
         labels = new_labels
         if new_total == total:
             converged = True
@@ -1132,7 +1177,7 @@ def contamination_report(
     id_col: str = "doc_id",
     k: int = 3,
     min_overlap: int = 1,
-    broadcast_index: bool = True,
+    broadcast_index: bool | None = None,
     hash_prefilter: bool = False,
     prefilter_mod: int | None = None,
 ) -> DataFrame:
@@ -1160,10 +1205,18 @@ def contamination_report(
     string-equality verify join, which restores exact semantics.
     Spark's own ``bloom_filter_agg`` is internal-only (not in the
     public FunctionRegistry), so the hash set IS the portable
-    equivalent. Output is identical for every configuration:
+    equivalent. ``broadcast_index`` defaults to the prefilter's
+    complement: True without the prefilter (eval sets broadcast as
+    strings), False with it — the prefilter exists precisely because
+    the string set was too large to broadcast, so defaulting the
+    verify join to broadcast the very same strings would defeat it
+    (driver OOM / the 8 GB broadcast limit). Pass it explicitly to
+    override. Output is identical for every configuration:
     ``(doc_id, n_overlap, n_sh, contamination)`` for docs with
     ``n_overlap >= min_overlap``.
     """
+    if broadcast_index is None:
+        broadcast_index = not hash_prefilter
     sizes, exploded = _shingle_pairs(train, text_col, id_col, k)
     hold_shingles = _shingle_pairs(holdout, text_col, id_col, k)[1]
     hold_index = hold_shingles.select("shingle").distinct()

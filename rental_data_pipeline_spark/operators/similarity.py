@@ -38,8 +38,18 @@ def _corpus(df: DataFrame, id_col: str, vec_col: str) -> DataFrame:
     pair costs a 64-dim fold — AQE's byte-based coalescing would fold
     the compute onto one core."""
     n = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(n, F.col(id_col)).select(
-        F.col(id_col).alias("vec_id"), _as_double(F.col(vec_col)).alias("v")
+    return (
+        df.repartition(n, F.col(id_col))
+        .select(
+            F.col(id_col).alias("vec_id"),
+            _as_double(F.col(vec_col)).alias("v"),
+        )
+        # zero-norm vectors have no direction: every consumer of this
+        # frame is a cosine-space operator, and under ANSI mode (the
+        # Spark 4 default) a zero norm in cosine()'s denominator is a
+        # DIVIDE_BY_ZERO crash, not a NaN — drop them here once
+        # instead of in some callers and not others
+        .where(norm(F.col("v")) > 0)
     )
 
 
@@ -90,13 +100,23 @@ def cosine_topk(
 
 def sign_lsh_bucket(vec: Column, bits: int = SIGN_LSH_BITS) -> Column:
     """Random-hyperplane-style bucket id: sign bits of the leading
-    ``bits`` dimensions packed into an int (deterministic, portable)."""
+    ``bits`` dimensions packed into an int (deterministic, portable).
+    Raises a clear error for vectors shorter than ``bits`` (ANSI mode
+    would otherwise surface an opaque INVALID_ARRAY_INDEX)."""
     out = F.lit(0).cast("long")
     for i in range(bits):
         out = out + F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(
             F.lit(0)
         ).cast("long")
-    return out
+    return F.when(F.size(vec) >= bits, out).otherwise(
+        F.raise_error(
+            F.format_string(
+                "sign_lsh_bucket: embedding has %s dims but bits="
+                + str(int(bits)) + " requires at least that many",
+                F.size(vec),
+            )
+        )
+    )
 
 
 def signlsh_topk(
@@ -421,10 +441,15 @@ def kmeans_train(
     MLlib's treeAggregate does). Centroids travel as broadcast DATA,
     never as plan literals, so whole-stage codegen compiles once and
     every later iteration hits the codegen cache (the round-3 bench
-    regression was N recompiles of a k·dim-literal expression tree). Components are rounded to 6 dp after
-    every update so the fixed-point arithmetic is reproducible across
-    engines and summation orders; deterministic init = the k
-    lowest-id vectors. Empty cells keep their previous centroid.
+    regression was N recompiles of a k·dim-literal expression tree).
+    Components are rounded to 6 dp after every update: that absorbs
+    the ulp-level double-summation noise different partial-agg orders
+    produce in practice (what keeps the Spark-vs-DuckDB differential
+    green), but it is not a formal order-independence proof — a sum
+    landing exactly on a rounding boundary could still tip either
+    way. Deterministic init = the k lowest-id vectors. Empty cells —
+    and cells whose mean rounds to the zero vector — keep their
+    previous centroid.
     """
     corpus = (
         _corpus(df, id_col, vec_col)
@@ -441,7 +466,14 @@ def kmeans_train(
     # Fewer than k vectors: cycle the init set (pq_train's guard) so
     # the update loop's centroids[cid] never indexes past the list.
     init = [init[i % len(init)] for i in range(k)]
-    centroids = [[round(x, 6) for x in r.v] for r in init]
+    # keep the raw components when 6-dp rounding would collapse a
+    # tiny-norm vector to all zeros (a zero-norm centroid is an ANSI
+    # divide-by-zero in the next assignment's cosine)
+    centroids = [
+        rc if any(x != 0.0 for x in rc) else list(r.v)
+        for r in init
+        for rc in [[round(x, 6) for x in r.v]]
+    ]
 
     for _ in range(n_iter):
         assigned = _assign_to_centroids(corpus, centroids)
@@ -460,12 +492,20 @@ def kmeans_train(
         acc: dict[int, dict[int, float]] = {}
         for r in rows:
             acc.setdefault(r["cid"], {})[r["pos"]] = round(r["s"] / r["n"], 6)
-        centroids = [
-            [acc[cid][p] for p in range(len(centroids[cid]))]
-            if cid in acc
-            else centroids[cid]
-            for cid in range(k)
-        ]
+        updated = []
+        for cid in range(k):
+            if cid in acc:
+                cand = [acc[cid][p] for p in range(len(centroids[cid]))]
+                # a zero-MEAN cell (near-antipodal members, or means
+                # that all round to 0) would hand the next assignment
+                # a zero-norm centroid — an ANSI divide-by-zero in
+                # cosine. Treat it like an empty cell: keep the
+                # previous centroid.
+                if any(x != 0.0 for x in cand):
+                    updated.append(cand)
+                    continue
+            updated.append(centroids[cid])
+        centroids = updated
 
     final = _assign_to_centroids(corpus, centroids).select("vec_id", "cid", "sim")
     corpus.unpersist()
