@@ -37,10 +37,14 @@ def asof_join(
     rows with null payload; ``'inner'`` drops them (DuckDB's
     ``ASOF [LEFT] JOIN`` semantics in both directions).
 
-    ``tiebreak`` orders simultaneous rows deterministically; right rows
-    sort before left rows at equal (time, tiebreak) so an exactly-
-    simultaneous right row IS visible to the left row (<= / >=, never
-    strict).
+    ``tiebreak`` picks deterministically among simultaneous RIGHT rows
+    (the largest for backward, the smallest for forward — it must be a
+    left-schema column; the right side's values are carried when the
+    column exists there). ALL simultaneous right rows sort before the
+    left row, so an exactly-simultaneous right row IS visible to it
+    (<= / >=, never strict). Right rows with a null key or null time
+    match nothing; left rows with a null key or null time are
+    unmatched (kept with null payload under ``how='left'``).
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -57,30 +61,67 @@ def asof_join(
     null_struct = F.lit(None).cast(
         "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_payload) + ">"
     )
+    # columns a right row keeps under the left schema: the join key,
+    # the event time, and the tiebreak (when the right side has it —
+    # nulling it, the previous behavior, left simultaneous right rows
+    # with NO deterministic order, so the matched payload depended on
+    # input partitioning)
+    keep_r = {key, time_col}
+    if tiebreak is not None and tiebreak in right.columns:
+        keep_r.add(tiebreak)
+    # a tiebreak that lives only on the RIGHT side (a sequence number,
+    # an event id) rides the union as an extra column: null for left
+    # rows, the right row's value for right rows
+    extra_l: list = []
+    extra_r: list = []
+    if tiebreak is not None and tiebreak not in lcols:
+        if tiebreak not in right.columns:
+            raise ValueError(
+                f"asof_join: tiebreak column {tiebreak!r} exists on "
+                "neither side"
+            )
+        extra_l = [
+            F.lit(None).cast(right.schema[tiebreak].dataType).alias(tiebreak)
+        ]
+        extra_r = [F.col(tiebreak)]
     tagged_l = left.select(
         *lcols,
+        *extra_l,
         null_struct.alias("__r_payload"),
         F.lit(1).alias(_SIDE),
     )
     tagged_r = right.select(
         *[
-            F.col(c) if c in (key, time_col) else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            F.col(c) if c in keep_r else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in lcols
         ],
+        *extra_r,
         payload_struct.alias("__r_payload"),
         F.lit(0).alias(_SIDE),
+    ).where(
+        # ASOF semantics ignore null keys and null times on the match
+        # side: a null key matches nothing (joins never match nulls)
+        # and a null right time is un-orderable — without this filter
+        # it sorts first and matches EVERY left row as time=-infinity
+        F.col(key).isNotNull() & F.col(time_col).isNotNull()
     )
+    # ordering: time, then SIDE (all simultaneous right rows sort
+    # before any simultaneous left row — the <=/>= visibility
+    # contract), then tiebreak (deterministic winner among
+    # simultaneous right rows: max for backward, min for forward).
+    # Null left times sort FIRST in both directions, so they see no
+    # right rows and stay unmatched (left.time NULL compares unknown).
     if direction == "backward":
-        order = [F.col(time_col).asc(), F.col(_SIDE).asc()]
+        order = [F.col(time_col).asc_nulls_first(), F.col(_SIDE).asc()]
         if tiebreak:
-            order.insert(1, F.col(tiebreak).asc_nulls_first())
+            order.append(F.col(tiebreak).asc_nulls_first())
     else:
         # forward = the same scan in reverse time order: the running
         # last-non-null payload is then the EARLIEST right row at or
         # after the left row's time
-        order = [F.col(time_col).desc(), F.col(_SIDE).asc()]
+        order = [F.col(time_col).desc_nulls_first(), F.col(_SIDE).asc()]
         if tiebreak:
-            order.insert(1, F.col(tiebreak).desc_nulls_first())
+            order.append(F.col(tiebreak).desc_nulls_first())
     w = (
         Window.partitionBy(key)
         .orderBy(*order)

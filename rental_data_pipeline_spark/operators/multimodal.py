@@ -89,7 +89,11 @@ def _stub_decode(payload: bytes) -> tuple[int, int, int, int]:
     """STUB for the real image/audio decoder (no codecs in this
     container). Deterministic features derived from the raw bytes:
     length, byte-sum checksum, and a fake geometry. Replace with e.g.
-    ``PIL.Image.open(io.BytesIO(payload))`` in production."""
+    ``PIL.Image.open(io.BytesIO(payload))`` in production. A NULL
+    payload decodes as empty — one null row must not kill an
+    hours-long stage (task retries fail identically)."""
+    if payload is None:
+        payload = b""
     n = len(payload)
     checksum = sum(payload) % 1_000_000_007
     return n, checksum, n % 640, (n // 640) + 1
@@ -195,6 +199,8 @@ def sample_frames(df: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
             idxs: list[int] = []
             offs: list[int] = []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:  # null payload: treat as empty
+                    payload = b""
                 n_frames = max(len(payload) // stride, 1)
                 for i in range(n_frames):
                     ids.append(int(doc_id))

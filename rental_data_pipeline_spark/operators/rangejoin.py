@@ -58,9 +58,14 @@ def point_in_interval_join(
         # rejects; an ntz->ltz session-tz shift applies equally to points
         # and interval bounds, so bin alignment is preserved.
         mu = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
-        to_bin = lambda c: F.floor(  # noqa: E731
-            mu(c) / mu(F.to_timestamp(F.lit("1970-01-01")) + bin_width)
-        )
+        # the divisor is the WIDTH in micros: mu(epoch+width) - mu(epoch).
+        # mu(epoch+width) alone bakes the session timezone's 1970 offset
+        # into the divisor — at tz=+01:00 with a 1-hour width it is
+        # literally ZERO (ANSI divide-by-zero; silent null bins without
+        # ANSI), and any other offset mis-sizes every bin.
+        epoch = F.to_timestamp(F.lit("1970-01-01"))
+        width = mu(epoch + bin_width) - mu(epoch)
+        to_bin = lambda c: F.floor(mu(c) / width)  # noqa: E731
     else:
         to_bin = lambda c: F.floor(c / bin_width)  # noqa: E731
 
@@ -76,12 +81,20 @@ def point_in_interval_join(
     if how == "inner":
         return joined.drop("__bin")
     if how == "left_outer":
-        # restore points that matched no interval (anti on the matched keys)
+        # restore points that matched no interval — anti-join on the
+        # matched keys with NULL-SAFE equality: a name-list anti join
+        # uses null-unsafe equality, so a matched point carrying a NULL
+        # in any column would fail to match itself and be re-emitted as
+        # a spurious unmatched row (duplicating it in the output)
         matched = joined.drop("__bin")
-        unmatched = p.drop("__bin").join(
-            matched.select(*points.columns).distinct(),
-            on=points.columns,
-            how="left_anti",
+        pa = p.drop("__bin").alias("__p")
+        mk = matched.select(*points.columns).distinct().alias("__m")
+        cond = None
+        for c in points.columns:
+            e = F.col(f"__p.{c}").eqNullSafe(F.col(f"__m.{c}"))
+            cond = e if cond is None else cond & e
+        unmatched = pa.join(mk, on=cond, how="left_anti").select(
+            *[F.col(f"__p.{c}") for c in points.columns]
         )
         for c in intervals.columns:
             unmatched = unmatched.withColumn(
@@ -117,7 +130,11 @@ def gapfill_locf(
         F.date_trunc(bucket, F.col(ts_col)).alias("__tick"),
         F.col(ts_col).alias("__ts"),
         F.struct(*[F.col(c).alias(c) for c in value_cols]).alias("__v"),
-    )
+        # a null-timestamp observation cannot be placed on the spine —
+        # and since spine rows are identified by __ts IS NULL below, it
+        # would otherwise masquerade as a spine row and leak a phantom
+        # (key, tick=NULL, value) row into the output
+    ).where(F.col("__ts").isNotNull())
     spine = (
         df.groupBy(key_col)
         .agg(

@@ -146,9 +146,21 @@ def exact_k_sample(
     from pyspark.sql import Window
 
     h = F.xxhash64(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-    w = Window.partitionBy(*(group_cols or [F.lit(1)])).orderBy(
-        h, F.col(key_col)
-    )
+    if not group_cols:
+        # global exact-k: orderBy+limit plans as a distributed
+        # TakeOrderedAndProject (per-partition top-k, merge on the
+        # driver). The previous Window.partitionBy(lit(1)) constant-
+        # folded to an UNPARTITIONED window — "Moving all data to a
+        # single partition" — funneling the entire corpus through one
+        # task, the exact single-task bottleneck this module warns
+        # about.
+        return (
+            df.withColumn("__h", h)
+            .orderBy(F.col("__h"), F.col(key_col))
+            .limit(int(k))
+            .drop("__h")
+        )
+    w = Window.partitionBy(*group_cols).orderBy(h, F.col(key_col))
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= k)
@@ -169,13 +181,24 @@ def mix_corpora(
     A source smaller than its quota contributes everything it has
     (the shortfall is reported by the caller comparing counts, not
     silently rebalanced — mixture drift should be visible, not
-    hidden). Weights need not sum to 1; they are normalized."""
+    hidden). Weights need not sum to 1; they are normalized. The
+    ``source`` label REPLACES an input column of the same name (the
+    canonical documents table carries one — colliding used to fail the
+    whole union with COLUMN_ALREADY_EXISTS)."""
+    if not sources:
+        raise ValueError("mix_corpora: no sources given")
+    missing = [n for n in sources if n not in weights]
+    if missing:
+        raise ValueError(f"mix_corpora: sources missing a weight: {missing}")
     z = sum(weights[name] for name in sources)
+    if z <= 0:
+        raise ValueError(f"mix_corpora: weights sum to {z}; need > 0")
     out = None
     for name, df in sources.items():
         quota = int(round(total_rows * weights[name] / z))
-        part = exact_k_sample(df, key_col, quota, salt=f"{salt}:{name}").select(
-            F.lit(name).alias("source"), "*"
-        )
+        part = exact_k_sample(df, key_col, quota, salt=f"{salt}:{name}")
+        if "source" in part.columns:
+            part = part.drop("source")
+        part = part.select(F.lit(name).alias("source"), "*")
         out = part if out is None else out.unionByName(part)
     return out

@@ -32,7 +32,11 @@ def scd2_intervals(
     themselves (deterministic, order-insensitive input).
     """
     w = Window.partitionBy(key_col).orderBy(ts_col, *attr_cols)
-    changed = F.lag(ts_col).over(w).isNull()  # first row of the key
+    # first row of the key via row_number, NOT lag(ts).isNull(): a
+    # predecessor whose ts is NULL would otherwise flag every successor
+    # as a run start, splitting identical-attribute history into
+    # duplicate (even doubly-"current") intervals
+    changed = F.row_number().over(w) == 1
     for a in attr_cols:
         changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
     runs = df.select(key_col, ts_col, *attr_cols).withColumn(

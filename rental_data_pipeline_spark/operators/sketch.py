@@ -74,6 +74,12 @@ def hll_registers(
     (``streaming/sketch_stream.py``)."""
     m = 1 << p
     L = 60 - p  # width of the rho word
+    # COUNT DISTINCT semantics ignore NULLs — and a null value would
+    # hash to a (__reg=NULL, __M=NULL) register row that the estimate's
+    # present-register count includes but its rho sum excludes, pushing
+    # __present past m and the empty-register term negative (measured:
+    # one NULL row turned an estimate of ~100 into ~250)
+    df = df.where(F.col(value_col).isNotNull())
     h = hash60(F.col(value_col))
     reg = (h % m).alias("__reg")
     # w = high 60-p bits via shiftright — exact (a float division would
@@ -293,6 +299,12 @@ def countmin_lookup(
     one counter was 0: the final estimate re-bases on the distinct
     probe set and zeroes those rows rather than inflating the min over
     only the present counters."""
+    # dedup the probe set FIRST: the hits-per-probe < depth zero-counter
+    # proof below counts joined rows per (group, value), and a probe
+    # duplicated in `items` would multiply its hit count past depth —
+    # returning a positive min over only the present counters for an
+    # item whose true count is provably 0
+    items = items.select(*group_cols, value_col).distinct()
     probes = items.select(
         *group_cols,
         F.col(value_col),
@@ -310,7 +322,7 @@ def countmin_lookup(
     hits = joined.groupBy(*group_cols, value_col).agg(
         F.min("__cnt").alias("__min"), F.count("__cnt").alias("__hits")
     )
-    base = items.select(*group_cols, value_col).distinct()
+    base = items  # already the distinct probe set
     return base.join(F.broadcast(hits), [*group_cols, value_col], "left").select(
         *group_cols,
         value_col,

@@ -41,9 +41,17 @@ BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization (split on runs of whitespace)."""
+    """Whitespace tokenization (split on runs of whitespace).
+
+    Leading/trailing whitespace strips with the full ``\\s`` class,
+    not ``trim``'s ASCII-space-only rule: virtually every real text
+    file ends with a newline, and a space-only trim left phantom
+    empty-string tokens that skewed every downstream count, ratio,
+    chunk boundary and pack budget. The DuckDB oracle twin
+    (``queries_training._TOKS``) applies the identical regexp strip —
+    tokenizer agreement is the equivalence linchpin."""
     c = F.col(text) if isinstance(text, str) else text
-    return F.split(F.trim(c), r"\s+")
+    return F.split(F.regexp_replace(c, r"^\s+|\s+$", ""), r"\s+")
 
 
 def _with_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -55,8 +63,20 @@ def _with_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     for the per-document compute (a small parquet arrives as ONE scan
     partition otherwise). Explicit count: AQE coalesces by byte size
     and would fold the compute back onto one core.
+
+    Repartitions only UP (the multimodal module's discipline): a
+    corpus-scale scan already arrives in far more partitions than
+    defaultParallelism, and the previous unconditional repartition
+    both exchanged the entire raw text over the network and COLLAPSED
+    the scan to core-count partitions (~25 GB each at 100 TB).
+    Per-doc aggregations downstream pay their own (much smaller)
+    shuffle of map-side-combined partials instead.
     """
     n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df.select(
+            F.col(id_col), F.col(text_col), tokens(text_col).alias("__toks")
+        )
     return df.repartition(n, F.col(id_col)).select(
         F.col(id_col), F.col(text_col), tokens(text_col).alias("__toks")
     )
@@ -446,17 +466,24 @@ def tfidf_top_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_k: int = 5,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """Top-k terms per document by smoothed TF-IDF
     (``tf * (ln((N+1)/(df+1)) + 1)``) — corpus-level term weighting
     for keyword extraction / domain profiling.
 
     Scale shape: explode → one (doc, term) count shuffle → a term-level
-    document-frequency aggregation whose result (the vocabulary — tiny
-    vs the corpus) BROADCASTS back onto the tf side, so the corpus
-    shuffles twice total (tf agg + per-doc top-k window); the corpus
-    row count is a driver scalar (one column-pruned count job), never
-    a cross join. Ties rank deterministically (tfidf desc, term asc).
+    document-frequency aggregation whose result (the vocabulary)
+    BROADCASTS back onto the tf side by default, so the corpus shuffles
+    twice total (tf agg + per-doc top-k window); the corpus row count
+    is a driver scalar (one column-pruned count job), never a cross
+    join. Ties rank deterministically (tfidf desc, term asc).
+
+    ``broadcast_vocab=False`` for web-scale corpora: a whitespace/BPE
+    vocabulary there holds 10^8-10^10 distinct terms (typos, numbers,
+    URLs) — tens of GB that blow the 8 GB broadcast limit; both sides
+    of the join already hash on ``term``, so the plain shuffle join is
+    the right shape at that scale.
     """
     n_docs = df.count()
     t = _with_tokens(df, text_col, id_col)
@@ -464,7 +491,8 @@ def tfidf_top_terms(
     tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
     docfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
-    scored = tf.join(F.broadcast(docfreq), "term").select(
+    df_side = F.broadcast(docfreq) if broadcast_vocab else docfreq
+    scored = tf.join(df_side, "term").select(
         F.col(id_col),
         "term",
         "tf",
@@ -484,6 +512,7 @@ def tfidf_top_terms_from_vocab(
     text_col: str = "text",
     id_col: str = "doc_id",
     top_k: int = 5,
+    broadcast_vocab: bool = True,
 ) -> DataFrame:
     """:func:`tfidf_top_terms`'s probe side: score ANY document batch
     against a PERSISTED vocabulary (``(term, df)``, e.g. from
@@ -491,12 +520,15 @@ def tfidf_top_terms_from_vocab(
     recomputation, the vocabulary broadcasts onto the batch's tf.
     With a vocabulary built over the same corpus this is byte-equal to
     the batch operator; terms unseen by the vocabulary score with
-    df=0 (maximum smoothed idf — the correct cold-term reading)."""
+    df=0 (maximum smoothed idf — the correct cold-term reading).
+    ``broadcast_vocab=False`` when the persisted vocabulary exceeds
+    broadcast size (see :func:`tfidf_top_terms`)."""
     t = _with_tokens(df, text_col, id_col)
     pairs = t.select(F.col(id_col), F.explode("__toks").alias("term"))
     tf = pairs.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    v = vocab.select("term", "df")
     joined = tf.join(
-        F.broadcast(vocab.select("term", "df")), "term", "left"
+        F.broadcast(v) if broadcast_vocab else v, "term", "left"
     ).withColumn("df", F.coalesce("df", F.lit(0)))
     idf = F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0
     scored = joined.select(
@@ -527,8 +559,16 @@ def chunk_documents(
     every token lands in ≥1 chunk). Returns
     ``(id, chunk_id, n_chunk_tokens, chunk_text)``.
     """
-    if overlap >= chunk_tokens:
-        raise ValueError("overlap must be smaller than chunk_tokens")
+    if not 0 <= overlap < chunk_tokens:
+        # a NEGATIVE overlap silently drops the tokens between
+        # consecutive windows (stride > chunk width) — every token
+        # landing in >= 1 chunk is the operator's contract
+        raise ValueError(
+            f"overlap must satisfy 0 <= overlap < chunk_tokens "
+            f"(got overlap={overlap}, chunk_tokens={chunk_tokens})"
+        )
+    if chunk_tokens < 1:
+        raise ValueError(f"chunk_tokens must be >= 1 (got {chunk_tokens})")
     stride = chunk_tokens - overlap
     t = _with_tokens(df, text_col, id_col)
     n = F.size("__toks")
@@ -573,10 +613,16 @@ def pack_sequences(
     """
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     t = (
-        df.repartitionByRange(n_parts, F.col(id_col))
+        # a null id has no place in the id-ordered packing (and would
+        # crash the driver-side offset sort); null text packs as 0
+        # tokens instead of poisoning the running sum with NULL
+        df.where(F.col(id_col).isNotNull())
+        .repartitionByRange(n_parts, F.col(id_col))
         .select(
             F.col(id_col),
-            F.size(tokens(text_col)).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.size(tokens(text_col)), F.lit(0))
+            .cast("bigint")
+            .alias("n_tokens"),
         )
         .withColumn("__pid", F.spark_partition_id())
         .persist()
@@ -599,7 +645,13 @@ def pack_sequences(
         if offsets
         else F.lit(0)
     )
-    w = Window.partitionBy("__pid").orderBy(id_col)
+    # ROWS frame, not the default RANGE: RANGE treats duplicate ids as
+    # peers and double-counts both rows' tokens into each's prefix
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     start = F.sum("n_tokens").over(w) + off - F.col("n_tokens")
     binned = t.select(
         F.col(id_col),

@@ -32,10 +32,12 @@ from rental_data_pipeline_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
 # Shared SQL fragments (DuckDB). Tokenization must mirror
-# textstats.tokens: split(trim(text), '\s+').
+# textstats.tokens: split(regexp_replace(text, '^\s+|\s+$', ''), '\s+')
+# — the full \s strip on both sides (trim() is ASCII-space-only and
+# left phantom empty tokens on newline-terminated docs).
 # ---------------------------------------------------------------------------
 
-_TOKS = "string_split_regex(trim(text), '\\s+')"
+_TOKS = "string_split_regex(regexp_replace(text, '^\\s+|\\s+$', '', 'g'), '\\s+')"
 
 _SHINGLES_CTE = f"""
 shingled AS (
