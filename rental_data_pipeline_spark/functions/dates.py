@@ -69,8 +69,12 @@ def parse_russian_date(
     c = F.col(col) if isinstance(col, str) else col
     ts = _parse_russian_date_ts(c, now)
     # Passthrough labels that are already "YYYY-MM-DD HH:MM:SS" (or ISO)
-    # coerce via to_timestamp; genuinely unparseable → null.
-    return F.coalesce(ts, F.to_timestamp(c))
+    # coerce via try_to_timestamp; genuinely unparseable → null. The
+    # try_ form is load-bearing under ANSI (the Spark 4 default): a
+    # plain to_timestamp on a passthrough label like 'поднято в топ'
+    # THROWS CAST_INVALID_INPUT and kills the whole normalize/merge
+    # job instead of nulling the field (ref: exception → NaT).
+    return F.coalesce(ts, F.try_to_timestamp(c))
 
 
 def parse_russian_date_label(
@@ -127,10 +131,14 @@ def _parse_russian_date_ts(c: Column, now) -> Column:
     m = minute.cast("int")
 
     today = F.to_date(nowc)
-    today_ts = F.to_timestamp(
+    # try_to_timestamp, matching the day-month branch's try_make_
+    # timestamp: the hour regex happily captures '99' from a dirty
+    # label ('сегодня, 99:30'), and the plain form THROWS under ANSI
+    # where the reference catches and returns NaT
+    today_ts = F.try_to_timestamp(
         F.concat(F.date_format(today, "yyyy-MM-dd"), F.lit(" "), _hm(h, m))
     )
-    yesterday_ts = F.to_timestamp(
+    yesterday_ts = F.try_to_timestamp(
         F.concat(
             F.date_format(F.date_sub(today, 1), "yyyy-MM-dd"), F.lit(" "), _hm(h, m)
         )

@@ -22,12 +22,14 @@ def parse_numeric_value(col: Column | str) -> Column:
     restores the int/float duality at the sink (SURVEY §7.4#3).
     """
     c = F.col(col) if isinstance(col, str) else col
-    # NBSP (cian's thousands separator) is not matched by Java's \s —
-    # include it explicitly so "85 000 ₽" parses as 85000 like the
-    # reference's Python \s does.
+    # (?U) = Java's UNICODE_CHARACTER_CLASS: the reference's Python
+    # \s strips ALL unicode whitespace — NBSP (cian's thousands
+    # separator), and also U+202F narrow NBSP / U+2009 thin space that
+    # modern pages use. Java's default \s is ASCII-only; without the
+    # flag "85\u202f000 ₽" silently parsed as 85.0 (1000x corruption).
     cleaned = F.regexp_replace(
         F.regexp_replace(c.cast("string"), F.lit(","), F.lit(".")),
-        F.lit(r"[\s\x{00A0}]+"),
+        F.lit(r"(?U)\s+"),
         F.lit(""),
     )
     extracted = F.regexp_extract(cleaned, _NUM_RE, 1)
@@ -52,8 +54,12 @@ def km_from_meters(col: Column | str) -> Column:
 
 def price_diff(new: Column, old: Column) -> Column:
     """X20: ``int(new) - int(old)`` (ref merge.py:45-47) — truncating
-    cast to long on both sides before subtracting."""
-    return new.cast("long") - old.cast("long")
+    cast to long on both sides before subtracting. try_cast: a dirty
+    digit run normalizes to an overflow-scale double (or NaN), and a
+    plain cast would crash the WHOLE state merge under ANSI the next
+    time that key's price changes; the reference's int() raises too,
+    but per-row null is the only sane degradation on a cluster."""
+    return new.try_cast("long") - old.try_cast("long")
 
 
 def scrub_nan(col: Column | str) -> Column:

@@ -77,15 +77,27 @@ def parse_title(col: Column | str) -> dict[str, Column]:
     nums = F.regexp_extract_all(c, F.lit(r"(\d+[.,]\d+|\d+)"), 1)
     n = F.size(nums)
     ok = n >= 3
+    # integer positions go through a decimal-tolerant try_cast chain:
+    # the number regex deliberately matches "1,5", and a plain
+    # cast('long') on it THROWS under ANSI (the reference keeps the
+    # raw token and parses it numerically later — int() truncation);
+    # try_cast also nulls instead of crashing on overflow-scale junk
+    def _as_long(tok):
+        return (
+            F.regexp_replace(tok, ",", ".")
+            .try_cast("double")
+            .try_cast("long")
+        )
+
     return {
         "room_count": F.when(
-            ok, F.when(n > 3, F.element_at(nums, 1).cast("long")).otherwise(F.lit(0))
+            ok, F.when(n > 3, _as_long(F.element_at(nums, 1))).otherwise(F.lit(0))
         ),
         "total_area": F.when(
             ok, F.regexp_replace(F.element_at(nums, -3), ",", ".").cast("double")
         ),
-        "floor": F.when(ok, F.element_at(nums, -2).cast("long")),
-        "total_floors": F.when(ok, F.element_at(nums, -1).cast("long")),
+        "floor": F.when(ok, _as_long(F.element_at(nums, -2))),
+        "total_floors": F.when(ok, _as_long(F.element_at(nums, -1))),
     }
 
 
@@ -144,7 +156,9 @@ def rewrite_image_urls(col: Column | str) -> Column:
 def extract_summary_count(col: Column | str) -> Column:
     """E6: "Найдено 1 062 объявления" → 1062; NBSP-thousands aware
     (ref html_parser.py:185-194)."""
-    grp = F.regexp_extract(_c(col), r"(\d+(?:[\s\x{00A0}]\d{3})*)", 1)
+    # (?U): unicode \s so U+202F narrow-NBSP thousands groups match
+    # (the reference's Python \s does) — "1\u202f062" parsed as 1
+    grp = F.regexp_extract(_c(col), r"(?U)(\d+(?:\s\d{3})*)", 1)
     digits = F.regexp_replace(grp, r"\D", "")
     return F.when(digits != "", digits.cast("long"))
 

@@ -109,22 +109,65 @@ def _compile_strainer(pairs: list[tuple[str, str]]) -> re.Pattern:
     return re.compile("|".join(re.escape(f'{a}="{v}"') for a, v in pairs))
 
 
+# attribute region of a tag: anything but '>' outside quotes, with
+# double- and single-quoted values skipped wholesale (a '>' inside
+# title="x/>y" must not end the tag)
+_TAG_ATTRS_RE = re.compile(r'[^>"\']*(?:"[^"]*"[^>"\']*|\'[^\']*\'[^>"\']*)*')
+
+
+def _tag_end(html: str, pos: int) -> int:
+    """Index of the ``>`` that REALLY closes the tag whose attribute
+    region starts at ``pos`` — quoted attribute values are skipped. -1
+    when unterminated (stray quote / truncated page): callers treat
+    that as unbalanced and over-include."""
+    m = _TAG_ATTRS_RE.match(html, pos)
+    e = m.end()
+    if e >= len(html) or html[e] != ">":
+        return -1
+    return e
+
+
 def _balanced_end(html: str, start: int, tag: str) -> int:
     """Index just past the close tag matching the open tag at
     ``start``, by same-tag depth counting. Tolerant like the DOM
     builder: an unbalanced region extends to end-of-document (the
     result is then over-inclusive, never wrong — the DOM parse still
-    applies real attribute matching)."""
-    pat = re.compile("<(/?)" + re.escape(tag) + r"(?=[\s>/])", re.I)
+    applies real attribute matching).
+
+    Two under-inclusion traps the naive scan fell into (each verified
+    to silently truncate watched regions): a ``>`` inside a quoted
+    attribute value misread as the tag end (and its preceding ``/`` as
+    a self-close), and a ``</tag>`` inside script/style TEXT — raw-text
+    elements where html.parser treats everything as CDATA — decrementing
+    the depth. The scan now uses the quote-aware :func:`_tag_end` and
+    jumps over raw-text element bodies."""
+    pat = re.compile(
+        "<(/?)(" + re.escape(tag) + r"|script|style)(?=[\s>/])", re.I
+    )
     depth = 0
     pos = start
+    n = len(html)
     while True:
         m = pat.search(html, pos)
         if not m:
-            return len(html)
-        gt = html.find(">", m.end())
+            return n
+        name = m.group(2).lower()
+        gt = _tag_end(html, m.end())
         if gt == -1:
-            return len(html)
+            return n
+        if name != tag.lower():
+            # a raw-text element (script/style) that is not the tag we
+            # are balancing: its body is CDATA — skip to its close tag
+            if not m.group(1) and html[gt - 1] != "/":
+                close = re.search(
+                    "</" + name + r"\s*>", html[gt + 1:], re.I
+                )
+                if close is None:
+                    return n
+                pos = gt + 1 + close.end()
+            else:
+                pos = gt + 1
+            continue
         if m.group(1):
             depth -= 1
             if depth <= 0:
@@ -178,7 +221,7 @@ def _strain(html: str, watch_re: re.Pattern) -> str:
             break
         tag = tm.group(1).lower()
         if tag in _VOID_TAGS:
-            gt = html.find(">", m.end())
+            gt = _tag_end(html, m.end())  # quote-aware (see above)
             end = gt + 1 if gt != -1 else len(html)
         else:
             end = _balanced_end(html, lt, tag)
@@ -434,7 +477,11 @@ def split_cards(
                 dom = _parse_dom(_strain(h or "", _CARD_STRAINER))
                 for card in _find_all(dom, "data-name", "CardComponent"):
                     rec = _parse_card(card)
-                    rec["page_id"] = int(pid)
+                    # a NULL page_id arrives as float64 NaN through
+                    # Arrow->pandas; int(NaN) raised ValueError and
+                    # killed every other page in the partition —
+                    # propagate the null instead (schema is nullable)
+                    rec["page_id"] = None if pd.isna(pid) else int(pid)
                     out.append(rec)
             yield pd.DataFrame(
                 {f.name: [r.get(f.name) for r in out] for f in CARD_SCHEMA.fields}

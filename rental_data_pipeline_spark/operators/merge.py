@@ -49,6 +49,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from rental_data_pipeline_spark.functions.numeric import price_diff
 from rental_data_pipeline_spark.functions.text import derive_status
 from rental_data_pipeline_spark.schema import PROTECTED_COLUMNS
 
@@ -143,10 +144,17 @@ def merge_listings(
             .dropDuplicates(["__lk_url"])
         )
         keyed = source.where(F.col(key).isNotNull())
+        # broadcast the KEYLESS BATCH ROWS, not the lookup: the lookup
+        # is projected from the ENTIRE target state (every url->key
+        # pair — unbounded at corpus scale, where a forced broadcast
+        # dies at the 8 GB limit), while the keyless rows of one batch
+        # are tiny; the inner join lets Spark build on either side
         unkeyed = (
-            source.where(F.col(key).isNull() & F.col(url_col).isNotNull())
+            F.broadcast(
+                source.where(F.col(key).isNull() & F.col(url_col).isNotNull())
+            )
             .join(
-                F.broadcast(lookup),
+                lookup,
                 F.col(url_col) == F.col("__lk_url"),
                 "inner",
             )
@@ -226,7 +234,7 @@ def merge_listings(
         & prev_price.isNotNull()
         & (price != prev_price)
     )
-    diff = price.cast("long") - prev_price.cast("long")
+    diff = price_diff(price, prev_price)  # try_cast-safe shared X20
 
     flagged = events.select(
         "*",

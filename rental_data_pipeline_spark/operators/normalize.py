@@ -51,7 +51,10 @@ def normalize_listings(
     for f in NUMERIC_FIELDS:
         if f in df.columns:
             parsed = parse_numeric_value(F.col(f))
-            exprs[f] = parsed.cast("long") if f in _INT_FIELDS else parsed
+            # try_cast: an overflow-scale double from a dirty digit run
+            # nulls the field per-row instead of crashing the whole
+            # batch under ANSI (CAST_OVERFLOW)
+            exprs[f] = parsed.try_cast("long") if f in _INT_FIELDS else parsed
     for f in DATE_FIELDS:
         if f in df.columns:
             exprs[f] = parse_russian_date(F.col(f), now)

@@ -51,7 +51,20 @@ def write_state_json(df: DataFrame, path: str) -> str:
 
 
 def write_csv_snapshot(df: DataFrame, path: str, single_file: bool = False) -> str:
-    """K2: full CSV snapshot (header, UTF-8 — Spark's default)."""
+    """K2: full CSV snapshot (header, UTF-8 — Spark's default).
+
+    Complex columns (array/map/struct — the state schema carries
+    ``image_urls``/``features`` arrays) render as JSON strings: the
+    CSV datasource rejects them outright
+    (UNSUPPORTED_DATA_TYPE_FOR_DATASOURCE), which used to kill the
+    export stage on any state loaded from the shared schema."""
+    complex_cols = {
+        f.name: F.to_json(F.col(f.name))
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    }
+    if complex_cols:
+        df = df.withColumns(complex_cols)
     out = df.coalesce(1) if single_file else df
     scrub_nan(out).write.mode("overwrite").option("header", True).csv(path)
     return path
