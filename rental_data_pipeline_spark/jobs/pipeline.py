@@ -86,8 +86,12 @@ def construct_search_url(cfg: SearchConfig, base: str = "https://example.test/ca
     parts = ["deal_type=rent", "engine_version=2", "offer_type=flat"]
     if page is not None:
         parts.append(f"p={page}")
-    if self_max := cfg.maxprice:
-        parts.append(f"maxprice={self_max}")
+    if cfg.maxprice is not None:
+        # `is not None`, not truthiness: the reference emits the param
+        # whenever the key exists (construct_url.py:38 emits
+        # maxprice=0), and the vectorized twin below uses isNotNull —
+        # a zero bound must reach the website like it reaches parquet
+        parts.append(f"maxprice={cfg.maxprice}")
     parts += [f"district%5B{i}%5D={d}" for i, d in enumerate(cfg.districts)]
     parts += [f"metro%5B{i}%5D={m}" for i, m in enumerate(cfg.metros)]
     parts += [f"room{r}=1" for r in cfg.rooms]
@@ -174,12 +178,16 @@ def load_state(spark: SparkSession, state_path: str | None) -> DataFrame:
             read_state_or_legacy,
         )
 
-        try:
-            st = read_state_or_legacy(spark, state_path)
-            if st is not None:
-                return st
-        except Exception:
-            pass
+        # NO tolerant except here: read_state_or_legacy returns None
+        # for a genuinely absent state and RAISES for refuse-to-read
+        # states (an interrupted rebucket's pending, a corrupt legacy
+        # layout). Swallowing those would run the pipeline against an
+        # empty state and commit a _FULL snapshot that permanently
+        # shadows — then prunes — the real one: silent total loss of
+        # the state table.
+        st = read_state_or_legacy(spark, state_path)
+        if st is not None:
+            return st
     return _empty_state(spark)
 
 
@@ -336,15 +344,25 @@ def run_pipeline(
 
     # ---- 4+5: snapshots (K1/K2/K3, F4) with observed counts (A7) -----
     obs = Observation("state_metrics")
+    # coalesce: SUM over zero rows is NULL, and int(None) at the
+    # metrics collection would crash AFTER the state commit (the
+    # expectations observation coalesces for the same reason)
     state = state.observe(
         obs,
         F.count(F.lit(1)).alias("n_state"),
-        F.sum(F.when(F.col("status") == "active", 1).otherwise(0)).alias("n_active"),
-        F.sum(F.when(F.col("distance").isNotNull(), 1).otherwise(0)).alias("n_with_distance"),
+        F.coalesce(
+            F.sum(F.when(F.col("status") == "active", 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_active"),
+        F.coalesce(
+            F.sum(F.when(F.col("distance").isNotNull(), 1).otherwise(0)),
+            F.lit(0),
+        ).alias("n_with_distance"),
     )
     if output_dir:
         # three snapshot writes share one computation of the merged state
         state = state.persist()
+        persisted_state = state  # unpersist handle (state is rebound below)
         sinks.write_state_json(state, f"{output_dir}/state_json")
         sinks.write_csv_snapshot(state, f"{output_dir}/combined_data")
         sinks.write_filtered_csv(state, f"{output_dir}/combined_data_filtered", cfg.now)
@@ -360,17 +378,31 @@ def run_pipeline(
             from rental_data_pipeline_spark.streaming.incremental import (
                 BUCKET_COL,
                 N_STATE_BUCKETS,
+                _assert_no_pending_rebucket,
                 _bucket_of,
                 _ensure_meta,
                 _mark_full,
                 _prune_versions,
+                has_part_files,
             )
 
+            # same commit discipline as the streaming fold: refuse a
+            # half-migrated table (a commit would move the version
+            # counter the staged migration assumed frozen), and guard
+            # the zero-row write (a partitionBy of an empty state
+            # leaves a parquet-less _FULL version that wedges every
+            # later read of the SHARED state table with
+            # UNABLE_TO_INFER_SCHEMA)
+            _assert_no_pending_rebucket(state_path)
             meta = _ensure_meta(state_path, "offer_id", N_STATE_BUCKETS)
             vdir = _next_state_version(state_path)
             state.withColumn(
                 BUCKET_COL, _bucket_of("offer_id", int(meta["n_buckets"]))
             ).write.mode("overwrite").partitionBy(BUCKET_COL).parquet(vdir)
+            if not has_part_files(vdir):
+                state.sparkSession.createDataFrame(
+                    [], state.schema
+                ).write.mode("overwrite").parquet(vdir)
             _mark_full(vdir)
             _prune_versions(state_path, keep_versions=2)
             # the RETURNED frame must outlive version pruning by later
@@ -382,6 +414,16 @@ def run_pipeline(
         metrics["n_quarantined"] = quarantined.count()
         if exp_obs is not None:
             metrics.update({k: int(v) for k, v in exp_obs.get.items()})
+    # release this run's cached intermediates: a long-lived driver
+    # re-running the pipeline would otherwise accumulate three cached
+    # frames per run until executor storage evicts or OOMs (the
+    # returned state survives independently via localCheckpoint)
+    for cached in (cards, parsed):
+        cached.unpersist()
+    if output_dir:
+        # the PRE-checkpoint handle: the returned frame reads its own
+        # localCheckpoint blocks, which an unpersist on it would drop
+        persisted_state.unpersist()
     out = {"state": state, "metrics": metrics}
     if exp_quarantine is not None:
         out["expectation_quarantine"] = exp_quarantine

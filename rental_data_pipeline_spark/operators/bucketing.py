@@ -20,6 +20,7 @@ metastore-native variant the optimizer can SEE).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -34,8 +35,18 @@ def write_bucketed(
     table: subsequent equi-joins or aggregations on ``keys`` between
     tables sharing this layout run exchange-free (sort-free too when
     sorted). Bucket count must match on both sides of a co-located
-    join — fix it once per subject area, like a schema decision."""
-    writer = df.write.mode(mode).bucketBy(n_buckets, *keys)
+    join — fix it once per subject area, like a schema decision.
+
+    Repartitions on the bucket keys first: bucketBy splits each TASK's
+    rows into n_buckets files, so an unrepartitioned corpus-scale
+    frame (thousands of upstream tasks) would write tasks x n_buckets
+    small files — and Spark only elides the reader-side sort when a
+    bucket is a single file."""
+    writer = (
+        df.repartition(n_buckets, *[F.col(k) for k in keys])
+        .write.mode(mode)
+        .bucketBy(n_buckets, *keys)
+    )
     if sort:
         writer = writer.sortBy(*keys)
     writer.saveAsTable(table)

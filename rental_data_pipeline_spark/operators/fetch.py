@@ -27,7 +27,6 @@ Kept out of ``queries()`` — no SQL oracle can check a network effect.
 from __future__ import annotations
 
 import time
-from collections import deque
 from typing import Callable, Iterator
 
 import pandas as pd
@@ -121,8 +120,20 @@ def fetch_pages(
                 time.sleep(backoff_base_s * (2 ** (attempts - 1)))
 
         for pdf in batches:
-            queue = deque(zip(pdf[id_col].astype(str), pdf[url_col]))
-            rows = [one(rid, url) for rid, url in queue]
+            rows = []
+            for rid, url in zip(pdf[id_col], pdf[url_col]):
+                # null-safe boundary: astype(str) would stamp 'nan'
+                # into request_id (silently missing every downstream
+                # join), and a null url would burn max_retries
+                # backoff sleeps before a misleading transport error
+                rid = None if pd.isna(rid) else str(rid)
+                if url is None or (isinstance(url, float) and pd.isna(url)):
+                    rows.append(dict(
+                        request_id=rid, url=None, status=None,
+                        body=None, error="invalid: null url", attempts=0,
+                    ))
+                    continue
+                rows.append(one(rid, url))
             if rows:
                 yield pd.DataFrame(rows)
 

@@ -25,7 +25,9 @@ def flatten_listings(df: DataFrame, mappings: dict[str, str] | None = None) -> D
     value per record, which for column data is ``coalesce`` reversed;
     we coalesce in reverse declaration order to match last-wins.
     """
-    mapping = dict(mappings or FIELD_MAPPINGS)
+    # `is not None`, not truthiness: an explicit empty dict means
+    # "no renames", not "use the default map"
+    mapping = dict(mappings if mappings is not None else FIELD_MAPPINGS)
     present = [c for c in df.columns]
     # group source columns by target name, preserving declaration order
     grouped: dict[str, list[str]] = {}
@@ -50,10 +52,26 @@ def flatten_map_column(df: DataFrame, map_col: str, keys: list[str],
     ``keys`` are the RU labels to extract; each lands under its mapped
     EN name. Native ``element_at`` — no explode/pivot shuffle.
     """
-    mapping = dict(mappings or FIELD_MAPPINGS)
-    out = df
+    mapping = dict(mappings if mappings is not None else FIELD_MAPPINGS)
+    # group by TARGET name: both RU variants of a label map to one EN
+    # column (Комиссии and Комиссия -> commission), and a plain
+    # withColumn-per-key would let the LAST key's (possibly absent ->
+    # null) value overwrite a present one. Coalesce in reverse
+    # declaration order — last-present-wins, flatten_listings'
+    # documented rule for the identical collision.
+    grouped: dict[str, list[str]] = {}
     for k in keys:
-        out = out.withColumn(mapping.get(k, k), F.col(map_col).getItem(k))
+        grouped.setdefault(mapping.get(k, k), []).append(k)
+    out = df
+    for tgt, srcs in grouped.items():
+        out = out.withColumn(
+            tgt,
+            F.coalesce(
+                *[F.col(map_col).getItem(k) for k in reversed(srcs)]
+            )
+            if len(srcs) > 1
+            else F.col(map_col).getItem(srcs[0]),
+        )
     return out
 
 

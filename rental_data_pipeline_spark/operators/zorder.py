@@ -22,6 +22,8 @@ control); standard technique from the database literature (Morton
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -30,13 +32,17 @@ DEFAULT_BITS = 10
 
 def _bucket(col: Column, lo: Column, hi: Column, bits: int) -> Column:
     """Linear rank bucket in [0, 2^bits): map-side, driver-free.
-    Degenerate domains (hi == lo) collapse to bucket 0."""
+    Degenerate domains (hi == lo) and un-rankable values (NULL after
+    the caller's finite-guard) collapse to bucket 0 — least() would
+    otherwise SKIP the null and return the top bucket."""
     span = hi - lo
     frac = F.when(span == 0, F.lit(0.0)).otherwise(
         (col.cast("double") - lo) / span
     )
     top = F.lit((1 << bits) - 1)
-    return F.least(F.floor(frac * (1 << bits)).cast("long"), top)
+    return F.when(col.isNull(), F.lit(0).cast("long")).otherwise(
+        F.least(F.floor(frac * (1 << bits)).cast("long"), top)
+    )
 
 
 def zorder_key(
@@ -50,22 +56,56 @@ def zorder_key(
     expression — static per (cols, bits), so whole-stage codegen
     compiles it once.
     """
+    if bits * len(cols) > 63:
+        # the interleave packs bits*k bit positions into one signed
+        # long; beyond 63 Spark's shiftleft wraps the distance mod 64
+        # and the additive interleave carries into real positions —
+        # silently garbage keys. Cap bits so the key always fits.
+        bits = 63 // len(cols)
+        if bits < 1:
+            raise ValueError(
+                f"zorder_key: {len(cols)} columns cannot share a "
+                "63-bit key"
+            )
+    # NaN/Infinity-proof domains: F.min/F.max PROPAGATE NaN, and a
+    # single NaN row would make span=NaN -> every row's bucket 0,
+    # silently degenerating the whole clustering; bound the domain
+    # over finite values only and clamp non-finite rows to bucket 0
+    def _finite(c):
+        col = F.col(c).cast("double")
+        return F.when(
+            col.isNotNull() & ~F.isnan(col) & (col != F.lit(float("inf")))
+            & (col != F.lit(float("-inf"))),
+            col,
+        )
+
     bounds = df.agg(
         *[
             f
             for c in cols
             for f in (
-                F.min(F.col(c).cast("double")).alias(f"__lo_{c}"),
-                F.max(F.col(c).cast("double")).alias(f"__hi_{c}"),
+                F.min(_finite(c)).alias(f"__lo_{c}"),
+                F.max(_finite(c)).alias(f"__hi_{c}"),
             )
         ]
     ).collect()[0]
+
+    def _b(v):
+        v = float(v) if v is not None else 0.0
+        return v if math.isfinite(v) else 0.0
+
     buckets = [
-        _bucket(
-            F.col(c),
-            F.lit(float(bounds[f"__lo_{c}"] or 0.0)),
-            F.lit(float(bounds[f"__hi_{c}"] or 0.0)),
-            bits,
+        # non-finite rows (NULL bucket via _finite) clamp to bucket 0:
+        # they can't be ranked, and a NULL would otherwise null the
+        # whole interleaved key
+        F.coalesce(
+            _bucket(
+                _finite(c),
+                F.lit(_b(bounds[f"__lo_{c}"])),
+                F.lit(_b(bounds[f"__hi_{c}"])),
+                bits,
+            ),
+            F.lit(0).cast("long"),
         )
         for c in cols
     ]

@@ -109,17 +109,16 @@ def read_json_state_quarantined(
 def write_json_state(df: DataFrame, path: str) -> None:
     """K1: JSON sink with NaN scrub (ref ``parse_data.py:187-204``).
 
-    The reference recursively converts NaN → null before writing; here
-    ``nanvl`` maps NaN to null on every double column — a narrow
-    column-level expression instead of a recursive python walk.
+    The reference recursively converts NaN → null before writing;
+    delegates to the ONE scrub-and-write implementation
+    (``operators.sinks.write_state_json``) so the two JSON writers
+    cannot drift.
     """
-    scrubbed = df
-    for field in df.schema.fields:
-        if isinstance(field.dataType, (T.DoubleType, T.FloatType)):
-            scrubbed = scrubbed.withColumn(
-                field.name, F.nanvl(F.col(field.name), F.lit(None))
-            )
-    scrubbed.write.mode("overwrite").json(path)
+    from rental_data_pipeline_spark.operators.sinks import (
+        write_state_json,
+    )
+
+    write_state_json(df, path)
 
 
 def read_state(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame:

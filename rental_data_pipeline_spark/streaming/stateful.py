@@ -45,18 +45,28 @@ def _detect(
     out: list[tuple] = []
     for pdf in pdfs:
         # event-time order within the batch (micro-batch rows arrive
-        # unordered); cross-batch order is the source's file order
-        pdf = pdf.sort_values(["updated_date", "event_id"])
+        # unordered); cross-batch order is the source's file order.
+        # na_position='first' mirrors the batch merge's
+        # asc_nulls_first ordering (W4: undated rows fold BEFORE
+        # dated ones)
+        pdf = pdf.sort_values(
+            ["updated_date", "event_id"], na_position="first"
+        )
         for _, row in pdf.iterrows():
             price = row["price_value"]
             if pd.isna(price):
                 continue
             price = float(price)
-            if last is not None and price != last:
+            upd = row["updated_date"]
+            # W4 parity with the batch merge: a row without
+            # updated_date merges fields (last updates below) but
+            # emits ZERO CDC — the batch W1 predicate gates on
+            # upd.isNotNull()
+            if last is not None and price != last and not pd.isna(upd):
                 out.append(
                     (
                         int(key[0]),
-                        row["updated_date"],
+                        upd,
                         last,
                         price,
                         int(price) - int(last),
@@ -71,7 +81,13 @@ def _detect(
 
 def price_change_stream(snapshots: DataFrame) -> DataFrame:
     """W1 as an incremental stateful operator: one GroupState value per
-    key, change rows appended as they are observed."""
+    key, change rows appended as they are observed. Null keys are
+    filtered like the batch merge filters them — Spark groups them
+    into one (None,) group whose emit path would poison-pill the
+    stream with int(None) on every restart replay."""
+    from pyspark.sql import functions as F
+
+    snapshots = snapshots.where(F.col("offer_id").isNotNull())
     return snapshots.groupBy("offer_id").applyInPandasWithState(
         _detect,
         outputStructType=CHANGE_SCHEMA,
