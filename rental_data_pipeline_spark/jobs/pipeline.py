@@ -30,7 +30,9 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame, Observation, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+
+from rental_data_pipeline_spark.observe import SafeObservation
 from pyspark.sql import functions as F
 
 from rental_data_pipeline_spark.functions.numeric import (
@@ -290,9 +292,9 @@ def run_pipeline(
             validate,
         )
 
-        exp_obs = Observation("expectations")
-        tagged = validate(listing_batch, cfg.expectations).observe(
-            exp_obs,
+        exp_obs = SafeObservation("expectations")
+        tagged = exp_obs.on(
+            validate(listing_batch, cfg.expectations),
             F.coalesce(
                 F.sum((F.size(F.col(VIOLATIONS_COL)) > 0).cast("long")),
                 F.lit(0),
@@ -343,12 +345,12 @@ def run_pipeline(
     )
 
     # ---- 4+5: snapshots (K1/K2/K3, F4) with observed counts (A7) -----
-    obs = Observation("state_metrics")
+    obs = SafeObservation("state_metrics")
     # coalesce: SUM over zero rows is NULL, and int(None) at the
     # metrics collection would crash AFTER the state commit (the
     # expectations observation coalesces for the same reason)
-    state = state.observe(
-        obs,
+    state = obs.on(
+        state,
         F.count(F.lit(1)).alias("n_state"),
         F.coalesce(
             F.sum(F.when(F.col("status") == "active", 1).otherwise(0)),

@@ -92,7 +92,18 @@ def asof_join(
     )
     tagged_r = right.select(
         *[
-            F.col(c) if c in keep_r else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            # the carried tiebreak is cast to the LEFT schema's type
+            # like every other carried column: two sides typing the
+            # sequence column differently (int vs long is routine
+            # across ingest surfaces) would otherwise fail the union
+            # or silently widen the sort key
+            (
+                F.col(c).cast(left.schema[c].dataType).alias(c)
+                if c == tiebreak
+                else F.col(c)
+            )
+            if c in keep_r
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
             for c in lcols
         ],
         *extra_r,

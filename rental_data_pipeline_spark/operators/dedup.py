@@ -41,6 +41,11 @@ from rental_data_pipeline_spark.operators.textstats import tokens
 
 SIMHASH_BITS = 32
 SIMHASH_BANDS = 4  # 8 bits per band → candidates within Hamming radius
+# largest over-cap shingle set _cap_hot_shingles will broadcast; above
+# this it falls back to a shuffle anti-join (~1M 8-byte hashes plus
+# row overhead ≈ tens of MB per executor — comfortably under Spark's
+# broadcast ceiling with headroom for wide shingle strings)
+HOT_SHINGLE_BROADCAST_CAP = 1_000_000
 
 
 import threading as _threading
@@ -541,16 +546,30 @@ def _cap_hot_shingles(exploded: DataFrame, max_doc_freq: int) -> DataFrame:
     WindowExec task before discarding it — the guard WAS the
     straggler. Instead: a map-side-combined groupBy counts per
     shingle (partial aggregation keeps the hot key distributed), the
-    over-cap set is tiny by construction (the Zipf head above the
-    cap), and a broadcast anti-join filters the exploded index
-    map-side — the big table never shuffles at all."""
+    over-cap set is USUALLY tiny (the Zipf head above the cap), and a
+    broadcast anti-join filters the exploded index map-side — the big
+    table never shuffles at all.
+
+    "Usually" is not a guarantee: an aggressive cap (small
+    ``max_doc_freq``) over a large corpus can push the over-cap set
+    far beyond broadcast range — an unbounded driver-collect/8 GB
+    exchange replacing the straggler it was built to avoid. The hot
+    set is therefore materialized once (localCheckpoint — the same
+    aggregation the broadcast build would have executed anyway),
+    counted, and the join strategy chosen from the count: broadcast
+    under :data:`HOT_SHINGLE_BROADCAST_CAP` rows, shuffle anti-join
+    above it (both sides hash-partition on shingle; the hot keys are
+    on the SMALL side, so no skewed task reappears)."""
     hot = (
         exploded.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__df"))
         .where(F.col("__df") > max_doc_freq)
         .select("shingle")
+        .localCheckpoint(eager=True)
     )
-    return exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    if hot.count() <= HOT_SHINGLE_BROADCAST_CAP:
+        return exploded.join(F.broadcast(hot), "shingle", "left_anti")
+    return exploded.join(hot, "shingle", "left_anti")
 
 
 def _pair_counts(exploded: DataFrame, sizes: DataFrame) -> DataFrame:

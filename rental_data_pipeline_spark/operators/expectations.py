@@ -61,12 +61,14 @@ def observed_quarantine(
     raw row). ``observation.get`` yields ``_rows`` plus one count per
     rule after the first action over either split — the gate shape
     ``jobs/pipeline.py`` pioneered, shared here so every ingest
-    surface pays one scan, not two."""
-    from pyspark.sql import Observation
+    surface pays one scan, not two. The observation is a
+    ``SafeObservation``: a zero-row ingest collapses the tagged plan
+    and would otherwise crash ``.get`` instead of reporting zeros."""
+    from rental_data_pipeline_spark.observe import SafeObservation
 
-    obs = Observation(name)
-    tagged = validate(df, rules).observe(
-        obs,
+    obs = SafeObservation(name)
+    tagged = obs.on(
+        validate(df, rules),
         F.count(F.lit(1)).alias("_rows"),
         *[
             F.coalesce(

@@ -101,14 +101,21 @@ def cosine_topk(
 def sign_lsh_bucket(vec: Column, bits: int = SIGN_LSH_BITS) -> Column:
     """Random-hyperplane-style bucket id: sign bits of the leading
     ``bits`` dimensions packed into an int (deterministic, portable).
-    Raises a clear error for vectors shorter than ``bits`` (ANSI mode
-    would otherwise surface an opaque INVALID_ARRAY_INDEX)."""
+    NULL vectors map to NULL (null-in/null-out, like every scalar in
+    §2.7 — a missing embedding is a data condition, not a job killer);
+    vectors SHORTER than ``bits`` raise a clear error (ANSI mode would
+    otherwise surface an opaque INVALID_ARRAY_INDEX)."""
     out = F.lit(0).cast("long")
     for i in range(bits):
         out = out + F.when(F.element_at(vec, i + 1) > 0, F.lit(1 << i)).otherwise(
             F.lit(0)
         ).cast("long")
-    return F.when(F.size(vec) >= bits, out).otherwise(
+    # the null arm must come FIRST: size(NULL) >= bits is NULL, which
+    # would fall through to the raise_error otherwise-branch and turn a
+    # benign null row into a job abort for direct callers
+    return F.when(vec.isNull(), F.lit(None).cast("long")).when(
+        F.size(vec) >= bits, out
+    ).otherwise(
         F.raise_error(
             F.format_string(
                 "sign_lsh_bucket: embedding has %s dims but bits="

@@ -914,6 +914,13 @@ NUMERIC_LITERALS: list[tuple[int, str | None]] = [
     (10, "1 234 567"),
     (11, "3,14 и ещё"),
     (12, "-0,5%"),
+    # narrow NBSP (U+202F) / thin space (U+2009) thousands separators —
+    # modern pages emit these; the differential must pin that BOTH
+    # engines strip the full Unicode whitespace class, not just
+    # ASCII+NBSP (an engine that misses them parses "85 000" as 85.0,
+    # a silent 1000x corruption)
+    (13, "85 000 ₽/мес."),
+    (14, "1 234 567,25"),
 ]
 
 
@@ -937,7 +944,8 @@ FROM (
   SELECT id,
          regexp_extract(
            regexp_replace(replace(coalesce(v, ''), ',', '.'),
-                          '[\\s\\x{{00A0}}]+', '', 'g'),
+                          '[\\s\\x{{0B}}\\x{{85}}\\x{{2028}}\\x{{2029}}\\p{{Zs}}]+',
+                          '', 'g'),
            '(-?\\d+(?:\\.\\d+)?)', 1) AS m
   FROM {_values_sql(NUMERIC_LITERALS, ["id", "v"])})
 """
@@ -1005,3 +1013,37 @@ from rental_data_pipeline_spark import queries_streaming  # noqa: E402,F401
 from rental_data_pipeline_spark import queries_scalar2  # noqa: E402,F401
 from rental_data_pipeline_spark import queries_pipeline  # noqa: E402,F401
 from rental_data_pipeline_spark import queries_timeseries  # noqa: E402,F401
+
+
+def prebuild_artifacts(spark, sf_dir: str, max_workers: int = 6) -> float:
+    """Build every per-session prepared artifact CONCURRENTLY; returns
+    the phase's wall-clock seconds.
+
+    A cold session pays each artifact build (state folds, trained
+    indexes, rendered fixtures) exactly once; built serially — the
+    shape a sequential warmup pass produces — the six builds sum to
+    ~20 s at sf0.1 even though they are fully independent jobs on
+    independent state roots. A cluster cold-starts them the same way
+    a driver submits any independent jobs: in parallel threads against
+    one SparkSession (``prepared.session_artifact`` holds a per-KEY
+    lock, so distinct artifacts build concurrently while duplicate
+    requests coalesce). Wall-clock of this phase — not the sum of the
+    per-build times, which overlap — is the honest cold-start
+    surcharge, and ``bench.py`` reports it as such."""
+    import time as _time
+    from concurrent.futures import ThreadPoolExecutor
+
+    builders = (
+        queries_training._span_state_base,
+        queries_training._simhash_idx_base,
+        queries_training._cc_labels_base,
+        queries_training._ann_index_artifact,
+        queries_scalar2.scalar_suite,
+        queries_pipeline._fixtures,
+    )
+    t0 = _time.perf_counter()
+    with ThreadPoolExecutor(max_workers=max_workers) as ex:
+        futs = [ex.submit(b, spark, sf_dir) for b in builders]
+        for f in futs:
+            f.result()  # surface the first build error, don't swallow
+    return round(_time.perf_counter() - t0, 3)

@@ -196,6 +196,45 @@ def text_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deduplication
 # ---------------------------------------------------------------------------
 
+def _span_state_base(spark: SparkSession, sf_dir: str) -> str:
+    """Per-session prepared span-hash state for ``dedup_exact``'s
+    'span10_streamed' branch: fold a deterministic 40% doc subset in
+    two chunks through the tiered incremental span state, then compact
+    to one slice (repeat reads take the single-slice fast path).
+    Module-level so :func:`queries.prebuild_artifacts` can build it
+    concurrently with the other session artifacts on a cold start."""
+    from rental_data_pipeline_spark.prepared import (
+        session_artifact,
+        session_tempdir,
+    )
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        _reduce_span_stats,
+        fold_spans_batch,
+    )
+    from rental_data_pipeline_spark.streaming.tiered import maybe_compact
+
+    def _build_state() -> str:
+        base = session_tempdir("rdp_span_state_q_")
+        sub = load_table(spark, "documents", sf_dir).where(
+            F.col("doc_id") % 5 < 2
+        )
+        for i in range(2):
+            fold_spans_batch(
+                spark, base,
+                sub.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == i),
+                i, window=10, n_state_buckets=4,
+            )
+        # one compacted slice: repeat reads hit the single-slice fast
+        # path (no merge-on-read shuffle) — the steady state a long
+        # stream's compaction cadence maintains anyway
+        maybe_compact(spark, base, _reduce_span_stats, force_full=True)
+        return base
+
+    return session_artifact(
+        spark, ("span_state_q", sf_dir, 10, 4), _build_state
+    )
+
+
 @register(
     "dedup_exact",
     oracle=f"""
@@ -269,11 +308,6 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction, so the first call per session folds the two chunks
     and later calls reuse the state dir (deterministic, so the
     driver's single correctness call sees identical rows)."""
-    from rental_data_pipeline_spark.prepared import (
-        session_artifact,
-        session_tempdir,
-    )
-
     docs = load_table(spark, "documents", sf_dir)
     doc_b = D.exact_duplicates(docs).select(
         F.lit("doc").alias("method"),
@@ -292,35 +326,10 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_docs",
     )
     from rental_data_pipeline_spark.streaming.span_stream import (
-        fold_spans_batch,
         read_duplicated_spans,
     )
 
-    def _build_state() -> str:
-        from rental_data_pipeline_spark.streaming.span_stream import (
-            _reduce_span_stats,
-        )
-        from rental_data_pipeline_spark.streaming.tiered import (
-            maybe_compact,
-        )
-
-        base = session_tempdir("rdp_span_state_q_")
-        sub = docs.where(F.col("doc_id") % 5 < 2)
-        for i in range(2):
-            fold_spans_batch(
-                spark, base,
-                sub.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == i),
-                i, window=10, n_state_buckets=4,
-            )
-        # one compacted slice: repeat reads hit the single-slice fast
-        # path (no merge-on-read shuffle) — the steady state a long
-        # stream's compaction cadence maintains anyway
-        maybe_compact(spark, base, _reduce_span_stats, force_full=True)
-        return base
-
-    base = session_artifact(
-        spark, ("span_state_q", sf_dir, 10, 4), _build_state
-    )
+    base = _span_state_base(spark, sf_dir)
     streamed = read_duplicated_spans(spark, base).select(
         F.lit("span10_streamed").alias("method"),
         F.col("span_hash").alias("content_hash"),
@@ -439,6 +448,36 @@ sim AS (SELECT doc, {bits} AS simhash FROM bitsums)
 """
 
 
+def _simhash_idx_base(spark: SparkSession, sf_dir: str) -> str:
+    """Per-session prepared SimHash index for ``dedup_simhash``'s
+    'streamed' branch (two folded chunks of the deterministic 40% doc
+    subset). Module-level for :func:`queries.prebuild_artifacts`."""
+    from rental_data_pipeline_spark.prepared import (
+        session_artifact,
+        session_tempdir,
+    )
+    from rental_data_pipeline_spark.streaming.simhash_stream import (
+        fold_simhash_batch,
+    )
+
+    def _build_index() -> str:
+        base = session_tempdir("rdp_simhash_idx_q_")
+        sub = load_table(spark, "documents", sf_dir).where(
+            F.col("doc_id") % 5 < 2
+        )
+        for i in range(2):
+            fold_simhash_batch(
+                spark, base,
+                sub.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == i),
+                i, max_hamming=3, n_buckets=4,
+            )
+        return base
+
+    return session_artifact(
+        spark, ("simhash_idx_q", sf_dir, 3, 4), _build_index
+    )
+
+
 @register(
     "dedup_simhash",
     oracle=f"""
@@ -479,34 +518,15 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     two chunks, later calls probe the same persisted index — the
     steady-state regime an incremental index exists to serve
     (deterministic, so repeat calls return identical rows)."""
-    from rental_data_pipeline_spark.prepared import (
-        session_artifact,
-        session_tempdir,
-    )
-
     docs = load_table(spark, "documents", sf_dir)
     batch = D.simhash_near_pairs(docs, max_hamming=3).select(
         F.lit("batch").alias("method"), "doc_a", "doc_b", "hamming"
     )
     from rental_data_pipeline_spark.streaming.simhash_stream import (
-        fold_simhash_batch,
         read_simhash_pairs,
     )
 
-    def _build_index() -> str:
-        base = session_tempdir("rdp_simhash_idx_q_")
-        sub = docs.where(F.col("doc_id") % 5 < 2)
-        for i in range(2):
-            fold_simhash_batch(
-                spark, base,
-                sub.where(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == i),
-                i, max_hamming=3, n_buckets=4,
-            )
-        return base
-
-    base = session_artifact(
-        spark, ("simhash_idx_q", sf_dir, 3, 4), _build_index
-    )
+    base = _simhash_idx_base(spark, sf_dir)
     streamed = read_simhash_pairs(spark, base).select(
         F.lit("streamed").alias("method"), "doc_a", "doc_b", "hamming"
     )
@@ -1042,6 +1062,36 @@ def kmeans_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.kmeans_fit(load_table(spark, "embeddings", sf_dir))
 
 
+def _cc_labels_base(spark: SparkSession, sf_dir: str) -> str:
+    """Per-session prepared union-find label state for
+    ``dedup_components``' 'streamed' branch (the full Jaccard pair set
+    folded in two deterministic chunks). Module-level for
+    :func:`queries.prebuild_artifacts`."""
+    from rental_data_pipeline_spark.prepared import (
+        session_artifact,
+        session_tempdir,
+    )
+    from rental_data_pipeline_spark.streaming.components import (
+        fold_pairs_batch,
+    )
+
+    def _build_labels() -> str:
+        base = session_tempdir("rdp_cc_labels_q_")
+        pairs = D.jaccard_pairs(
+            load_table(spark, "documents", sf_dir), threshold=0.8
+        )
+        for i in range(2):
+            fold_pairs_batch(
+                spark,
+                base,
+                pairs.where(F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(2)) == i),
+                i,
+            )
+        return base
+
+    return session_artifact(spark, ("cc_labels_q", sf_dir), _build_labels)
+
+
 @register(
     "dedup_components",
     oracle=f"""
@@ -1088,11 +1138,6 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-session prepared artifact (`prepared.session_artifact`) — the
     state a crawl maintains continuously; first call per session folds
     both chunks, repeat calls read the same labels (deterministic)."""
-    from rental_data_pipeline_spark.prepared import (
-        session_artifact,
-        session_tempdir,
-    )
-
     pairs = D.jaccard_pairs(load_table(spark, "documents", sf_dir), threshold=0.8)
     cc = D.connected_components(pairs)
     batch = cc.select(
@@ -1102,22 +1147,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("node") == F.col("component")).alias("is_canonical"),
     )
     from rental_data_pipeline_spark.streaming.components import (
-        fold_pairs_batch,
         read_components,
     )
 
-    def _build_labels() -> str:
-        base = session_tempdir("rdp_cc_labels_q_")
-        for i in range(2):
-            fold_pairs_batch(
-                spark,
-                base,
-                pairs.where(F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(2)) == i),
-                i,
-            )
-        return base
-
-    base = session_artifact(spark, ("cc_labels_q", sf_dir), _build_labels)
+    base = _cc_labels_base(spark, sf_dir)
     streamed = read_components(spark, base).select(
         F.lit("streamed").alias("mode"),
         "node",
@@ -1559,6 +1592,42 @@ def dedup_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_index_artifact(
+    spark: SparkSession, sf_dir: str
+) -> "tuple[list[list[float]], str]":
+    """Per-session trained IVF centroids + persisted index for
+    ``ann_topk_methods``. Training and the persisted index build ARE
+    the train-once/probe-many artifact — a deployment trains offline
+    and every query probes the frozen index, so both are per-session
+    prepared artifacts (`prepared.session_artifact`): first call
+    trains + writes, repeat calls probe the same index (deterministic
+    seeds → identical rows on every call). Module-level for
+    :func:`queries.prebuild_artifacts`."""
+    from rental_data_pipeline_spark.operators import ann_index as A
+    from rental_data_pipeline_spark.prepared import (
+        session_artifact,
+        session_tempdir,
+    )
+
+    def _train_and_build() -> "tuple[list[list[float]], str]":
+        embs = load_table(spark, "embeddings", sf_dir)
+        centroids, _ = S.kmeans_train(embs, k=S.N_IVF_CELLS, n_iter=3)
+        base = session_tempdir("rdp_ann_index_q_")
+        # n_vec_buckets=4: layout parameter only (probe prunes on
+        # whatever the build froze) — 8x4 partition dirs instead of
+        # 8x16 keeps the in-query proof's small-file fan-out down at
+        # bench scale
+        A.build_ann_index(
+            embs, base, n_cells=S.N_IVF_CELLS, centroids=centroids,
+            n_vec_buckets=4,
+        )
+        return centroids, base
+
+    return session_artifact(
+        spark, ("ann_index_q", sf_dir, S.N_IVF_CELLS, 4), _train_and_build
+    )
+
+
 @register(
     "ann_topk_methods",
     oracle=f"""
@@ -1624,33 +1693,8 @@ def ann_topk_methods(spark: SparkSession, sf_dir: str) -> DataFrame:
     # only its nprobe cell partitions). Identical centroids → identical
     # results → the same unrolled-Lloyd's oracle SQL proves both.
     from rental_data_pipeline_spark.operators import ann_index as A
-    from rental_data_pipeline_spark.prepared import (
-        session_artifact,
-        session_tempdir,
-    )
 
-    # Training and the persisted index build ARE the train-once/
-    # probe-many artifact — a deployment trains offline and every query
-    # probes the frozen index, so both are per-session prepared
-    # artifacts (`prepared.session_artifact`): first call trains +
-    # writes, repeat calls probe the same index (deterministic seeds →
-    # identical rows on every call).
-    def _train_and_build() -> tuple[list[list[float]], str]:
-        centroids, _ = S.kmeans_train(embs, k=S.N_IVF_CELLS, n_iter=3)
-        base = session_tempdir("rdp_ann_index_q_")
-        # n_vec_buckets=4: layout parameter only (probe prunes on
-        # whatever the build froze) — 8x4 partition dirs instead of
-        # 8x16 keeps the in-query proof's small-file fan-out down at
-        # bench scale
-        A.build_ann_index(
-            embs, base, n_cells=S.N_IVF_CELLS, centroids=centroids,
-            n_vec_buckets=4,
-        )
-        return centroids, base
-
-    centroids, base = session_artifact(
-        spark, ("ann_index_q", sf_dir, S.N_IVF_CELLS, 4), _train_and_build
-    )
+    centroids, base = _ann_index_artifact(spark, sf_dir)
     ivt = S.ivf_topk_trained(
         embs, ANN_QUERY_IDS, top_k=5, centroids=centroids
     ).select(

@@ -74,8 +74,10 @@ import json as _json
 import os as _os
 import shutil as _shutil
 
-from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from rental_data_pipeline_spark.observe import SafeObservation
 
 from rental_data_pipeline_spark.jobs.corpus_job import CorpusConfig
 from rental_data_pipeline_spark.streaming.incremental import (
@@ -187,10 +189,13 @@ def fold_corpus_batch(
     # (this checkpoint, the quarantine write, the keeper-bucket probe)
     # instead of standalone count() jobs: at a per-minute trigger the
     # fixed job count per batch is scheduler overhead a 1000-executor
-    # cluster pays on every fold.
-    obs_raw = Observation()
-    batch = batch.observe(
-        obs_raw, F.count(F.lit(1)).alias("n")
+    # cluster pays on every fold. SafeObservation (not bare
+    # Observation): an all-rejected or zero-row batch collapses these
+    # plans so the metrics node never executes, and a bare .get kills
+    # the stream — exactly the micro-batches a real crawl produces.
+    obs_raw = SafeObservation()
+    batch = obs_raw.on(
+        batch, F.count(F.lit(1)).alias("n")
     ).localCheckpoint(eager=True)
     n_raw = int(obs_raw.get["n"])
 
@@ -206,11 +211,11 @@ def fold_corpus_batch(
         qdir = _bdir(root, "quarantine", batch_id)
         if _os.path.exists(qdir):
             _shutil.rmtree(qdir, ignore_errors=True)
-        obs_q = Observation()
-        bad = (
+        obs_q = SafeObservation()
+        bad = obs_q.on(
             tagged.where(F.size(F.col(VIOLATIONS_COL)) > 0)
-            .withColumn("_batch_id", F.lit(batch_id).cast("long"))
-            .observe(obs_q, F.count(F.lit(1)).alias("n"))
+            .withColumn("_batch_id", F.lit(batch_id).cast("long")),
+            F.count(F.lit(1)).alias("n"),
         )
         bad.write.parquet(qdir)
         n_quarantined = int(obs_q.get["n"])
@@ -219,12 +224,15 @@ def fold_corpus_batch(
         )
 
     # ---- 2. curation + cross-batch exact dedup → keepers slice ------
-    obs_scored = Observation()
-    scored = curation_scored(
-        batch, text_col=text_col, id_col=id_col, languages=cfg.languages,
-        min_tokens=cfg.min_tokens, max_tokens=cfg.max_tokens,
-        min_quality=cfg.min_quality,
-    ).observe(obs_scored, F.count(F.lit(1)).alias("n"))
+    obs_scored = SafeObservation()
+    scored = obs_scored.on(
+        curation_scored(
+            batch, text_col=text_col, id_col=id_col,
+            languages=cfg.languages, min_tokens=cfg.min_tokens,
+            max_tokens=cfg.max_tokens, min_quality=cfg.min_quality,
+        ),
+        F.count(F.lit(1)).alias("n"),
+    )
     kdir = _bdir(root, "keepers", batch_id)
     state_path = f"{root}/curation_state"
     replayed = _os.path.exists(f"{kdir}/_SUCCESS")

@@ -469,6 +469,41 @@ def sweep_covered_slices(
                 _shutil.rmtree(d, ignore_errors=True)
 
 
+def covered_bytes_retained(
+    root: str, commit_marker: str = "_SUCCESS"
+) -> int:
+    """On-disk bytes of slice dirs a COMMITTED manifest covers but the
+    sweep has not yet reclaimed — the disk the GC grace window (plus
+    any not-yet-run sweep) is holding for concurrent readers. Readers
+    already skip these dirs, so every byte here is pure retention; at
+    a 100 TB state a generous grace on the span table is real money,
+    and the maintenance watermark must surface it rather than let it
+    accrue invisibly. Driver-side filesystem walk only — no Spark job
+    (same discipline as :func:`parquet_rows`)."""
+    import glob as _glob
+    import os as _os
+
+    covered: set[str] = set()
+    for c in _glob.glob(f"{root}/c_*"):
+        if not C_SLICE_RE.fullmatch(_os.path.basename(c)):
+            continue
+        if not _os.path.exists(f"{c}/{commit_marker}"):
+            continue
+        covered.update(_read_manifest(f"{c}/_covered.json") or ())
+    total = 0
+    for name in covered:
+        d = f"{root}/{name}"
+        if not _os.path.isdir(d):
+            continue
+        for dirpath, _dirs, files in _os.walk(d):
+            for fn in files:
+                try:
+                    total += _os.path.getsize(_os.path.join(dirpath, fn))
+                except OSError:
+                    pass  # swept concurrently mid-walk
+    return total
+
+
 def _read_meta(state_path: str) -> dict | None:
     import json as _json
     import os as _os
@@ -989,6 +1024,15 @@ def bucketed_keyed_fold(
     the first commit); it must be a pure keyed fold — a key absent
     from the batch must pass through unchanged — because bucket-local
     merge ≡ global merge is exactly what makes the pruned read sound.
+    It must also be NON-DELETING: every key present in ``target`` must
+    appear in the output (T7 infinite retention — deletions are status
+    flips, J8-style, never dropped rows). The version layout cannot
+    express "this bucket is now empty" (a partitionBy write emits no
+    dir for an empty bucket, so reads fall back to the bucket's older
+    version and deleted rows would silently resurrect). The
+    all-buckets-emptied case raises loudly at the commit boundary;
+    a partial per-bucket emptying is undetectable at fold cost and is
+    excluded by this contract.
     ``needs_full(batch) -> bool`` forces a full-state merge + snapshot
     for batches whose merge semantics reach beyond their own keys'
     buckets (e.g. the CDC url-adoption path)."""
@@ -1055,13 +1099,27 @@ def bucketed_keyed_fold(
         # wedging every later read AND fold (reachable: a first batch
         # whose rows are all keyless-unmatched merges to zero rows
         # while touched is non-empty, xxhash64(NULL) being the seed).
-        # An empty DELTA is a no-op on state: drop the dir, skip the
-        # commit (a replay recomputes the same nothing). An empty FULL
-        # commit rewrites as a schema-bearing plain frame — the
-        # legacy-flat shape the composed read already handles
-        # (bucket membership recomputed from meta).
+        # An empty DELTA over EMPTY prior state is a no-op: drop the
+        # dir, skip the commit (a replay recomputes the same nothing).
+        # Over NON-EMPTY prior state it means merge_fn deleted rows —
+        # a contract violation (see docstring): skipping the commit
+        # would silently resurrect them on the next read, so raise at
+        # the boundary instead. The target probe is one limit-1 job on
+        # this rare path only. An empty FULL commit rewrites as a
+        # schema-bearing plain frame — the legacy-flat shape the
+        # composed read already handles (bucket membership recomputed
+        # from meta).
         if not full:
             _shutil.rmtree(vdir, ignore_errors=True)
+            if target is not None and target.limit(1).count() > 0:
+                raise RuntimeError(
+                    f"bucketed_keyed_fold: batch {batch_id} merged "
+                    f"{len(touched)} non-empty touched bucket(s) of "
+                    f"'{state_path}' to ZERO rows — merge_fn violated "
+                    "the non-deleting contract (the delta layout "
+                    "cannot commit an emptied bucket; deletions must "
+                    "be status flips, not dropped rows)"
+                )
             return
         sess.createDataFrame(
             [], out.drop(BUCKET_COL).schema

@@ -87,6 +87,7 @@ from rental_data_pipeline_spark.streaming.incremental import (
     _bucket_of,
     _read_manifest,
     atomic_json_write,
+    covered_bytes_retained,
     has_part_files,
     parquet_rows,
     slice_id_compacted,
@@ -509,6 +510,10 @@ def suggest_rebucket_tiered(
         "due": target >= growth_factor * n_buckets,
         "live_slices": len(dirs),
         "slices_by_level": {str(k): by_level[k] for k in sorted(by_level)},
+        # disk the GC grace window is holding for concurrent readers
+        # (covered slices the sweep has not reclaimed) — invisible to
+        # reads, pure retention cost, so the watermark surfaces it
+        "covered_bytes_retained": covered_bytes_retained(state_path),
     }
 
 

@@ -429,6 +429,32 @@ def test_rejected_and_empty_batches_fold_cleanly(spark, root):
     assert got["metrics"]["n_keepers"] == 1
 
 
+def test_empty_batches_fold_cleanly_without_expectations(spark, root):
+    """Sibling of the zero-keeper case: an expectations-FREE config
+    takes a different code path (no quarantine slice, no obs_q), and
+    the obs_raw/obs_scored hazards must hold there too — a zero-row
+    batch and an all-gate-rejected batch both commit cleanly."""
+    cfg = CorpusConfig(languages=("en",), min_quality=0.0, min_tokens=3)
+    b0 = spark.createDataFrame([], "doc_id long, text string")
+    fold_corpus_batch(spark, root, b0, 0, cfg)
+    # too short for min_tokens=3 -> gate-rejected, zero keepers
+    b1 = spark.createDataFrame([(1, "the cat")], "doc_id long, text string")
+    fold_corpus_batch(spark, root, b1, 1, cfg)
+    got = read_incremental_corpus(spark, root, cfg)
+    assert got["metrics"] == {
+        "n_batches": 2, "n_raw": 1, "n_quarantined": 0,
+        "n_gate_rejected": 1, "n_exact_dups": 0, "n_keepers": 0,
+    }
+    assert got["corpus"].count() == 0
+    b2 = spark.createDataFrame(
+        [(2, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    fold_corpus_batch(spark, root, b2, 2, cfg)
+    got = read_incremental_corpus(spark, root, cfg)
+    assert _ids(got["corpus"]) == {2}
+    assert got["metrics"]["n_keepers"] == 1
+
+
 def test_as_of_batch_time_travel(spark, sf_dir, root):
     """read_incremental_corpus(as_of_batch=N) reconstructs the corpus
     exactly as it stood after batch N committed — the keeper/pair/

@@ -167,6 +167,84 @@ def test_maintain_corpus_polls_migrates_and_stays_equivalent(
     }
 
 
+def test_maintain_between_live_stream_restarts(spark, sf_dir, root):
+    """The documented operational regime driven with REAL
+    StreamingQueries: run the stream to quiescence (availableNow),
+    stop, ``maintain_corpus`` (rebucket + regrow at aggressive
+    watermarks), append more input, RESTART on the SAME checkpoint.
+    The restarted query must resume from the checkpoint's offsets,
+    fold only the new files at the NEW geometry, and the final read
+    must equal the batch job — checkpoint reuse across maintenance is
+    the last operational gap the in-process interleaving tests could
+    not close."""
+    from rental_data_pipeline_spark.operators.dedup import duplicated_spans
+    from rental_data_pipeline_spark.operators.similarity import kmeans_train
+    from rental_data_pipeline_spark.streaming.corpus_stream import (
+        incremental_corpus_stream,
+    )
+
+    docs, streamed, holdout = _inputs(spark, sf_dir)
+    cfg = CorpusConfig(**CFG)
+    centroids, _ = kmeans_train(
+        load_table(spark, "embeddings", sf_dir).where("vec_id < 170"),
+        k=4, n_iter=2,
+    )
+    base = tempfile.mkdtemp(prefix="maintain_live_")
+    landing, ckpt = f"{base}/landing", f"{base}/ckpt"
+
+    def _append(lo, hi):
+        streamed.where(
+            (F.col("doc_id") >= lo) & (F.col("doc_id") < hi)
+        ).coalesce(1).write.mode("append").parquet(landing)
+
+    def _run():
+        q = incremental_corpus_stream(
+            spark.readStream.schema(streamed.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing),
+            root, ckpt, config=cfg, holdout=holdout,
+            ann_centroids=centroids, vec_col="embedding",
+            span_window=10, simhash_max_hamming=3,
+        )
+        assert q.awaitTermination(600)
+
+    try:
+        for lo, hi in RANGES[:2]:
+            _append(lo, hi)
+        _run()  # first life: folds two batches, then stops (quiescent)
+
+        rep = maintain_corpus(
+            spark, root,
+            target_rows_per_bucket=10, spans_target_rows_per_bucket=50,
+            n_iter=2,
+        )
+        # the tiny corpus is overgrown at these watermarks: both a
+        # rebucket (spans et al) and an ANN regrow actually ran
+        assert rep["tables"]["spans"]["due"] and rep["ran"]["spans"] is True
+        assert rep["tables"]["ann"]["due"] and rep["ran"]["ann"] is True
+
+        _append(*RANGES[2])
+        _run()  # second life: SAME checkpoint, new geometry
+
+        want = build_training_corpus(docs, holdout, cfg)
+        got = read_incremental_corpus(spark, root, cfg)
+        assert _ids(got["corpus"]) == _ids(want["corpus"])
+        assert _ids(got["curated"]) == _ids(want["curated"])
+        got_spans = {
+            (r.span_hash, r.keeper_id, r.n_copies, r.n_docs)
+            for r in got["duplicated_spans"].collect()
+        }
+        assert got_spans == {
+            (r.span_hash, r.keeper_id, r.n_copies, r.n_docs)
+            for r in duplicated_spans(got["keepers"], window=10).collect()
+        } and got_spans
+        # the restart really did resume, not replay: exactly 3 folded
+        # batches (2 first life + 1 second life)
+        assert got["metrics"]["n_batches"] == 3
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_frozen_semantic_threshold_reads_sem_meta(root):
     from rental_data_pipeline_spark.streaming.corpus_stream import (
         _frozen_semantic_threshold,
@@ -223,6 +301,44 @@ def test_maintain_compact_spans_resets_read_amplification(spark, root):
     rep = maintain_corpus(spark, root, compact_spans=True)
     assert "spans_compact" not in rep["ran"]
     assert _srows(read_duplicated_spans(spark, spans)) == want
+
+
+def test_spans_watermark_reports_gc_retention(spark, root):
+    """A GC grace window retains covered span slices for concurrent
+    readers — real disk at corpus scale — and the spans watermark must
+    meter it: ``covered_bytes_retained`` > 0 while the grace holds the
+    swept-over slices, 0 once a grace-0 sweep reclaims them."""
+    from tests.test_tiered_spans import _docs
+    from rental_data_pipeline_spark.streaming.incremental import (
+        set_gc_grace,
+        sweep_covered_slices,
+    )
+    from rental_data_pipeline_spark.streaming.span_stream import (
+        _reduce_span_stats,
+        fold_spans_batch,
+    )
+    from rental_data_pipeline_spark.streaming.tiered import (
+        suggest_rebucket_tiered,
+    )
+
+    spans = f"{root}/spans"
+    for i in range(3):
+        fold_spans_batch(
+            spark, spans, _docs(spark, [2 * i, 2 * i + 1]), i, window=10
+        )
+    set_gc_grace(spans, 3600.0)
+    maintain_corpus(spark, root, compact_spans=True)
+    sug = suggest_rebucket_tiered(spark, spans, _reduce_span_stats)
+    assert sug["live_slices"] == 1
+    assert sug["covered_bytes_retained"] > 0
+    # the maintenance report surfaces the same meter
+    rep = maintain_corpus(spark, root, dry_run=True)
+    assert rep["tables"]["spans"]["covered_bytes_retained"] > 0
+    set_gc_grace(spans, 0.0)
+    sweep_covered_slices(spans)
+    assert suggest_rebucket_tiered(
+        spark, spans, _reduce_span_stats
+    )["covered_bytes_retained"] == 0
 
 
 def _boom(*a, **k):

@@ -249,3 +249,29 @@ def test_stray_slice_copy_neither_crashes_nor_double_counts(spark, root):
     assert got["alpha"] == 6
     assert os.path.exists(f"{state}/df/c_000000000.bak")
     assert os.path.exists(f"{state}/df/c_junk")
+
+
+def test_covered_bytes_retained_counts_unswept_covered_dirs(root):
+    """The retention meter: bytes under covered-but-present dirs only —
+    live slices, strays and uncommitted compactions don't count, and a
+    sweep at grace 0 zeroes the meter."""
+    from rental_data_pipeline_spark.streaming.incremental import (
+        covered_bytes_retained,
+    )
+
+    for name in ("b_000000000", "b_000000001", "b_000000002"):
+        d = _mk(root, name)
+        with open(f"{d}/part-0.parquet", "w") as f:
+            f.write("x" * 100)
+    c = _mk(root, "c_000000000")
+    with open(f"{c}/_covered.json", "w") as f:
+        json.dump(["b_000000000", "b_000000001"], f)
+    assert covered_bytes_retained(root) == 200  # two covered dirs
+    # an uncommitted compaction's manifest gets no vote
+    c2 = os.path.join(root, "c_000000001")
+    os.makedirs(c2)
+    with open(f"{c2}/_covered.json", "w") as f:
+        json.dump(["b_000000002"], f)
+    assert covered_bytes_retained(root) == 200
+    sweep_covered_slices(root)  # grace 0 reclaims -> meter reads 0
+    assert covered_bytes_retained(root) == 0
