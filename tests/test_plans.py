@@ -280,3 +280,23 @@ def test_tiered_single_slice_read_skips_reduce_shuffle(spark, tmp_path):
     single.write.format("noop").mode("overwrite").save()
     sp = single._jdf.queryExecution().executedPlan().toString()
     assert _exchanges(sp) == 0, f"single-slice read must be a bare scan:\n{sp}"
+
+
+def test_registry_names_bind_their_own_functions():
+    """Every queries() entry must be the function registered UNDER its
+    name, and every entry must carry an oracle twin. A helper inserted
+    between a @register decorator and its query def silently rebinds
+    the registration to the helper (round-11 near-miss: four queries
+    briefly registered str-returning state builders); this gate makes
+    that a unit failure instead of a driver-run surprise."""
+    import rental_data_pipeline_spark.queries as registry
+
+    qs = registry.queries()
+    assert len(qs) == 50  # the driver checks exactly the first 50
+    for name, fn in qs.items():
+        assert callable(fn), name
+        assert fn.__name__ == name, (name, fn.__name__)
+    oracles = registry.oracles()
+    assert set(oracles) == set(qs)
+    for name, sql in oracles.items():
+        assert isinstance(sql, str) and sql.strip(), name
