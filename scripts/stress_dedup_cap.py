@@ -70,19 +70,37 @@ def main():
     n_docs = docs.count()
 
     out = {"sf_dir": sf_dir, "n_docs": n_docs, "boilerplate_shingles": 10}
-    for label, cap in (("uncapped", None), ("capped_df5", 5)):
-        # warm + timed (min of 2) like bench.py
-        best_pairs = best_dt = None
-        for _ in range(2):
-            n_pairs, dt = timed_pairs(docs, cap)
-            spark.catalog.clearCache()
-            if best_dt is None or dt < best_dt:
-                best_pairs, best_dt = n_pairs, dt
-        out[label] = {
-            **candidate_pairs(spark, docs, cap),
-            "survivor_pairs": best_pairs,
-            "sec": best_dt,
-        }
+    # third regime (round 11): the same cap with the hot-set broadcast
+    # DISABLED, forcing the shuffle anti-join fallback that guards the
+    # aggressive-cap/large-corpus case where the over-cap set outgrows
+    # broadcast range — measures what the guard costs when it fires.
+    # The uncapped blow-up runs LAST: its 100M-row join leaves JVM
+    # heap/GC churn that polluted successor regimes by 3-10x when it
+    # ran first (measured round 11 — interleaved A/B reads both capped
+    # paths at ~1.9 s where the polluted ordering read 25.7 s)
+    for label, cap, bcast_cap in (
+        ("capped_df5", 5, None),
+        ("capped_df5_shuffle_fallback", 5, 0),
+        ("uncapped", None, None),
+    ):
+        saved = D.HOT_SHINGLE_BROADCAST_CAP
+        if bcast_cap is not None:
+            D.HOT_SHINGLE_BROADCAST_CAP = bcast_cap
+        try:
+            # warm + timed (min of 2) like bench.py
+            best_pairs = best_dt = None
+            for _ in range(2):
+                n_pairs, dt = timed_pairs(docs, cap)
+                spark.catalog.clearCache()
+                if best_dt is None or dt < best_dt:
+                    best_pairs, best_dt = n_pairs, dt
+            out[label] = {
+                **candidate_pairs(spark, docs, cap),
+                "survivor_pairs": best_pairs,
+                "sec": best_dt,
+            }
+        finally:
+            D.HOT_SHINGLE_BROADCAST_CAP = saved
         spark.catalog.clearCache()
 
     docs.unpersist()
