@@ -67,9 +67,24 @@ class SafeObservation:
             raise RuntimeError("SafeObservation was never attached (use .on)")
         try:
             return dict(self._obs.get)
-        except Exception:
+        except Exception as e:
             # The expressions are unresolved Column trees — reusable
             # against the remembered frame; on the collapsed/empty plan
-            # this is a near-free single-row aggregate.
+            # this is a near-free single-row aggregate. The fallback
+            # can also fire on an unrelated .get failure (a transient
+            # bridge error) — the recomputed aggregate is still the
+            # correct value for the deterministic frames this wraps,
+            # but the swallowed error is surfaced as a warning so a
+            # systemic failure (every batch falling back and paying
+            # the recompute) is visible, not silent.
+            import warnings
+
+            warnings.warn(
+                "SafeObservation: metrics row unavailable "
+                f"({type(e).__name__}: {str(e)[:200]}); recomputing "
+                "the aggregates with one explicit job",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             row = self._df.agg(*self._exprs).collect()[0]
             return row.asDict()

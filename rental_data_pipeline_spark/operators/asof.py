@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 _SIDE = "__is_left"
 
@@ -67,8 +68,34 @@ def asof_join(
     # with NO deterministic order, so the matched payload depended on
     # input partitioning)
     keep_r = {key, time_col}
+    # When the tiebreak lives on BOTH sides with different types, the
+    # union column uses the WIDER numeric type internally (and the
+    # output casts left rows back to the left schema's type, a
+    # lossless round-trip): casting the right side DOWN to the left
+    # type would silently wrap out-of-range sort keys under non-ANSI
+    # (matching the wrong simultaneous right row) or abort per-row
+    # under ANSI. Incomparable type pairs raise at plan time.
+    tb_wide = None  # widened internal type, None = no widening needed
+    tb_left_type = None
     if tiebreak is not None and tiebreak in right.columns:
         keep_r.add(tiebreak)
+        if tiebreak in lcols:
+            lt = left.schema[tiebreak].dataType
+            rt = right.schema[tiebreak].dataType
+            if lt != rt:
+                order_of = {
+                    T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2,
+                    T.LongType: 3, T.FloatType: 4, T.DoubleType: 5,
+                }
+                if type(lt) not in order_of or type(rt) not in order_of:
+                    raise ValueError(
+                        f"asof_join: tiebreak {tiebreak!r} is typed "
+                        f"{lt.simpleString()} on the left but "
+                        f"{rt.simpleString()} on the right — only "
+                        "numeric width differences can be reconciled"
+                    )
+                tb_left_type = lt
+                tb_wide = lt if order_of[type(lt)] >= order_of[type(rt)] else rt
     # a tiebreak that lives only on the RIGHT side (a sequence number,
     # an event id) rides the union as an extra column: null for left
     # rows, the right row's value for right rows
@@ -85,21 +112,25 @@ def asof_join(
         ]
         extra_r = [F.col(tiebreak)]
     tagged_l = left.select(
-        *lcols,
+        *[
+            F.col(c).cast(tb_wide).alias(c)
+            if c == tiebreak and tb_wide is not None
+            else F.col(c)
+            for c in lcols
+        ],
         *extra_l,
         null_struct.alias("__r_payload"),
         F.lit(1).alias(_SIDE),
     )
     tagged_r = right.select(
         *[
-            # the carried tiebreak is cast to the LEFT schema's type
-            # like every other carried column: two sides typing the
-            # sequence column differently (int vs long is routine
-            # across ingest surfaces) would otherwise fail the union
-            # or silently widen the sort key
+            # the carried tiebreak joins the union at the widened
+            # type (see tb_wide above) — every other carried column
+            # keeps the right side's value cast to nothing (key/time
+            # types must already agree for the join to mean anything)
             (
-                F.col(c).cast(left.schema[c].dataType).alias(c)
-                if c == tiebreak
+                F.col(c).cast(tb_wide).alias(c)
+                if c == tiebreak and tb_wide is not None
                 else F.col(c)
             )
             if c in keep_r
@@ -146,7 +177,16 @@ def asof_join(
     if how == "inner":
         out = out.where(F.col("__asof_payload").isNotNull())
     return out.select(
-        *lcols,
+        *[
+            # the widened internal tiebreak casts back to the left
+            # schema's type — lossless for left rows (they started
+            # at that type), so the output contract (left schema
+            # preserved) holds
+            F.col(c).cast(tb_left_type).alias(c)
+            if c == tiebreak and tb_wide is not None
+            else F.col(c)
+            for c in lcols
+        ],
         *[F.col(f"__asof_payload.{c}").alias(f"asof_{c}") for c in right_payload],
     )
 

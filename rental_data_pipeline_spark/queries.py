@@ -921,6 +921,12 @@ NUMERIC_LITERALS: list[tuple[int, str | None]] = [
     # a silent 1000x corruption)
     (13, "85 000 ₽/мес."),
     (14, "1 234 567,25"),
+    # U+001C file separator: NOT Unicode White_Space, and measured
+    # unstripped by Java's (?U)\\s — both engines must parse this as
+    # 85.0 (extract stops at the control char); the literal pins the
+    # NEGATIVE case so neither oracle class nor engine regex quietly
+    # grows to strip the 1C-1F control block
+    (15, "85000"),
 ]
 
 

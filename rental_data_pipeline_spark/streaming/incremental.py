@@ -469,9 +469,7 @@ def sweep_covered_slices(
                 _shutil.rmtree(d, ignore_errors=True)
 
 
-def covered_bytes_retained(
-    root: str, commit_marker: str = "_SUCCESS"
-) -> int:
+def covered_bytes_retained(root: str) -> int:
     """On-disk bytes of slice dirs a COMMITTED manifest covers but the
     sweep has not yet reclaimed — the disk the GC grace window (plus
     any not-yet-run sweep) is holding for concurrent readers. Readers
@@ -479,19 +477,13 @@ def covered_bytes_retained(
     a 100 TB state a generous grace on the span table is real money,
     and the maintenance watermark must surface it rather than let it
     accrue invisibly. Driver-side filesystem walk only — no Spark job
-    (same discipline as :func:`parquet_rows`)."""
-    import glob as _glob
+    (same discipline as :func:`parquet_rows`). The covered set comes
+    from :func:`manifest_covered` — the SAME listing readers and
+    sweeps use, so the meter cannot drift from what they skip."""
     import os as _os
 
-    covered: set[str] = set()
-    for c in _glob.glob(f"{root}/c_*"):
-        if not C_SLICE_RE.fullmatch(_os.path.basename(c)):
-            continue
-        if not _os.path.exists(f"{c}/{commit_marker}"):
-            continue
-        covered.update(_read_manifest(f"{c}/_covered.json") or ())
     total = 0
-    for name in covered:
+    for name in manifest_covered(root):
         d = f"{root}/{name}"
         if not _os.path.isdir(d):
             continue
@@ -1099,27 +1091,32 @@ def bucketed_keyed_fold(
         # wedging every later read AND fold (reachable: a first batch
         # whose rows are all keyless-unmatched merges to zero rows
         # while touched is non-empty, xxhash64(NULL) being the seed).
-        # An empty DELTA over EMPTY prior state is a no-op: drop the
-        # dir, skip the commit (a replay recomputes the same nothing).
-        # Over NON-EMPTY prior state it means merge_fn deleted rows —
-        # a contract violation (see docstring): skipping the commit
-        # would silently resurrect them on the next read, so raise at
-        # the boundary instead. The target probe is one limit-1 job on
-        # this rare path only. An empty FULL commit rewrites as a
-        # schema-bearing plain frame — the legacy-flat shape the
-        # composed read already handles (bucket membership recomputed
-        # from meta).
+        # A zero-row merge over NON-EMPTY prior state means merge_fn
+        # deleted rows — a contract violation (see docstring) on BOTH
+        # commit shapes: a dropped DELTA commit would silently
+        # resurrect the rows on the next read, and an empty FULL
+        # commit (compaction cadence / needs_full) would silently
+        # truncate the whole state table. Raise at the boundary
+        # instead; the target probe is one limit-1 job on this rare
+        # path only. The empty dir is removed first so the raise
+        # leaves no part-file-less version to wedge later reads.
+        _shutil.rmtree(vdir, ignore_errors=True)
+        if target is not None and target.limit(1).count() > 0:
+            raise RuntimeError(
+                f"bucketed_keyed_fold: batch {batch_id} merged "
+                f"{'the full state' if full else str(len(touched)) + ' non-empty touched bucket(s)'} "
+                f"of '{state_path}' to ZERO rows — merge_fn violated "
+                "the non-deleting contract (the layout cannot commit "
+                "an emptied state; deletions must be status flips, "
+                "not dropped rows)"
+            )
+        # Legitimately empty: a DELTA over empty prior state is a
+        # no-op — skip the commit (a replay recomputes the same
+        # nothing). An empty FULL commit (first batch, keyless rows
+        # merging to nothing) rewrites as a schema-bearing plain frame
+        # — the legacy-flat shape the composed read already handles
+        # (bucket membership recomputed from meta).
         if not full:
-            _shutil.rmtree(vdir, ignore_errors=True)
-            if target is not None and target.limit(1).count() > 0:
-                raise RuntimeError(
-                    f"bucketed_keyed_fold: batch {batch_id} merged "
-                    f"{len(touched)} non-empty touched bucket(s) of "
-                    f"'{state_path}' to ZERO rows — merge_fn violated "
-                    "the non-deleting contract (the delta layout "
-                    "cannot commit an emptied bucket; deletions must "
-                    "be status flips, not dropped rows)"
-                )
             return
         sess.createDataFrame(
             [], out.drop(BUCKET_COL).schema

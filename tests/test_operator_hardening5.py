@@ -71,6 +71,29 @@ def test_asof_tiebreak_typed_differently_on_both_sides(spark):
     row = out.collect()[0]
     assert row.asof_tag == "hi" and row.seq == 7  # left keeps ITS seq
 
+    # the internal union widens (never narrows): a right seq beyond
+    # int range must keep its true sort order, not wrap — the larger
+    # value wins the backward tiebreak
+    wide_r = spark.createDataFrame(
+        [(1, 100, 2147483647, "old"), (1, 100, 2147483648, "new")],
+        "k long, t long, seq long, tag string",
+    )
+    wrow = asof_join(
+        left, wide_r, key="k", time_col="t",
+        right_payload=["tag"], tiebreak="seq",
+    ).collect()[0]
+    assert wrow.asof_tag == "new"
+
+    # incomparable tiebreak types raise at plan time, loudly
+    str_r = spark.createDataFrame(
+        [(1, 100, "a", "x")], "k long, t long, seq string, tag string"
+    )
+    with pytest.raises(ValueError, match="tiebreak"):
+        asof_join(
+            left, str_r, key="k", time_col="t",
+            right_payload=["tag"], tiebreak="seq",
+        )
+
 
 def test_bucketed_fold_deleting_merge_fn_raises(spark, outdir):
     """A merge_fn that empties non-empty touched buckets violates the
@@ -106,6 +129,22 @@ def test_bucketed_fold_deleting_merge_fn_raises(spark, outdir):
         merge_fn=lambda t, b: b.where(F.col("k").isNotNull()),
     )
     assert read_state_or_legacy(spark, state).count() == 2
+
+    # the guard must hold on FULL commits too (compaction cadence):
+    # an empty full snapshot would silently truncate the whole state
+    state3 = f"{outdir}/state3"
+    bucketed_keyed_fold(
+        spark.createDataFrame([(1, 10)], "k long, v long"),
+        0, state3, key="k", merge_fn=upsert, compact_every=1,
+    )
+    with pytest.raises(RuntimeError, match="non-deleting"):
+        bucketed_keyed_fold(
+            spark.createDataFrame([(2, 20)], "k long, v long"),
+            1, state3, key="k", compact_every=1,  # full commit
+            merge_fn=lambda t, b: b.where(F.lit(False)),
+        )
+    # the refused commit left no wedged part-file-less version behind
+    assert read_state_or_legacy(spark, state3).count() == 1
 
 
 def test_hot_shingle_cap_shuffle_fallback(spark, monkeypatch):
