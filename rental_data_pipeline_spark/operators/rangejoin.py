@@ -85,8 +85,13 @@ def point_in_interval_join(
         # matched keys with NULL-SAFE equality: a name-list anti join
         # uses null-unsafe equality, so a matched point carrying a NULL
         # in any column would fail to match itself and be re-emitted as
-        # a spurious unmatched row (duplicating it in the output)
-        matched = joined.drop("__bin")
+        # a spurious unmatched row (duplicating it in the output).
+        # The matched frame feeds BOTH output branches (the union and
+        # the anti-join key set); materialized once here so the
+        # explode+join subtree doesn't execute per branch — measured:
+        # at broadcast sizes nothing is exchange-reused and the
+        # Generate(explode) appeared twice in the executed plan
+        matched = joined.drop("__bin").localCheckpoint(eager=True)
         pa = p.drop("__bin").alias("__p")
         mk = matched.select(*points.columns).distinct().alias("__m")
         cond = None
@@ -119,7 +124,10 @@ def gapfill_locf(
     Ticks with an exact observation take that row's values; gap ticks
     inherit. Multiple observations inside one bucket: the last one (by
     ``ts_col``) wins — same the-batch-is-ordered-last-wins rule as the
-    CDC merge (``merge.py``). Returns (key, tick, *value_cols).
+    CDC merge (``merge.py``); EXACT ``ts_col`` ties break on the value
+    struct itself (largest wins), so the output is a pure function of
+    the data rather than of partition layout. Returns
+    (key, tick, *value_cols).
 
     Plan: groupBy(key) min/max → sequence/explode spine (map-side after
     one small agg shuffle), union with tagged observations, one window
@@ -158,10 +166,18 @@ def gapfill_locf(
     )
     # the spine row sorts after its bucket's observations (nulls last),
     # so the bucket's own observations are visible to it and the latest
-    # one wins; gap ticks inherit from earlier buckets.
+    # one wins; gap ticks inherit from earlier buckets. __v joins the
+    # sort (nulls first — spine rows stay last) so two observations
+    # with IDENTICAL (key, ts) resolve deterministically: without it,
+    # which row F.last picked depended on the partition's physical
+    # order
     w = (
         Window.partitionBy(key_col)
-        .orderBy(F.col("__tick").asc(), F.col("__ts").asc_nulls_last())
+        .orderBy(
+            F.col("__tick").asc(),
+            F.col("__ts").asc_nulls_last(),
+            F.col("__v").asc_nulls_last(),
+        )
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = spine.unionByName(obs).select(

@@ -21,6 +21,15 @@ from pyspark.sql import functions as F
 _BUCKETS = 10_000  # 0.01% sampling granularity
 
 
+def bucket_threshold(fraction: float) -> int:
+    """fraction -> bucket cutoff, ROUNDED: ``int()`` truncation turned
+    0.57 into 5699/10000 (float 0.57*10000 = 5699.999...), silently
+    losing a bucket that any independently written consumer computing
+    "bucket < 5700" disagrees on; cumulative split boundaries drifted
+    the same way."""
+    return int(round(fraction * _BUCKETS))
+
+
 def sample_bucket(key: Column | str, salt: str = "") -> Column:
     """Stable bucket in [0, 10000): first 8 hex chars of
     md5(salt || key) as an integer, mod 10000. Changing ``salt`` draws
@@ -35,7 +44,7 @@ def deterministic_sample(
 ) -> DataFrame:
     """Keep ~``fraction`` of rows, decided per-row by hash bucket.
     Map-side filter: no shuffle, no RNG state, reproducible anywhere."""
-    return df.where(sample_bucket(key_col, salt) < int(fraction * _BUCKETS))
+    return df.where(sample_bucket(key_col, salt) < bucket_threshold(fraction))
 
 
 def stratified_deterministic_sample(
@@ -49,7 +58,7 @@ def stratified_deterministic_sample(
     threshold = None
     for stratum, frac in fractions.items():
         cond = F.col(strata_col) == stratum
-        lim = F.lit(int(frac * _BUCKETS))
+        lim = F.lit(bucket_threshold(frac))
         threshold = F.when(cond, lim) if threshold is None else threshold.when(cond, lim)
     threshold = F.lit(0) if threshold is None else threshold.otherwise(F.lit(0))
     return df.where(sample_bucket(key_col, salt) < threshold)
@@ -120,7 +129,7 @@ def split_from_components(
     bucket = sample_bucket("component", salt)
     expr, lo = None, 0
     for name, frac in fractions.items():
-        hi = lo + int(frac * _BUCKETS)
+        hi = lo + bucket_threshold(frac)
         cond = (bucket >= F.lit(lo)) & (bucket < F.lit(hi))
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
         lo = hi
@@ -142,10 +151,24 @@ def exact_k_sample(
     (key, salt), independent of partitioning and row order, and the
     selection is uniform for hash-uniform keys. One shuffle (the
     ranking window); fraction-based :func:`deterministic_sample` stays
-    the map-side choice when approximate counts suffice."""
+    the map-side choice when approximate counts suffice.
+
+    When ``key_col`` is NOT unique, same-key rows tie on (hash, key);
+    the rank therefore carries a final ROW-CONTENT tiebreak (xxhash64
+    over every hashable column) so the surviving physical rows are a
+    pure function of the data too, not of partition layout — rows
+    identical in every hashable column remain interchangeable (map
+    columns can't hash and are excluded), which is the strongest
+    determinism the data admits."""
     from pyspark.sql import Window
+    from pyspark.sql import types as T
 
     h = F.xxhash64(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    hashable = [
+        f.name for f in df.schema.fields
+        if not isinstance(f.dataType, T.MapType)
+    ]
+    rh = F.xxhash64(*[F.col(c) for c in hashable])
     if not group_cols:
         # global exact-k: orderBy+limit plans as a distributed
         # TakeOrderedAndProject (per-partition top-k, merge on the
@@ -156,11 +179,12 @@ def exact_k_sample(
         # about.
         return (
             df.withColumn("__h", h)
-            .orderBy(F.col("__h"), F.col(key_col))
+            .withColumn("__rh", rh)
+            .orderBy(F.col("__h"), F.col(key_col), F.col("__rh"))
             .limit(int(k))
-            .drop("__h")
+            .drop("__h", "__rh")
         )
-    w = Window.partitionBy(*group_cols).orderBy(h, F.col(key_col))
+    w = Window.partitionBy(*group_cols).orderBy(h, F.col(key_col), rh)
     return (
         df.withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= k)

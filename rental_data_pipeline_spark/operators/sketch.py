@@ -178,6 +178,7 @@ WITH hashed AS (
   SELECT {g},
          ('0x' || substr(md5(CAST({value_col} AS VARCHAR)), 1, 15))::BIGINT AS h
   FROM {table}
+  WHERE {value_col} IS NOT NULL
 ),
 regs AS (
   SELECT {g}, h % {m} AS reg, h // {m} AS w FROM hashed
@@ -262,7 +263,14 @@ def countmin_sketch(
     MERGEABLE by bucket-wise SUM (counter addition is the sketch
     union), the same incremental-maintenance story as
     :func:`hll_registers`. Estimates overcount only (never under):
-    expected error ≤ 2N/w with probability 1-(1/2)^d."""
+    expected error ≤ 2N/w with probability 1-(1/2)^d.
+
+    NULL values are excluded (COUNT semantics ignore NULLs, matching
+    :func:`hll_registers`): ``_cm_bucket(NULL)`` is NULL, so a null
+    row would otherwise mint d junk ``__bucket=NULL`` counters — and a
+    NULL probe item's null-unsafe join would then read 0 hits and
+    certify frequency 0 for rows that exist."""
+    df = df.where(F.col(value_col).isNotNull())
     rows = df.select(
         *group_cols,
         F.explode(

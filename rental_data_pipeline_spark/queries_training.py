@@ -1736,7 +1736,8 @@ cmsk AS (
                ('0x' || substr(md5(CAST(i AS VARCHAR) || ':' ||
                                    CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
                % {_CM_WIDTH} AS bucket
-        FROM events CROSS JOIN (SELECT unnest(range({_CM_DEPTH})) AS i))
+        FROM events CROSS JOIN (SELECT unnest(range({_CM_DEPTH})) AS i)
+        WHERE user_id IS NOT NULL)
   GROUP BY 1, 2, 3),
 topu AS (
   SELECT event_type, user_id, cnt AS top_user_freq FROM (

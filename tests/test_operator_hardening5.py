@@ -170,3 +170,88 @@ def test_hot_shingle_cap_shuffle_fallback(spark, monkeypatch):
         for r in dedup.jaccard_pairs(df, **kw).collect()
     }
     assert got == want and want  # non-trivial: pair(1,2) survives
+
+
+def test_hll_and_countmin_ignore_nulls_and_oracles_agree(spark):
+    """COUNT-DISTINCT semantics ignore NULLs on BOTH engines: the HLL
+    oracle SQL must filter NULL values like hll_registers does (it
+    didn't — one NULL row read 3.02 against Spark's 2.01), and
+    countmin_sketch must not mint NULL-bucket junk counters."""
+    import duckdb
+
+    from rental_data_pipeline_spark.operators.sketch import (
+        countmin_lookup,
+        countmin_sketch,
+        hll_distinct,
+        hll_oracle_sql,
+    )
+
+    rows = [("a", "u1"), ("a", "u2"), ("a", None), ("a", "u1")]
+    df = spark.createDataFrame(rows, "g string, v string")
+    got = hll_distinct(df, ["g"], "v", p=8).collect()[0]
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t(g VARCHAR, v VARCHAR); "
+        "INSERT INTO t VALUES ('a','u1'),('a','u2'),('a',NULL),('a','u1')"
+    )
+    want = con.execute(hll_oracle_sql("t", ["g"], "v", p=8)).fetchone()
+    assert got.hll_estimate == pytest.approx(want[1]), (got, want)
+
+    sk = countmin_sketch(df, ["g"], "v", depth=4, width=64)
+    assert sk.where(F.col("__bucket").isNull()).count() == 0
+    items = spark.createDataFrame([("a", "u1")], "g string, v string")
+    est = countmin_lookup(sk, items, ["g"], "v", depth=4, width=64)
+    assert est.collect()[0].cm_estimate >= 2  # never undercounts
+
+
+def test_bucket_threshold_rounds(spark):
+    """int() truncation turned 0.57 into 5699/10000 — a silently lost
+    bucket every independent consumer disagrees on."""
+    from rental_data_pipeline_spark.operators.sampling import (
+        bucket_threshold,
+        deterministic_sample,
+    )
+
+    assert bucket_threshold(0.57) == 5700
+    assert bucket_threshold(0.2) == 2000
+    # the sample itself uses the rounded cutoff: a key whose bucket is
+    # exactly 5699 survives fraction=0.57
+    df = spark.range(2000).select(F.col("id").cast("string").alias("k"))
+    kept = deterministic_sample(df, "k", 0.57).count()
+    assert abs(kept / 2000 - 0.57) < 0.05
+
+
+def test_exact_k_sample_deterministic_on_nonunique_key(spark):
+    """With a non-unique key, same-key rows tie on (hash, key): the
+    row-content tiebreak makes the surviving physical rows a pure
+    function of the data, not the partition layout."""
+    from rental_data_pipeline_spark.operators.sampling import exact_k_sample
+
+    rows = [(i % 7, f"payload_{i}") for i in range(100)]
+    a = spark.createDataFrame(rows, "k long, p string").repartition(8, "p")
+    b = spark.createDataFrame(list(reversed(rows)), "k long, p string").coalesce(1)
+    pick = lambda df: sorted((r.k, r.p) for r in exact_k_sample(df, "k", 3, group_cols=["k"]).collect())
+    assert pick(a) == pick(b)
+    glob = lambda df: sorted((r.k, r.p) for r in exact_k_sample(df, "k", 10).collect())
+    assert glob(a) == glob(b)
+
+
+def test_gapfill_locf_duplicate_ts_deterministic(spark):
+    """Two observations with IDENTICAL (key, ts) but different values:
+    the value tiebreak picks one deterministically regardless of input
+    order or partitioning."""
+    from rental_data_pipeline_spark.operators.rangejoin import gapfill_locf
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 5.0),
+        (1, "2024-01-01 10:00:00", 9.0),
+    ]
+    mk = lambda rs, parts: spark.createDataFrame(rs, "k long, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    ).repartition(parts)
+    step = F.expr("INTERVAL 1 DAY")
+    out1 = gapfill_locf(mk(rows, 1), "k", "ts", ["v"], step).collect()
+    out2 = gapfill_locf(mk(list(reversed(rows)), 4), "k", "ts", ["v"], step).collect()
+    assert len(out1) == 1 and len(out2) == 1
+    assert out1[0].v == out2[0].v == 9.0  # largest value wins the tie
