@@ -350,9 +350,19 @@ def regrow_ann_index(
         default_nprobe=meta.get("defaults", {}).get("nprobe", 2),
         default_shortlist=meta.get("defaults", {}).get("shortlist", 50),
     )
-    # append slices are folded into the rebuilt base; batch-id claims
-    # reset with them (no manifest survives, so nothing can become
-    # invisible to the auto-id scan)
+    # append slices are folded into the rebuilt base — their batch-id
+    # claims must OUTLIVE the appends/ deletion (sidecar written
+    # first): a streaming replay of the last pre-regrow batch would
+    # otherwise re-append its vectors and silently duplicate them in
+    # the index. Crash between sidecar and rmtree: ids claimed AND
+    # slices present — the replay no-ops on either evidence, and the
+    # resume re-runs both steps idempotently.
+    commit_sub = "codes" if meta.get("pq") else "assignments"
+    claimed = _claimed_append_ids(index_path, commit_sub)
+    if claimed:
+        atomic_json_write(
+            f"{index_path}/_folded_bids.json", sorted(claimed)
+        )
     _shutil.rmtree(f"{index_path}/appends", ignore_errors=True)
     _os.remove(pending)  # commit point
     _shutil.rmtree(snap, ignore_errors=True)
@@ -523,6 +533,52 @@ def _read_codes(spark: SparkSession, index_path: str, meta: dict) -> DataFrame:
     return out
 
 
+def _folded_bids(index_path: str) -> set[int]:
+    """Batch ids folded into the BASE by a regrow — the sidecar claim
+    record (``_folded_bids.json``). A regrow deletes ``appends/``
+    wholesale after folding its content into the rebuilt base; without
+    a surviving claim, a streaming checkpoint replay of the last
+    pre-regrow batch would find neither its slice nor a covering
+    manifest and re-append its vectors — silent permanent duplication
+    in the index (the same replay window ``incremental._pruned_bids``
+    guards for version chains)."""
+    p = f"{index_path}/_folded_bids.json"
+    if not _os.path.exists(p):
+        return set()
+    try:
+        with open(p) as f:
+            return {int(x) for x in _json.load(f)}
+    except (ValueError, OSError):
+        return set()
+
+
+def _claimed_append_ids(index_path: str, commit_sub: str) -> set[int]:
+    """Every batch id whose vectors the index already holds: committed
+    append slices, ids covered by committed compaction manifests, and
+    the regrow-folded sidecar claims."""
+    import glob as _glob
+
+    from rental_data_pipeline_spark.streaming.incremental import (
+        B_SLICE_RE,
+        _read_manifest,
+    )
+
+    out = _folded_bids(index_path)
+    for d in _glob.glob(f"{index_path}/appends/b_*"):
+        name = _os.path.basename(d)
+        if B_SLICE_RE.fullmatch(name) and _os.path.exists(
+            f"{d}/{commit_sub}/_SUCCESS"
+        ):
+            out.add(int(name[2:]))
+    for c in _glob.glob(f"{index_path}/appends/c_*"):
+        if not _os.path.exists(f"{c}/{commit_sub}/_SUCCESS"):
+            continue
+        for name in _read_manifest(f"{c}/_covered.json") or []:
+            if B_SLICE_RE.fullmatch(name):
+                out.add(int(name[2:]))
+    return out
+
+
 def append_ann_index(
     df: DataFrame,
     index_path: str,
@@ -575,11 +631,19 @@ def append_ann_index(
             for name in covered or []:
                 if B_SLICE_RE.fullmatch(name):
                     existing.append(int(name[2:]))
+        # regrow-folded claims count too: reusing one of their ids
+        # would alias a new slice onto a batch the base already holds
+        existing.extend(_folded_bids(index_path))
         batch_id = max(existing, default=-1) + 1
     sdir = f"{index_path}/appends/b_{batch_id:09d}"
     commit_sub = "codes" if meta.get("pq") else "assignments"
     if _os.path.exists(f"{sdir}/{commit_sub}/_SUCCESS"):
         return  # committed replay: no-op
+    if batch_id in _folded_bids(index_path):
+        # folded into the BASE by a regrow (appends/ cleared): a
+        # checkpoint replay of the last pre-regrow batch — committed
+        # replay, no-op; re-appending would duplicate its vectors
+        return
     # a batch id a live compaction manifest covers was folded then
     # compacted away: committed replay — no-op, like the _SUCCESS path
     # (rewriting it would produce a permanently invisible slice; the

@@ -235,7 +235,12 @@ def fold_index_batch(
                 catchup_components,
             )
 
-            catchup_components(spark, index_path, labels_path)
+            # forward the caller's cadence: the labels store must
+            # compact on the SAME compact_every knob as the band/
+            # shingle tables, not its own default
+            catchup_components(
+                spark, index_path, labels_path, compact_every=compact_every
+            )
 
     pairs_dir = _batch_dir(index_path, _PAIRS, batch_id)
     if _os.path.exists(f"{pairs_dir}/_SUCCESS"):

@@ -26,8 +26,9 @@ batch operator makes, with ``n_cells`` growing ~√N at scale — and
 never a rescan of previously labelled docs.
 
 Union of committed slices ≡ ``semantic_dedup`` over the full corpus
-with the same centroids (the equivalence pytest,
-``tests/test_semantic_stream.py``). Zero-norm vectors are dropped
+with the same centroids (the equivalence pytests:
+``tests/test_corpus_stream.py``'s semantic_dropped equality and
+``tests/test_semantic_regrow.py``). Zero-norm vectors are dropped
 uniformly (they are absent from the index and from the batch operator
 — the shared cosine-path contract).
 
@@ -109,6 +110,26 @@ def fold_semantic_batch(
             f"semantic label migration in progress ({_SEM_PENDING} exists):"
             f" {sem_path} — re-run regrow_semantic_cells to finish it"
         )
+    # a regrow's consolidated relabel covers every vector the INDEX
+    # held at relabel time — including a batch whose append committed
+    # but whose fold crashed before its slice commit (replayed whole:
+    # batch_id ≤ index_as_of), and vectors that entered WITHOUT an
+    # append claim (a direct same-cell rebuild over a grown corpus).
+    # Ids are monotonic, so the relabel corpus's max vec_id is a
+    # row-level cut: fold only rows above it — re-labelling covered
+    # rows would return their vec_ids twice from every read.
+    cut = -1
+    for c in _glob.glob(f"{sem_path}/c_*"):
+        if not C_SLICE_RE.fullmatch(_os.path.basename(c)):
+            continue
+        info = _regrow_info(c)
+        if info is None:
+            continue
+        if batch_id <= int(info.get("index_as_of", -1)):
+            return  # whole batch appended pre-relabel: committed replay
+        cut = max(cut, int(info.get("max_vec_id", -1)))
+    if cut >= 0:
+        batch = batch.where(F.col(id_col) > cut)
     if _os.path.exists(sdir):
         _shutil.rmtree(sdir, ignore_errors=True)
     _os.makedirs(sem_path, exist_ok=True)
@@ -203,7 +224,22 @@ def read_semantic_labels(
     Per-batch ``b_*`` slices are retained (never deleted) even when a
     regrow's manifest supersedes them for live reads, so history picks
     the latest regrow whose cut-point ≤ N (if any) plus the retained
-    ``b_*`` slices in between — the corpus-event-log contract."""
+    ``b_*`` slices in between — the corpus-event-log contract.
+
+    Refuses while a regrow migration is staged (the sibling stores'
+    read discipline): between the index regrow's commit and the
+    relabel's, the slices carry OLD-geometry labels while the index
+    serves NEW centroids — returning them would silently mix decision
+    spaces, exactly what the fold's own pending guard exists to
+    prevent."""
+    pending = f"{sem_path}/{_SEM_PENDING}"
+    if _os.path.exists(pending):
+        raise RuntimeError(
+            f"semantic labels at '{sem_path}' have a staged regrow "
+            "migration pending — finish it (re-run "
+            "regrow_semantic_cells with the staged parameters, or "
+            "maintain_corpus) before reading"
+        )
     if as_of_batch is None:
         dirs = sliced_committed(sem_path)
         if not dirs:
@@ -301,6 +337,13 @@ def regrow_semantic_cells(
         and cur["n_cells"] == int(new_n_cells)
         and float(cur["threshold"]) == float(threshold)
         and not _os.path.exists(pending)
+        # same parameters are NOT sufficient to no-op: a same-cell-count
+        # index rebuild (the documented centroid-drift maintenance)
+        # changes the centroids, fold_semantic_batch refuses on the
+        # fingerprint mismatch and points HERE — returning False would
+        # wedge the fold permanently with no migration to run
+        and cur.get("centroid_md5")
+        == _centroid_fingerprint(_read_centroids(spark, index_path))
     ):
         return False
     _os.makedirs(sem_path, exist_ok=True)
@@ -321,12 +364,33 @@ def regrow_semantic_cells(
         covered = sorted(
             _os.path.basename(d) for d in sliced_committed(sem_path)
         )
+        # the INDEX-side cut: the highest batch id whose vectors the
+        # index holds (committed appends + regrow-folded claims). The
+        # relabel covers every index vector, so a batch whose APPEND
+        # committed but whose semantic fold crashed before its slice
+        # commit (batch index_as_of, label as_of < index_as_of) is
+        # labelled by the consolidated c_* — its replayed fold must
+        # no-op, or the labels double. Staged BEFORE regrow_ann_index
+        # clears appends/.
+        from rental_data_pipeline_spark.operators.ann_index import (
+            _claimed_append_ids,
+        )
+
+        idx_meta = read_meta(index_path, allow_pending=True)
+        index_as_of = max(
+            _claimed_append_ids(
+                index_path,
+                "codes" if idx_meta.get("pq") else "assignments",
+            ),
+            default=-1,
+        )
         atomic_json_write(
             pending,
             {
                 "n_cells": int(new_n_cells),
                 "threshold": float(threshold),
                 "as_of": as_of,
+                "index_as_of": index_as_of,
                 "covered": covered,
             },
         )
@@ -349,6 +413,10 @@ def regrow_semantic_cells(
         )
 
     regrow_ann_index(spark, index_path, int(stage["n_cells"]), n_iter=n_iter)
+    # the geometry the relabel must be computed in: the index's
+    # POST-regrow centroids (known only now — an n_cells migration
+    # retrains them inside regrow_ann_index)
+    fp = _centroid_fingerprint(_read_centroids(spark, index_path))
 
     # relabel the whole corpus under the new geometry, unless a resume
     # already committed it
@@ -367,6 +435,12 @@ def regrow_semantic_cells(
             # skip the relabel and stamp the new threshold over labels
             # computed at the old one
             and float(info["threshold"]) == float(stage["threshold"])
+            # and the centroid fingerprint: a centroid-drift relabel
+            # (same n_cells, same threshold — the index was rebuilt)
+            # shares all three fields with the OLD slice; matching it
+            # would skip the relabel and stamp the new fingerprint
+            # over labels computed in the old decision space
+            and info.get("centroid_md5") == fp
         ):
             done = c
             break
@@ -398,12 +472,19 @@ def regrow_semantic_cells(
             id_col="vec_id",
             vec_col="v",
         ).write.parquet(cdir)
+        # the row-level replay cut: every vec_id ≤ this is labelled by
+        # THIS slice (ids are monotonic), whether it entered the index
+        # by claimed append or by a direct rebuild
+        mx = corpus.agg(F.max("vec_id")).collect()[0][0]
         atomic_json_write(
             f"{cdir}/_regrow.json",
             {
                 "as_of": stage["as_of"],
+                "index_as_of": stage.get("index_as_of", -1),
+                "max_vec_id": int(mx) if mx is not None else -1,
                 "n_cells": stage["n_cells"],
                 "threshold": stage["threshold"],
+                "centroid_md5": fp,
             },
         )
         atomic_json_write(f"{cdir}/_covered.json", stage["covered"])
@@ -413,9 +494,7 @@ def regrow_semantic_cells(
         {
             "n_cells": stage["n_cells"],
             "threshold": stage["threshold"],
-            "centroid_md5": _centroid_fingerprint(
-                _read_centroids(spark, index_path)
-            ),
+            "centroid_md5": fp,
         },
     )
     _os.remove(pending)  # commit point

@@ -521,3 +521,121 @@ def test_regrow_preserves_pq_at_production_geometry(
         ).collect()
     )
     assert a == b and a
+
+
+def test_same_cell_count_rebuild_is_migratable(spark, sf_dir, tmp_path):
+    """The documented centroid-drift maintenance (a same-n_cells index
+    rebuild) changes the centroids: the fold refuses on the
+    fingerprint mismatch and points at regrow_semantic_cells — which
+    used to no-op on matching parameters, wedging the fold
+    permanently. It must relabel on the fingerprint alone."""
+    embs, chunks = _chunks(spark, sf_dir)
+    idx, sem = str(tmp_path / "idx"), str(tmp_path / "sem")
+    build_ann_index(chunks[0], idx, n_cells=2, n_iter=2)
+    fold_semantic_batch(spark, idx, sem, chunks[0], 0, threshold=THRESH)
+
+    # offline rebuild at the SAME n_cells over a grown corpus:
+    # different training set -> different centroids, same geometry size
+    build_ann_index(
+        chunks[0].unionByName(chunks[1]), idx, n_cells=2, n_iter=2
+    )
+    with pytest.raises(RuntimeError, match="regrow_semantic_cells"):
+        fold_semantic_batch(spark, idx, sem, chunks[1], 1, threshold=THRESH)
+    # same parameters, but the centroid fingerprint differs -> migrate
+    assert regrow_semantic_cells(
+        spark, idx, sem, new_n_cells=2, threshold=THRESH, n_iter=2
+    ) is True
+    # the stream continues; labels equal the batch operator at the
+    # rebuilt centroids over the whole corpus
+    fold_semantic_batch(spark, idx, sem, chunks[1], 1, threshold=THRESH)
+    got = _rows(read_semantic_labels(spark, sem))
+    want = _rows(
+        semantic_dedup(
+            chunks[0].unionByName(chunks[1]),
+            threshold=THRESH,
+            centroids=index_centroids(spark, idx),
+        )
+    )
+    assert got == want and got
+    # converged: a repeat call with unchanged geometry no-ops
+    assert regrow_semantic_cells(
+        spark, idx, sem, new_n_cells=2, threshold=THRESH, n_iter=2
+    ) is False
+
+
+def test_replay_after_regrow_neither_duplicates_index_nor_labels(
+    spark, sf_dir, tmp_path
+):
+    """Crash window: batch 1's APPEND committed but its semantic fold
+    did not; the regrow then folds batch 1's vectors into the rebuilt
+    base and the consolidated relabel covers them. The restarted
+    stream replays batch 1 — the append must no-op (its id is claimed
+    by the regrow sidecar, not by a slice the regrow deleted) and the
+    fold must no-op (the c_* covers it), or vectors and labels
+    double."""
+    from rental_data_pipeline_spark.operators.ann_index import (
+        _read_assignments,
+    )
+
+    embs, chunks = _chunks(spark, sf_dir)
+    idx, sem = str(tmp_path / "idx"), str(tmp_path / "sem")
+    build_ann_index(chunks[0], idx, n_cells=2, n_iter=2)
+    fold_semantic_batch(spark, idx, sem, chunks[0], 0, threshold=THRESH)
+    append_ann_index(chunks[1], idx, batch_id=1)
+    # (crash here: batch 1's fold_semantic_batch never ran)
+
+    assert regrow_semantic_cells(
+        spark, idx, sem, new_n_cells=4, threshold=THRESH, n_iter=2
+    )
+    n_vecs = _read_assignments(spark, idx, read_meta(idx)).count()
+    labels = read_semantic_labels(spark, sem)
+    n_labels = labels.count()
+    assert labels.select("vec_id").distinct().count() == n_labels
+
+    # restart: the stream replays batch 1 (append + fold)
+    append_ann_index(chunks[1], idx, batch_id=1)
+    fold_semantic_batch(spark, idx, sem, chunks[1], 1, threshold=THRESH)
+    assert _read_assignments(spark, idx, read_meta(idx)).count() == n_vecs
+    labels2 = read_semantic_labels(spark, sem)
+    assert labels2.count() == n_labels
+    assert labels2.select("vec_id").distinct().count() == n_labels
+    # and genuinely NEW batches still fold
+    fold_semantic_batch(spark, idx, sem, chunks[2], 2, threshold=THRESH)
+    assert read_semantic_labels(spark, sem).count() > n_labels
+
+
+def test_read_semantic_labels_refuses_pending(spark, tmp_path):
+    """Mid-migration reads must refuse like every sibling store: the
+    slices carry old-geometry labels while the index already serves
+    new centroids."""
+    sem = str(tmp_path / "sem")
+    os.makedirs(sem)
+    with open(f"{sem}/_sem_meta.json.pending", "w") as f:
+        json.dump({"n_cells": 4, "threshold": 0.3}, f)
+    with pytest.raises(RuntimeError, match="pending"):
+        read_semantic_labels(spark, sem)
+
+
+def test_fold_index_batch_forwards_compact_every(spark, sf_dir, tmp_path, monkeypatch):
+    """The labels store must compact on the caller's cadence, not its
+    own default."""
+    from rental_data_pipeline_spark.streaming import components
+    from rental_data_pipeline_spark.streaming.dedup_index import (
+        fold_index_batch,
+    )
+
+    seen = {}
+    orig = components.catchup_components
+
+    def spy(spark, index_path, labels_path, compact_every=16):
+        seen["compact_every"] = compact_every
+        return orig(spark, index_path, labels_path, compact_every=compact_every)
+
+    monkeypatch.setattr(components, "catchup_components", spy)
+    docs = load_table(spark, "documents", sf_dir).select("doc_id", "text")
+    fold_index_batch(
+        spark, str(tmp_path / "index"),
+        docs.where("doc_id < 40"), 0,
+        compact_every=4, labels_path=str(tmp_path / "labels"),
+    )
+    assert seen["compact_every"] == 4
