@@ -68,14 +68,26 @@ class SafeObservation:
         try:
             return dict(self._obs.get)
         except Exception as e:
+            # Fall back ONLY on the empty-plan-collapse signatures: the
+            # metrics row is missing, so the JVM-side getRow()/toPyRow
+            # path dies on a null row (Py4J NullPointerException /
+            # assertion mentioning toPyRow or CollectMetrics) or the
+            # pickle of a null row fails (EOFError / UnpicklingError /
+            # NoneType TypeError). Anything else — an interrupted job,
+            # a dead gateway, a real bridge bug — re-raises: silently
+            # recomputing there could return a value that differs from
+            # what the completed action actually observed.
+            if not self._is_missing_row_error(e):
+                raise
             # The expressions are unresolved Column trees — reusable
             # against the remembered frame; on the collapsed/empty plan
-            # this is a near-free single-row aggregate. The fallback
-            # can also fire on an unrelated .get failure (a transient
-            # bridge error) — the recomputed aggregate is still the
-            # correct value for the deterministic frames this wraps,
-            # but the swallowed error is surfaced as a warning so a
-            # systemic failure (every batch falling back and paying
+            # this is a near-free single-row aggregate. NOTE the
+            # contract: the wrapped frame must be DETERMINISTIC (true
+            # of every current site — counters over checkpointed or
+            # pure-function batches); a nondeterministic frame would
+            # make the recomputed value differ from what the completed
+            # action observed. The fallback is surfaced as a warning so
+            # a systemic failure (every batch falling back and paying
             # the recompute) is visible, not silent.
             import warnings
 
@@ -88,3 +100,22 @@ class SafeObservation:
             )
             row = self._df.agg(*self._exprs).collect()[0]
             return row.asDict()
+
+    @staticmethod
+    def _is_missing_row_error(e: Exception) -> bool:
+        """True iff ``e`` matches a known missing-metrics-row signature
+        (the optimizer dropped the CollectMetrics node from an empty
+        plan), as opposed to an unrelated bridge failure."""
+        import pickle
+
+        if isinstance(e, (EOFError, pickle.UnpicklingError)):
+            return True  # CPickleSerializer().loads on a null row
+        text = f"{type(e).__name__}: {e}"
+        needles = (
+            "toPyRow",
+            "CollectMetrics",
+            "NullPointerException",
+            "NoneType",          # TypeError unpickling a null jrow
+            "AssertionError",    # jrow-present assertion variants
+        )
+        return any(n in text for n in needles)

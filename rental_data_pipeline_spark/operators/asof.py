@@ -69,33 +69,43 @@ def asof_join(
     # input partitioning)
     keep_r = {key, time_col}
     # When the tiebreak lives on BOTH sides with different types, the
-    # union column uses the WIDER numeric type internally (and the
-    # output casts left rows back to the left schema's type, a
-    # lossless round-trip): casting the right side DOWN to the left
-    # type would silently wrap out-of-range sort keys under non-ANSI
-    # (matching the wrong simultaneous right row) or abort per-row
-    # under ANSI. Incomparable type pairs raise at plan time.
-    tb_wide = None  # widened internal type, None = no widening needed
-    tb_left_type = None
+    # ORDERING runs on a shadow ``__tb_sort`` column cast to a common
+    # comparison type, and the emitted left column is never touched
+    # (so no value in the output can be corrupted by a round-trip
+    # cast). Comparison type: the wider integral type when both sides
+    # are integral (lossless), else DoubleType — exact for every
+    # float/double and for integers up to 2^53; a long tiebreak past
+    # 2^53 compared against a fractional side can collapse
+    # near-adjacent SORT keys (the emitted values stay exact), which
+    # is the best any shared numeric comparison type can do.
+    # Incomparable type pairs raise at plan time.
+    tb_sort_type = None  # shadow comparison type, None = order on the column
     if tiebreak is not None and tiebreak in right.columns:
         keep_r.add(tiebreak)
         if tiebreak in lcols:
             lt = left.schema[tiebreak].dataType
             rt = right.schema[tiebreak].dataType
             if lt != rt:
-                order_of = {
-                    T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2,
-                    T.LongType: 3, T.FloatType: 4, T.DoubleType: 5,
+                integral = {
+                    T.ByteType: 0, T.ShortType: 1,
+                    T.IntegerType: 2, T.LongType: 3,
                 }
-                if type(lt) not in order_of or type(rt) not in order_of:
+                fractional = (T.FloatType, T.DoubleType)
+                lt_ok = type(lt) in integral or isinstance(lt, fractional)
+                rt_ok = type(rt) in integral or isinstance(rt, fractional)
+                if not (lt_ok and rt_ok):
                     raise ValueError(
                         f"asof_join: tiebreak {tiebreak!r} is typed "
                         f"{lt.simpleString()} on the left but "
                         f"{rt.simpleString()} on the right — only "
                         "numeric width differences can be reconciled"
                     )
-                tb_left_type = lt
-                tb_wide = lt if order_of[type(lt)] >= order_of[type(rt)] else rt
+                if type(lt) in integral and type(rt) in integral:
+                    tb_sort_type = (
+                        lt if integral[type(lt)] >= integral[type(rt)] else rt
+                    )
+                else:
+                    tb_sort_type = T.DoubleType()
     # a tiebreak that lives only on the RIGHT side (a sequence number,
     # an event id) rides the union as an extra column: null for left
     # rows, the right row's value for right rows
@@ -111,26 +121,32 @@ def asof_join(
             F.lit(None).cast(right.schema[tiebreak].dataType).alias(tiebreak)
         ]
         extra_r = [F.col(tiebreak)]
+    # shadow sort column (both sides cast to the shared comparison
+    # type; the real tiebreak column rides the union at the LEFT type
+    # untouched — right rows null it, their value only ever mattered
+    # for ordering, which the shadow now owns)
+    shadow_l: list = []
+    shadow_r: list = []
+    if tb_sort_type is not None:
+        shadow_l = [F.col(tiebreak).cast(tb_sort_type).alias("__tb_sort")]
+        shadow_r = [F.col(tiebreak).cast(tb_sort_type).alias("__tb_sort")]
     tagged_l = left.select(
-        *[
-            F.col(c).cast(tb_wide).alias(c)
-            if c == tiebreak and tb_wide is not None
-            else F.col(c)
-            for c in lcols
-        ],
+        *[F.col(c) for c in lcols],
         *extra_l,
+        *shadow_l,
         null_struct.alias("__r_payload"),
         F.lit(1).alias(_SIDE),
     )
     tagged_r = right.select(
         *[
-            # the carried tiebreak joins the union at the widened
-            # type (see tb_wide above) — every other carried column
-            # keeps the right side's value cast to nothing (key/time
-            # types must already agree for the join to mean anything)
+            # a shadowed tiebreak is nulled at the left type (its
+            # ordering role moved to __tb_sort); every other carried
+            # column keeps the right side's value cast to nothing
+            # (key/time types must already agree for the join to
+            # mean anything)
             (
-                F.col(c).cast(tb_wide).alias(c)
-                if c == tiebreak and tb_wide is not None
+                F.lit(None).cast(left.schema[c].dataType).alias(c)
+                if c == tiebreak and tb_sort_type is not None
                 else F.col(c)
             )
             if c in keep_r
@@ -138,6 +154,7 @@ def asof_join(
             for c in lcols
         ],
         *extra_r,
+        *shadow_r,
         payload_struct.alias("__r_payload"),
         F.lit(0).alias(_SIDE),
     ).where(
@@ -153,17 +170,18 @@ def asof_join(
     # simultaneous right rows: max for backward, min for forward).
     # Null left times sort FIRST in both directions, so they see no
     # right rows and stay unmatched (left.time NULL compares unknown).
+    tb_order = "__tb_sort" if tb_sort_type is not None else tiebreak
     if direction == "backward":
         order = [F.col(time_col).asc_nulls_first(), F.col(_SIDE).asc()]
         if tiebreak:
-            order.append(F.col(tiebreak).asc_nulls_first())
+            order.append(F.col(tb_order).asc_nulls_first())
     else:
         # forward = the same scan in reverse time order: the running
         # last-non-null payload is then the EARLIEST right row at or
         # after the left row's time
         order = [F.col(time_col).desc_nulls_first(), F.col(_SIDE).asc()]
         if tiebreak:
-            order.append(F.col(tiebreak).desc_nulls_first())
+            order.append(F.col(tb_order).desc_nulls_first())
     w = (
         Window.partitionBy(key)
         .orderBy(*order)
@@ -177,16 +195,10 @@ def asof_join(
     if how == "inner":
         out = out.where(F.col("__asof_payload").isNotNull())
     return out.select(
-        *[
-            # the widened internal tiebreak casts back to the left
-            # schema's type — lossless for left rows (they started
-            # at that type), so the output contract (left schema
-            # preserved) holds
-            F.col(c).cast(tb_left_type).alias(c)
-            if c == tiebreak and tb_wide is not None
-            else F.col(c)
-            for c in lcols
-        ],
+        # left columns pass through untouched — the tiebreak was
+        # never cast (ordering ran on the __tb_sort shadow), so the
+        # output contract (left schema preserved, values exact) holds
+        *[F.col(c) for c in lcols],
         *[F.col(f"__asof_payload.{c}").alias(f"asof_{c}") for c in right_payload],
     )
 

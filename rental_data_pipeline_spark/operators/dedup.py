@@ -46,6 +46,12 @@ SIMHASH_BANDS = 4  # 8 bits per band → candidates within Hamming radius
 # row overhead ≈ tens of MB per executor — comfortably under Spark's
 # broadcast ceiling with headroom for wide shingle strings)
 HOT_SHINGLE_BROADCAST_CAP = 1_000_000
+# salt fan-out for the shuffle anti-join fallback: a hot shingle's
+# rows spread over this many (shingle, salt) partitions, bounding any
+# single task to df/NSALT rows; the small side replicates each
+# over-cap shingle NSALT times (NSALT x HOT_SHINGLE_BROADCAST_CAP-min
+# rows worst case — still a thin two-column shuffle)
+HOT_SHINGLE_SALTS = 32
 
 
 import threading as _threading
@@ -553,23 +559,62 @@ def _cap_hot_shingles(exploded: DataFrame, max_doc_freq: int) -> DataFrame:
     "Usually" is not a guarantee: an aggressive cap (small
     ``max_doc_freq``) over a large corpus can push the over-cap set
     far beyond broadcast range — an unbounded driver-collect/8 GB
-    exchange replacing the straggler it was built to avoid. The hot
-    set is therefore materialized once (localCheckpoint — the same
-    aggregation the broadcast build would have executed anyway),
-    counted, and the join strategy chosen from the count: broadcast
-    under :data:`HOT_SHINGLE_BROADCAST_CAP` rows, shuffle anti-join
-    above it (both sides hash-partition on shingle; the hot keys are
-    on the SMALL side, so no skewed task reappears)."""
+    exchange replacing the straggler it was built to avoid. The guard
+    therefore probes the hot set with ONE bounded job:
+    ``limit(CAP+1).collect()`` over the aggregated over-cap set. At or
+    under :data:`HOT_SHINGLE_BROADCAST_CAP` rows the collected set IS
+    the broadcast side (a local relation — no recompute, no checkpoint,
+    and when it is empty, the common case, no join node at all); above
+    the cap the guard falls back to a SALTED shuffle anti-join against
+    the persisted aggregate (persist, not localCheckpoint: lineage
+    survives executor loss under the multi-hour downstream join).
+
+    The salt is load-bearing. A plain anti-join hash-partitions the
+    big exploded side on ``shingle``, concentrating a ubiquitous
+    shingle's rows in ONE task — and AQE's skew split can never save
+    it: ``OptimizeSkewedJoin`` only matches a SortMergeJoin whose
+    children are bare ENSURE_REQUIREMENTS shuffles directly under
+    Sort, and this join's right side is a persisted aggregate
+    (TableCacheQueryStage / HashAggregate above the shuffle), so the
+    pattern never fires (verified against the executed plan —
+    ``tests/test_operator_hardening5.py``). Salting is the deterministic,
+    AQE-independent answer: the big side keys on (shingle,
+    xxhash64(doc) % NSALT) so a hot shingle spreads over
+    :data:`HOT_SHINGLE_SALTS` partitions, the small side replicates
+    each hot shingle NSALT times (bounded: NSALT x over-cap rows).
+    ``scripts/stress_dedup_cap.py`` measures the regime."""
     hot = (
         exploded.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__df"))
         .where(F.col("__df") > max_doc_freq)
         .select("shingle")
-        .localCheckpoint(eager=True)
+        .persist()
     )
-    if hot.count() <= HOT_SHINGLE_BROADCAST_CAP:
-        return exploded.join(F.broadcast(hot), "shingle", "left_anti")
-    return exploded.join(hot, "shingle", "left_anti")
+    probe = hot.limit(HOT_SHINGLE_BROADCAST_CAP + 1).collect()
+    if len(probe) <= HOT_SHINGLE_BROADCAST_CAP:
+        hot.unpersist()
+        if not probe:
+            return exploded
+        local = exploded.sparkSession.createDataFrame(probe, hot.schema)
+        return exploded.join(F.broadcast(local), "shingle", "left_anti")
+    other = [c for c in exploded.columns if c != "shingle"]
+    salted = exploded.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in other]),
+               F.lit(HOT_SHINGLE_SALTS)).cast("int"),
+    )
+    # sequence(int, int) yields array<int>, matching the cast salt
+    hot_salted = hot.select(
+        "shingle",
+        F.explode(
+            F.sequence(F.lit(0), F.lit(HOT_SHINGLE_SALTS - 1))
+        ).alias("__salt"),
+    )
+    return (
+        salted.join(hot_salted, ["shingle", "__salt"], "left_anti")
+        .drop("__salt")
+        .select(*exploded.columns)
+    )
 
 
 def _pair_counts(exploded: DataFrame, sizes: DataFrame) -> DataFrame:

@@ -87,11 +87,15 @@ def point_in_interval_join(
         # in any column would fail to match itself and be re-emitted as
         # a spurious unmatched row (duplicating it in the output).
         # The matched frame feeds BOTH output branches (the union and
-        # the anti-join key set); materialized once here so the
-        # explode+join subtree doesn't execute per branch — measured:
-        # at broadcast sizes nothing is exchange-reused and the
-        # Generate(explode) appeared twice in the executed plan
-        matched = joined.drop("__bin").localCheckpoint(eager=True)
+        # the anti-join key set); persisted so the explode+join subtree
+        # computes once across branches — measured: at broadcast sizes
+        # nothing is exchange-reused and the Generate(explode) appeared
+        # twice in the executed plan. persist (not localCheckpoint):
+        # lazy — no Spark job runs during plan construction — and
+        # lineage-preserving, so an executor loss mid-query recomputes
+        # the lost blocks instead of failing the job. The cache is
+        # released by Spark's ContextCleaner when the frame is GC'd.
+        matched = joined.drop("__bin").persist()
         pa = p.drop("__bin").alias("__p")
         mk = matched.select(*points.columns).distinct().alias("__m")
         cond = None
@@ -164,20 +168,39 @@ def gapfill_locf(
             .alias("__v"),
         )
     )
-    # the spine row sorts after its bucket's observations (nulls last),
-    # so the bucket's own observations are visible to it and the latest
-    # one wins; gap ticks inherit from earlier buckets. __v joins the
-    # sort (nulls first — spine rows stay last) so two observations
-    # with IDENTICAL (key, ts) resolve deterministically: without it,
-    # which row F.last picked depended on the partition's physical
-    # order
+    # the spine row sorts after its bucket's observations (its __ts is
+    # NULL, asc_nulls_last), so the bucket's own observations are
+    # visible to it and the latest one wins; gap ticks inherit from
+    # earlier buckets. The ORDERABLE value columns join the sort
+    # (asc_nulls_last; spine rows never tie with observations — their
+    # NULL __ts already sorts them apart) so two observations with
+    # IDENTICAL (key, ts) resolve deterministically: without it, which
+    # row F.last picked depended on the partition's physical order.
+    # Unorderable value types (maps, at any nesting depth) are excluded
+    # from the sort struct — they would raise at plan time — so rows
+    # identical in every orderable value column remain interchangeable,
+    # the strongest determinism the data admits.
+    def _orderable(dt) -> bool:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        return True
+
+    sortable = [c for c in value_cols if _orderable(df.schema[c].dataType)]
+    order = [F.col("__tick").asc(), F.col("__ts").asc_nulls_last()]
+    if sortable:
+        order.append(
+            F.struct(*[F.col(f"__v.{c}").alias(c) for c in sortable])
+            .asc_nulls_last()
+        )
     w = (
         Window.partitionBy(key_col)
-        .orderBy(
-            F.col("__tick").asc(),
-            F.col("__ts").asc_nulls_last(),
-            F.col("__v").asc_nulls_last(),
-        )
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = spine.unionByName(obs).select(

@@ -164,11 +164,31 @@ def exact_k_sample(
     from pyspark.sql import types as T
 
     h = F.xxhash64(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+
+    def _contains_map(dt: T.DataType) -> bool:
+        # xxhash64 rejects MapType at ANY nesting depth (struct field,
+        # array element, map value) — walk the whole type tree, not
+        # just the top level
+        if isinstance(dt, T.MapType):
+            return True
+        if isinstance(dt, T.StructType):
+            return any(_contains_map(f.dataType) for f in dt.fields)
+        if isinstance(dt, T.ArrayType):
+            return _contains_map(dt.elementType)
+        return False
+
     hashable = [
-        f.name for f in df.schema.fields
-        if not isinstance(f.dataType, T.MapType)
+        f.name for f in df.schema.fields if not _contains_map(f.dataType)
     ]
-    rh = F.xxhash64(*[F.col(c) for c in hashable])
+    # an all-map schema leaves nothing to hash: xxhash64() with zero
+    # args is a plan-time error, so fall back to a constant — same-key
+    # rows are then interchangeable, the strongest determinism the
+    # data admits (documented contract)
+    rh = (
+        F.xxhash64(*[F.col(c) for c in hashable])
+        if hashable
+        else F.lit(0).cast("long")
+    )
     if not group_cols:
         # global exact-k: orderBy+limit plans as a distributed
         # TakeOrderedAndProject (per-partition top-k, merge on the

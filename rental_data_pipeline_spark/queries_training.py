@@ -662,23 +662,47 @@ def similarity_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_decode",
     oracle="""
-SELECT doc_id,
-       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-       CAST(list_sum(list_transform(string_split_regex(text, ''), ch -> unicode(ch)))
-            % 1000000007 AS BIGINT) AS checksum,
-       CAST(octet_length(encode(text)) % 640 AS BIGINT) AS fake_width,
-       CAST(octet_length(encode(text)) // 640 + 1 AS BIGINT) AS fake_height
-FROM documents
+WITH g AS (
+  SELECT doc_id,
+         4 + doc_id % 13 AS w,
+         3 + doc_id % 7 AS h,
+         CAST(doc_id % 251 AS DOUBLE) AS fr,
+         CAST((doc_id * 7) % 251 AS DOUBLE) AS fg,
+         CAST((doc_id * 13) % 251 AS DOUBLE) AS fb
+  FROM documents)
+SELECT doc_id, 'orig' AS stage, TRUE AS ok,
+       CAST(54 + h * (((3 * w + 3) // 4) * 4) AS BIGINT) AS n_bytes,
+       CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       fr AS mean_r, fg AS mean_g, fb AS mean_b
+FROM g
+UNION ALL
+SELECT doc_id, 'resized' AS stage, TRUE AS ok,
+       CAST(54 + 5 * (((3 * 8 + 3) // 4) * 4) AS BIGINT) AS n_bytes,
+       CAST(8 AS BIGINT) AS width, CAST(5 AS BIGINT) AS height,
+       CAST(40 AS BIGINT) AS n_pixels,
+       fr AS mean_r, fg AS mean_g, fb AS mean_b
+FROM g
 """,
 )
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary payload → stub decode via Arrow-batched mapInPandas.
-    (The oracle recomputes the stub's byte arithmetic in SQL — valid
-    because the synthetic text is ASCII, so bytes == codepoints; the
-    CASTs keep DuckDB's HUGEINT list_sum from hashing differently
-    than Spark's int64.)"""
-    packed = M.pack_binary(load_table(spark, "documents", sf_dir))
-    return M.decode_features(packed)
+    """REAL image bytes end to end: synthesize a 24-bit BMP per doc
+    (`pack_images` — geometry/fill derived from doc_id), parse it back
+    with the pure-stdlib decoder, nearest-neighbor resize to 8x5 and
+    parse THAT — all through Arrow-batched mapInPandas. The oracle
+    recomputes the geometry/fill formulas in SQL, so a header
+    mis-parse, a padding leak into the channel means, a BGR/RGB swap,
+    or a wrong resized file size is a hash mismatch."""
+    packed = M.pack_images(load_table(spark, "documents", sf_dir))
+    orig = M.decode_features(packed).withColumn("stage", F.lit("orig"))
+    resized = M.decode_features(
+        M.resize_media(packed, width=8, height=5)
+    ).withColumn("stage", F.lit("resized"))
+    cols = [
+        "doc_id", "stage", "ok", "n_bytes", "width", "height",
+        "n_pixels", "mean_r", "mean_g", "mean_b",
+    ]
+    return orig.select(cols).unionByName(resized.select(cols))
 
 
 @register(

@@ -70,10 +70,13 @@ def main():
     n_docs = docs.count()
 
     out = {"sf_dir": sf_dir, "n_docs": n_docs, "boilerplate_shingles": 10}
-    # third regime (round 11): the same cap with the hot-set broadcast
-    # DISABLED, forcing the shuffle anti-join fallback that guards the
+    # third regime: the same cap with the hot-set broadcast DISABLED,
+    # forcing the SALTED shuffle anti-join fallback that guards the
     # aggressive-cap/large-corpus case where the over-cap set outgrows
     # broadcast range — measures what the guard costs when it fires.
+    # The boilerplate shingles are ubiquitous (df = 100% of docs), so
+    # this is exactly the skewed regime the salt exists for; the
+    # script asserts the fallback stays within 2x the broadcast path.
     # The uncapped blow-up runs LAST: its 100M-row join leaves JVM
     # heap/GC churn that polluted successor regimes by 3-10x when it
     # ran first (measured round 11 — interleaved A/B reads both capped
@@ -105,7 +108,14 @@ def main():
 
     docs.unpersist()
     spark.stop()
+    # skew pin: the salted fallback must not reintroduce the straggler
+    # the cap exists to kill — hold it to ~2x the broadcast path
+    # (+1 s grace for the extra salt-replicated shuffle at tiny SF)
+    b, f = out["capped_df5"]["sec"], out["capped_df5_shuffle_fallback"]["sec"]
+    out["fallback_within_2x_broadcast"] = f <= 2 * b + 1.0
     print(json.dumps(out))
+    if not out["fallback_within_2x_broadcast"]:
+        sys.exit(1)
 
 
 if __name__ == "__main__":

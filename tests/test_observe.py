@@ -48,6 +48,25 @@ def test_fallback_when_metrics_row_unavailable(spark, monkeypatch):
     assert got["n"] == 3 and got["s"] == 3
 
 
+def test_unrelated_get_failure_reraises(spark, monkeypatch):
+    """A .get failure that does NOT match the missing-metrics-row
+    signatures (interrupted job, dead gateway, real bridge bug) must
+    re-raise, not silently recompute — the recomputed value could
+    differ from what the completed action actually observed."""
+    obs = SafeObservation()
+    df = obs.on(spark.range(3), F.count(F.lit(1)).alias("n"))
+    df.count()
+
+    class _Unrelated:
+        @property
+        def get(self):
+            raise ConnectionError("py4j gateway connection refused")
+
+    monkeypatch.setattr(obs, "_obs", _Unrelated())
+    with pytest.raises(ConnectionError, match="gateway"):
+        obs.get
+
+
 def test_zero_row_observed_plans_report_zero(spark):
     """Filter-to-empty frames (plain, checkpointed, post-scoring) report
     n=0 via whichever path survives — never a crash. This is the generic

@@ -269,18 +269,25 @@ def test_chunk_documents_rejects_negative_overlap(spark):
 
 
 def test_multimodal_null_payload_survives(spark):
+    """Null and undecodable payloads yield ok=false rows with null
+    features — one bad row must not kill an hours-long stage."""
     from rental_data_pipeline_spark.operators.multimodal import (
         decode_features,
+        encode_bmp,
         sample_frames,
     )
 
     df = spark.createDataFrame(
-        [(1, b"abcdefgh"), (2, None)], "doc_id long, payload binary"
+        [(1, b"abcdefgh"), (2, None), (3, encode_bmp(4, 2, (9, 8, 7)))],
+        "doc_id long, payload binary",
     )
-    feats = {r.doc_id: r.n_bytes for r in decode_features(df).collect()}
-    assert feats == {1: 8, 2: 0}
+    feats = {r.doc_id: r for r in decode_features(df).collect()}
+    assert not feats[1].ok and feats[1].n_bytes is None  # not a BMP
+    assert not feats[2].ok and feats[2].width is None    # null payload
+    assert feats[3].ok and (feats[3].width, feats[3].height) == (4, 2)
+    assert (feats[3].mean_r, feats[3].mean_g, feats[3].mean_b) == (9, 8, 7)
     frames = sample_frames(df, stride=4).groupBy("doc_id").count().collect()
-    assert {r.doc_id: r["count"] for r in frames} == {1: 2, 2: 1}
+    assert {r.doc_id: r["count"] for r in frames}[2] == 1  # null: 1 frame
 
 
 def test_tokens_strip_full_whitespace(spark):

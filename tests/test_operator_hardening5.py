@@ -95,6 +95,47 @@ def test_asof_tiebreak_typed_differently_on_both_sides(spark):
         )
 
 
+def test_asof_tiebreak_long_vs_float_no_value_corruption(spark):
+    """A long<->float tiebreak mix must NOT round-trip the left column
+    through float: |seq| > 2^24 is unrepresentable in float, so the old
+    widen-and-cast-back plan silently corrupted the emitted value
+    (16777217 -> 16777216). Ordering now runs on a double shadow column
+    and the left value passes through exactly."""
+    from rental_data_pipeline_spark.operators.asof import asof_join
+
+    big = 2**24 + 1  # 16777217: first long a float cannot hold
+    left = spark.createDataFrame(
+        [(1, 100, big)], "k long, t long, seq long"
+    )
+    right = spark.createDataFrame(
+        [(1, 100, 1.5, "lo"), (1, 100, 2.5, "hi")],
+        "k long, t long, seq float, tag string",
+    )
+    out = asof_join(
+        left, right, key="k", time_col="t",
+        right_payload=["tag"], tiebreak="seq",
+    )
+    # left schema preserved exactly — type AND value
+    assert dict(out.dtypes)["seq"] == "bigint"
+    assert "__tb_sort" not in out.columns
+    row = out.collect()[0]
+    assert row.seq == big          # the corruption the shadow prevents
+    assert row.asof_tag == "hi"    # larger float still wins backward
+
+    # int<->float mix: distinct int sort keys past 2^24 must not
+    # collapse in the ORDER either — double holds every int exactly
+    left2 = spark.createDataFrame([(1, 100, 0)], "k long, t long, seq int")
+    right2 = spark.createDataFrame(
+        [(1, 100, 16777216.0, "lo"), (1, 100, 16777218.0, "hi")],
+        "k long, t long, seq float, tag string",
+    )
+    r2 = asof_join(
+        left2, right2, key="k", time_col="t",
+        right_payload=["tag"], tiebreak="seq",
+    ).collect()[0]
+    assert r2.asof_tag == "hi" and r2.seq == 0
+
+
 def test_bucketed_fold_deleting_merge_fn_raises(spark, outdir):
     """A merge_fn that empties non-empty touched buckets violates the
     non-deleting contract: the delta layout cannot commit an emptied
@@ -149,7 +190,7 @@ def test_bucketed_fold_deleting_merge_fn_raises(spark, outdir):
 
 def test_hot_shingle_cap_shuffle_fallback(spark, monkeypatch):
     """With the broadcast cap forced to 0 every over-cap set takes the
-    shuffle anti-join path; pair results are identical to the
+    salted shuffle anti-join path; pair results are identical to the
     broadcast path's."""
     from rental_data_pipeline_spark.operators import dedup
 
@@ -170,6 +211,47 @@ def test_hot_shingle_cap_shuffle_fallback(spark, monkeypatch):
         for r in dedup.jaccard_pairs(df, **kw).collect()
     }
     assert got == want and want  # non-trivial: pair(1,2) survives
+
+
+def test_hot_shingle_fallback_salts_the_join(spark, monkeypatch):
+    """The fallback's skew defusal is the SALT, not AQE:
+    OptimizeSkewedJoin only matches SMJ children that are bare
+    ENSURE_REQUIREMENTS shuffles directly under Sort, and the
+    fallback's right side is a persisted aggregate — so the join must
+    key on (shingle, salt) itself, spreading a ubiquitous shingle
+    over HOT_SHINGLE_SALTS partitions instead of one task."""
+    from pyspark.sql import functions as F2
+
+    from rental_data_pipeline_spark.operators import dedup
+
+    # one ubiquitous data-dependent shingle + a uniform tail
+    exploded = spark.range(6000).select(
+        F2.col("id").alias("doc"),
+        F2.concat(
+            F2.lit("s"),
+            F2.when(F2.col("id") % 6 < 5, F2.lit(0))
+            .otherwise(F2.col("id") % 500)
+            .cast("string"),
+        ).alias("shingle"),
+    )
+    monkeypatch.setattr(dedup, "HOT_SHINGLE_BROADCAST_CAP", 0)
+    out = dedup._cap_hot_shingles(exploded, max_doc_freq=100)
+    # semantics: every over-cap shingle's rows dropped, the rest kept
+    kept = out.collect()
+    assert len(kept) == 1000 and all(r.shingle != "s0" for r in kept)
+    # plan: the anti-join keys on the salt too
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "__salt" in plan and "LeftAnti" in plan
+    # the salt genuinely fans the hot key out across distinct values
+    n_salts = (
+        exploded.where("shingle = 's0'")
+        .select(
+            F2.pmod(F2.xxhash64("doc"), F2.lit(dedup.HOT_SHINGLE_SALTS))
+        )
+        .distinct()
+        .count()
+    )
+    assert n_salts == dedup.HOT_SHINGLE_SALTS
 
 
 def test_hll_and_countmin_ignore_nulls_and_oracles_agree(spark):
@@ -255,3 +337,53 @@ def test_gapfill_locf_duplicate_ts_deterministic(spark):
     out2 = gapfill_locf(mk(list(reversed(rows)), 4), "k", "ts", ["v"], step).collect()
     assert len(out1) == 1 and len(out2) == 1
     assert out1[0].v == out2[0].v == 9.0  # largest value wins the tie
+
+
+def test_exact_k_sample_nested_map_and_all_map_schemas(spark):
+    """xxhash64 rejects MapType at ANY nesting depth: a struct or array
+    containing a map must be excluded from the row-content tiebreak
+    (previously a plan-time AnalysisException), and a schema whose only
+    non-key columns are maps must not call xxhash64() with zero args."""
+    from rental_data_pipeline_spark.operators.sampling import exact_k_sample
+
+    # map nested inside a struct and inside an array
+    df = spark.createDataFrame(
+        [(i % 3, {"m": {"a": i}}, [{"b": i}]) for i in range(20)],
+        "k long, s struct<m:map<string,long>>, a array<map<string,long>>",
+    )
+    out = exact_k_sample(df, "k", 2, group_cols=["k"])
+    assert out.count() == 6  # 2 per group, plans and runs cleanly
+    assert exact_k_sample(df, "k", 5).count() == 5
+
+    # key + only-map payload: nothing hashable remains
+    df2 = spark.createDataFrame(
+        [({"a": i}, {"b": i}) for i in range(10)],
+        "k map<string,long>, v map<string,long>",
+    )
+    assert exact_k_sample(df2.withColumn("k2", F.lit(1)), "k2", 3).count() == 3
+
+
+def test_gapfill_locf_unorderable_value_column(spark):
+    """A map-typed value column used to join the window's sort struct
+    and raise at plan time; it is now excluded from the tiebreak while
+    still being carried (LOCF payload intact)."""
+    from rental_data_pipeline_spark.operators.rangejoin import gapfill_locf
+
+    df = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", 5.0, {"src": "a"}),
+            (1, "2024-01-03 10:00:00", 7.0, {"src": "b"}),
+        ],
+        "k long, ts string, v double, meta map<string,string>",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"), "v", "meta")
+    out = gapfill_locf(
+        df, "k", "ts", ["v", "meta"], F.expr("INTERVAL 1 DAY")
+    ).orderBy("tick").collect()
+    assert [r.v for r in out] == [5.0, 5.0, 7.0]  # day-2 gap inherits
+    assert out[0].meta == {"src": "a"} and out[2].meta == {"src": "b"}
+
+    # all-unorderable value set: the tiebreak is skipped entirely
+    out2 = gapfill_locf(
+        df, "k", "ts", ["meta"], F.expr("INTERVAL 1 DAY")
+    ).orderBy("tick").collect()
+    assert [r.meta["src"] for r in out2] == ["a", "a", "b"]

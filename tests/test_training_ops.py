@@ -217,13 +217,17 @@ def test_quality_score_bounded(docs):
 
 
 def test_multimodal_decode_matches_payload(docs):
-    packed = M.pack_binary(docs)
+    """Real BMP bytes round-trip through the distributed decode: the
+    features must equal what the pure codec computes locally."""
+    packed = M.pack_images(docs)
     feats = {r.doc_id: r for r in M.decode_features(packed).collect()}
-    sample = {r.doc_id: r.text for r in docs.limit(20).collect()}
-    for doc_id, text in sample.items():
-        payload = text.encode("utf-8")
-        assert feats[doc_id].n_bytes == len(payload)
-        assert feats[doc_id].checksum == sum(payload) % 1_000_000_007
+    for doc_id in [r.doc_id for r in docs.limit(20).collect()]:
+        w, h, (cr, cg, cb) = M._doc_geometry(doc_id)
+        got = feats[doc_id]
+        assert got.ok
+        assert (got.width, got.height, got.n_pixels) == (w, h, w * h)
+        assert got.n_bytes == 54 + h * M._bmp_stride(w)
+        assert (got.mean_r, got.mean_g, got.mean_b) == (cr, cg, cb)
 
 
 def test_multimodal_frames_stride(docs):
@@ -553,24 +557,31 @@ def test_pq_topk_recall_and_exact_rerank(embs):
 
 
 def test_multimodal_resize_fixed_geometry(docs):
-    packed = M.pack_binary(docs)
+    packed = M.pack_images(docs)
+    expected_bytes = 54 + 8 * M._bmp_stride(16)
     out = M.resize_media(packed, width=16, height=8)
     rows = out.limit(30).collect()
     assert rows
     for r in rows:
-        assert len(r.payload) == 16 * 8
-        assert r.media_meta.n_bytes == 16 * 8
+        assert len(r.payload) == expected_bytes
+        assert r.media_meta.n_bytes == expected_bytes
         assert (r.media_meta.width, r.media_meta.height) == (16, 8)
+        # the resized payload is a VALID bmp preserving the fill
+        d = M.decode_bmp(bytes(r.payload))
+        w, h, (cr, cg, cb) = M._doc_geometry(r.doc_id)
+        assert (d["width"], d["height"]) == (16, 8)
+        assert (d["mean_r"], d["mean_g"], d["mean_b"]) == (cr, cg, cb)
     # deterministic: same payload -> same resized bytes
     again = {r.doc_id: bytes(r.payload) for r in M.resize_media(packed, 16, 8).limit(30).collect()}
     for r in rows:
         assert bytes(r.payload) == again[r.doc_id]
-    # downsample keeps first/last byte anchors when shrinking
-    src = {r.doc_id: bytes(r.payload) for r in packed.limit(30).collect()}
-    for r in rows:
-        s = src[r.doc_id]
-        if len(s) >= 16 * 8:
-            assert bytes(r.payload)[0] == s[0]
+    # an undecodable payload passes through as null payload + null meta
+    junk = docs.sparkSession.createDataFrame(
+        [(1, b"not a bmp"), (2, None)], "doc_id long, payload binary"
+    )
+    jr = {r.doc_id: r for r in M.resize_media(junk, 4, 4).collect()}
+    assert jr[1].payload is None and jr[1].media_meta is None
+    assert jr[2].payload is None and jr[2].media_meta is None
 
 
 def test_pq_small_corpus_pads_codebooks(spark):
