@@ -46,11 +46,18 @@ SIMHASH_BANDS = 4  # 8 bits per band → candidates within Hamming radius
 # row overhead ≈ tens of MB per executor — comfortably under Spark's
 # broadcast ceiling with headroom for wide shingle strings)
 HOT_SHINGLE_BROADCAST_CAP = 1_000_000
-# salt fan-out for the shuffle anti-join fallback: a hot shingle's
-# rows spread over this many (shingle, salt) partitions, bounding any
-# single task to df/NSALT rows; the small side replicates each
-# over-cap shingle NSALT times (NSALT x HOT_SHINGLE_BROADCAST_CAP-min
-# rows worst case — still a thin two-column shuffle)
+# fallback stratification threshold: shingles with df above this are
+# the ULTRA tier — by pigeonhole at most len(index)/ULTRA_DF of them
+# exist, so the tier broadcasts even when the full over-cap set can't,
+# and its rows (the actual stragglers) drop MAP-SIDE pre-shuffle; the
+# warm remainder's per-key volume is bounded by this same number, so
+# its plain shuffle anti-join has no straggler by construction
+HOT_SHINGLE_ULTRA_DF = 8_000_000
+# salt fan-out for the LAST-RESORT shuffle anti-join (ultra tier
+# itself beyond broadcast range — index > ULTRA_DF x CAP rows): a hot
+# shingle's rows spread over this many (shingle, salt) partitions,
+# bounding any single task to df/NSALT rows; the small side replicates
+# each over-cap shingle NSALT times
 HOT_SHINGLE_SALTS = 32
 
 
@@ -564,39 +571,71 @@ def _cap_hot_shingles(exploded: DataFrame, max_doc_freq: int) -> DataFrame:
     ``limit(CAP+1).collect()`` over the aggregated over-cap set. At or
     under :data:`HOT_SHINGLE_BROADCAST_CAP` rows the collected set IS
     the broadcast side (a local relation — no recompute, no checkpoint,
-    and when it is empty, the common case, no join node at all); above
-    the cap the guard falls back to a SALTED shuffle anti-join against
-    the persisted aggregate (persist, not localCheckpoint: lineage
-    survives executor loss under the multi-hour downstream join).
+    and when it is empty, the common case, no join node at all).
 
-    The salt is load-bearing. A plain anti-join hash-partitions the
-    big exploded side on ``shingle``, concentrating a ubiquitous
-    shingle's rows in ONE task — and AQE's skew split can never save
-    it: ``OptimizeSkewedJoin`` only matches a SortMergeJoin whose
-    children are bare ENSURE_REQUIREMENTS shuffles directly under
-    Sort, and this join's right side is a persisted aggregate
-    (TableCacheQueryStage / HashAggregate above the shuffle), so the
-    pattern never fires (verified against the executed plan —
-    ``tests/test_operator_hardening5.py``). Salting is the deterministic,
-    AQE-independent answer: the big side keys on (shingle,
-    xxhash64(doc) % NSALT) so a hot shingle spreads over
-    :data:`HOT_SHINGLE_SALTS` partitions, the small side replicates
-    each hot shingle NSALT times (bounded: NSALT x over-cap rows).
-    ``scripts/stress_dedup_cap.py`` measures the regime."""
+    Above the cap, the fallback STRATIFIES the over-cap set by
+    doc-frequency instead of shuffling blindly — the df counts are
+    already in hand from the aggregation, and a plain anti-join would
+    concentrate a ubiquitous shingle's rows in ONE task with no rescue
+    from AQE (``OptimizeSkewedJoin`` only matches a SortMergeJoin
+    whose children are bare ENSURE_REQUIREMENTS shuffles directly
+    under Sort; this join's right side is a persisted aggregate, so
+    the pattern never fires — verified against the executed plan,
+    ``tests/test_operator_hardening5.py``):
+
+    - ULTRA tier (df > :data:`HOT_SHINGLE_ULTRA_DF`): by pigeonhole at
+      most ``len(exploded)/ULTRA_DF`` such shingles exist, so the tier
+      is almost always broadcastable even when the full hot set is not
+      — and broadcasting it drops the ubiquitous rows MAP-SIDE, before
+      they ever cross the shuffle (at 100 TB a boilerplate shingle can
+      be a double-digit fraction of the index; this is the big
+      shuffle-volume save, not just the straggler fix).
+    - WARM tier (cap < df <= ULTRA_DF): may be far beyond broadcast
+      range, but every key's row volume is bounded by ULTRA_DF, so the
+      plain shuffle anti-join has no straggler by construction
+      (measured: a 20M-identical-key task sorts in ~2 s locally;
+      ULTRA_DF keeps the atom 2.5x smaller).
+    - Last resort (the ultra tier ITSELF exceeds the broadcast cap —
+      index > ULTRA_DF x CAP ~ 10^13 rows): a SALTED shuffle anti-join
+      on (shingle, xxhash64(doc) % :data:`HOT_SHINGLE_SALTS`) bounds
+      any task to df/NSALT at the cost of replicating the hot set
+      NSALT times — deterministic, AQE-independent.
+
+    The aggregate persists (not localCheckpoint) so lineage survives
+    executor loss under the multi-hour downstream join.
+    ``scripts/stress_dedup_cap.py`` / ``stress_salted_skew.py``
+    measure the regimes."""
     hot = (
         exploded.groupBy("shingle")
         .agg(F.count(F.lit(1)).alias("__df"))
         .where(F.col("__df") > max_doc_freq)
-        .select("shingle")
         .persist()
     )
     probe = hot.limit(HOT_SHINGLE_BROADCAST_CAP + 1).collect()
+    spark = exploded.sparkSession
     if len(probe) <= HOT_SHINGLE_BROADCAST_CAP:
         hot.unpersist()
         if not probe:
             return exploded
-        local = exploded.sparkSession.createDataFrame(probe, hot.schema)
-        return exploded.join(F.broadcast(local), "shingle", "left_anti")
+        local = spark.createDataFrame(probe, hot.schema).select("shingle")
+        return exploded.join(F.broadcast(local), "shingle", "left_anti").select(
+            *exploded.columns
+        )
+    ultra = hot.where(F.col("__df") > HOT_SHINGLE_ULTRA_DF).select("shingle")
+    uprobe = ultra.limit(HOT_SHINGLE_BROADCAST_CAP + 1).collect()
+    if len(uprobe) <= HOT_SHINGLE_BROADCAST_CAP:
+        out = exploded
+        if uprobe:
+            ulocal = spark.createDataFrame(uprobe, ultra.schema)
+            out = out.join(F.broadcast(ulocal), "shingle", "left_anti")
+        warm = hot.where(F.col("__df") <= HOT_SHINGLE_ULTRA_DF).select(
+            "shingle"
+        )
+        # name-list joins emit the join key first — restore the
+        # caller's column order
+        return out.join(warm, "shingle", "left_anti").select(
+            *exploded.columns
+        )
     other = [c for c in exploded.columns if c != "shingle"]
     salted = exploded.withColumn(
         "__salt",

@@ -1,6 +1,6 @@
 #!/usr/bin/env python3
-"""Stress the SALTED hot-shingle fallback at forced-skew row counts —
-the evidence that the salt (not AQE) is what defuses the straggler.
+"""Stress the hot-shingle fallback tiers at forced-skew row counts —
+the evidence that df-stratification (not AQE) defuses the straggler.
 
 Round-12 background: AQE's OptimizeSkewedJoin only matches a
 sort-merge join whose children are bare ENSURE_REQUIREMENTS shuffles
@@ -8,18 +8,20 @@ directly under Sort; the fallback's right side is a persisted
 aggregate, so the rule can never fire and a plain anti-join
 concentrates a ubiquitous shingle's rows in ONE task. This script
 builds an exploded index with one shingle covering most rows and
-compares three regimes over identical data:
+compares four regimes over identical data:
 
-  broadcast  — the normal guard path (hot set under the cap)
-  salted     — the round-12 fallback (cap forced to 0)
-  unsalted   — the round-11 fallback design, for comparison: a plain
-               anti-join on `shingle` against the persisted hot set
+  broadcast            — the normal guard path (hot set under the cap)
+  stratified_fallback  — cap forced to 0: the ubiquitous shingle's df
+                         routes it to the ULTRA broadcast tier
+                         (map-side drop) when df > ULTRA_DF, else the
+                         warm shuffle anti-join
+  salted_last_resort   — cap AND ULTRA_DF forced to 0: the salted
+                         (shingle, xxhash64(doc) % 32) anti-join
+  unsalted_r11_design  — a plain anti-join on `shingle` against the
+                         persisted hot set, for the record
 
-Output: one JSON line with per-regime seconds + row parity. The
-salted regime must stay within 2x broadcast (exit 1 otherwise); the
-unsalted number is reported for the record, not asserted — it is the
-regime the salt exists to beat and on a big enough single task it
-loses by construction.
+Output: one JSON line with per-regime seconds + row parity. Both
+fallback tiers must stay within 2x broadcast (exit 1 otherwise).
 
 Usage: python scripts/stress_salted_skew.py [n_hot] [n_cold_keys]
 Defaults: 2_000_000 hot rows, 25_000 cold keys x 20 rows.
@@ -87,15 +89,22 @@ def main():
         return n
 
     out = {"n_hot": n_hot, "n_cold_keys": n_cold}
-    saved = D.HOT_SHINGLE_BROADCAST_CAP
-    # warmup (JIT/codegen) then min-of-2 per regime, broadcast first
-    for label, cap_override, fn in (
-        ("broadcast", None, run_capped),
-        ("salted", 0, run_capped),
-        ("unsalted", None, run_unsalted),
+    saved_cap = D.HOT_SHINGLE_BROADCAST_CAP
+    saved_ultra = D.HOT_SHINGLE_ULTRA_DF
+    # warmup (JIT/codegen) then min-of-2 per regime, broadcast first.
+    # "stratified" forces the fallback (cap=0): the hot shingle's df
+    # decides ultra-vs-warm routing naturally; "salted" additionally
+    # forces ULTRA_DF=0 so the last-resort tier runs.
+    for label, cap_override, ultra_override, fn in (
+        ("broadcast", None, None, run_capped),
+        ("stratified_fallback", 0, None, run_capped),
+        ("salted_last_resort", 0, 0, run_capped),
+        ("unsalted_r11_design", None, None, run_unsalted),
     ):
         if cap_override is not None:
             D.HOT_SHINGLE_BROADCAST_CAP = cap_override
+        if ultra_override is not None:
+            D.HOT_SHINGLE_ULTRA_DF = ultra_override
         try:
             best_rows = best_dt = None
             for _ in range(2):
@@ -104,22 +113,28 @@ def main():
                     best_rows, best_dt = rows, dt
             out[label] = {"rows": best_rows, "sec": best_dt}
         finally:
-            D.HOT_SHINGLE_BROADCAST_CAP = saved
+            D.HOT_SHINGLE_BROADCAST_CAP = saved_cap
+            D.HOT_SHINGLE_ULTRA_DF = saved_ultra
 
     exploded.unpersist()
     spark.stop()
     expected = n_cold * 20
-    out["parity"] = (
-        out["broadcast"]["rows"]
-        == out["salted"]["rows"]
-        == out["unsalted"]["rows"]
-        == expected
+    out["parity"] = all(
+        out[k]["rows"] == expected
+        for k in (
+            "broadcast",
+            "stratified_fallback",
+            "salted_last_resort",
+            "unsalted_r11_design",
+        )
     )
-    out["salted_within_2x_broadcast"] = (
-        out["salted"]["sec"] <= 2 * out["broadcast"]["sec"] + 1.0
+    out["fallback_within_2x_broadcast"] = (
+        out["stratified_fallback"]["sec"] <= 2 * out["broadcast"]["sec"] + 1.0
+        and out["salted_last_resort"]["sec"]
+        <= 2 * out["broadcast"]["sec"] + 1.0
     )
     print(json.dumps(out))
-    if not (out["parity"] and out["salted_within_2x_broadcast"]):
+    if not (out["parity"] and out["fallback_within_2x_broadcast"]):
         sys.exit(1)
 
 

@@ -73,12 +73,12 @@ def test_bmp_decode_never_raises_on_bm_prefixed_junk(blob):
 
 
 @pytest.mark.parametrize("n_parts", [1, 7])
-def test_salted_fallback_equals_broadcast_path(spark, monkeypatch, n_parts):
-    """Forced-fallback (salted shuffle anti-join) output is EXACTLY the
-    broadcast path's on a randomized corpus, across partitionings."""
+def test_fallback_tiers_equal_broadcast_path(spark, monkeypatch, n_parts):
+    """Every forced-fallback tier (warm shuffle anti-join, ultra
+    broadcast stratification, last-resort salted join) outputs EXACTLY
+    the broadcast path's rows on a randomized corpus, across
+    partitionings."""
     import random
-
-    from pyspark.sql import functions as F
 
     from rental_data_pipeline_spark.operators import dedup
 
@@ -96,12 +96,26 @@ def test_salted_fallback_equals_broadcast_path(spark, monkeypatch, n_parts):
         (r.doc, r.shingle)
         for r in dedup._cap_hot_shingles(exploded, max_doc_freq=6).collect()
     )
-    monkeypatch.setattr(dedup, "HOT_SHINGLE_BROADCAST_CAP", 0)
-    got = sorted(
-        (r.doc, r.shingle)
-        for r in dedup._cap_hot_shingles(exploded, max_doc_freq=6).collect()
-    )
-    assert got == want and want
-    # output column order is the input's (the salt never leaks)
-    out = dedup._cap_hot_shingles(exploded, max_doc_freq=6)
-    assert out.columns == exploded.columns
+    assert want
+    # (cap, ultra_df) combos steering every fallback tier: warm-only,
+    # ultra+warm mixes, and the last-resort salted join — all must
+    # equal the broadcast path exactly
+    combos = [
+        (0, dedup.HOT_SHINGLE_ULTRA_DF),
+        (1, 10),
+        (2, 8),
+        (0, 0),
+    ]
+    for cap, ultra_df in combos:
+        monkeypatch.setattr(dedup, "HOT_SHINGLE_BROADCAST_CAP", cap)
+        monkeypatch.setattr(dedup, "HOT_SHINGLE_ULTRA_DF", ultra_df)
+        got = sorted(
+            (r.doc, r.shingle)
+            for r in dedup._cap_hot_shingles(
+                exploded, max_doc_freq=6
+            ).collect()
+        )
+        assert got == want, f"cap={cap} ultra_df={ultra_df}"
+        # output column order is the input's (internals never leak)
+        out = dedup._cap_hot_shingles(exploded, max_doc_freq=6)
+        assert out.columns == exploded.columns

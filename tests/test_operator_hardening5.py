@@ -213,34 +213,63 @@ def test_hot_shingle_cap_shuffle_fallback(spark, monkeypatch):
     assert got == want and want  # non-trivial: pair(1,2) survives
 
 
-def test_hot_shingle_fallback_salts_the_join(spark, monkeypatch):
-    """The fallback's skew defusal is the SALT, not AQE:
-    OptimizeSkewedJoin only matches SMJ children that are bare
-    ENSURE_REQUIREMENTS shuffles directly under Sort, and the
-    fallback's right side is a persisted aggregate — so the join must
-    key on (shingle, salt) itself, spreading a ubiquitous shingle
-    over HOT_SHINGLE_SALTS partitions instead of one task."""
+def test_hot_shingle_fallback_stratifies_by_doc_frequency(spark, monkeypatch):
+    """The fallback's skew defusal is df-stratification (with salting
+    as the last resort), not AQE: OptimizeSkewedJoin only matches SMJ
+    children that are bare ENSURE_REQUIREMENTS shuffles directly under
+    Sort, and the fallback's right side is a persisted aggregate — so
+    the guard must route ULTRA-hot shingles through a broadcast
+    (map-side drop, pre-shuffle), bound the warm tier's per-key volume
+    by ULTRA_DF, and salt only when even the ultra tier outgrows the
+    broadcast cap."""
     from pyspark.sql import functions as F2
 
     from rental_data_pipeline_spark.operators import dedup
 
-    # one ubiquitous data-dependent shingle + a uniform tail
+    # two hot data-dependent shingles (one ultra, one warm) + a tail
     exploded = spark.range(6000).select(
         F2.col("id").alias("doc"),
         F2.concat(
             F2.lit("s"),
-            F2.when(F2.col("id") % 6 < 5, F2.lit(0))
-            .otherwise(F2.col("id") % 500)
+            F2.when(F2.col("id") % 6 < 4, F2.lit(0))        # df=4000
+            .when(F2.col("id") % 6 == 4, F2.lit(1))          # df=1000
+            .otherwise(F2.col("id") % 500 + 10)              # df~2
             .cast("string"),
         ).alias("shingle"),
     )
+
+    def run():
+        out = dedup._cap_hot_shingles(exploded, max_doc_freq=100)
+        kept = out.collect()
+        plan = out._jdf.queryExecution().optimizedPlan().toString()
+        return kept, plan
+
+    # reference: the broadcast path (default caps)
+    want = sorted((r.doc, r.shingle) for r in run()[0])
+    assert len(want) == 1000 and all(s not in ("s0", "s1") for _, s in want)
+
+    # WARM tier: hot set over the cap but every df under ULTRA_DF —
+    # plain shuffle anti-join, per-key volume bounded, no salt column
     monkeypatch.setattr(dedup, "HOT_SHINGLE_BROADCAST_CAP", 0)
-    out = dedup._cap_hot_shingles(exploded, max_doc_freq=100)
-    # semantics: every over-cap shingle's rows dropped, the rest kept
-    kept = out.collect()
-    assert len(kept) == 1000 and all(r.shingle != "s0" for r in kept)
-    # plan: the anti-join keys on the salt too
-    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    kept, plan = run()
+    assert sorted((r.doc, r.shingle) for r in kept) == want
+    assert "__salt" not in plan and "LeftAnti" in plan
+
+    # ULTRA tier: cap=1 rejects the 2-shingle hot set, but s0
+    # (df=4000) alone crosses the lowered ULTRA_DF and broadcasts
+    # (map-side drop); s1 stays in the warm anti-join
+    monkeypatch.setattr(dedup, "HOT_SHINGLE_BROADCAST_CAP", 1)
+    monkeypatch.setattr(dedup, "HOT_SHINGLE_ULTRA_DF", 2000)
+    kept, plan = run()
+    assert sorted((r.doc, r.shingle) for r in kept) == want
+    assert "__salt" not in plan
+
+    # LAST RESORT: the ultra tier itself exceeds the broadcast cap —
+    # the salted join keys on (shingle, salt)
+    monkeypatch.setattr(dedup, "HOT_SHINGLE_BROADCAST_CAP", 0)
+    monkeypatch.setattr(dedup, "HOT_SHINGLE_ULTRA_DF", 0)
+    kept, plan = run()
+    assert sorted((r.doc, r.shingle) for r in kept) == want
     assert "__salt" in plan and "LeftAnti" in plan
     # the salt genuinely fans the hot key out across distinct values
     n_salts = (
