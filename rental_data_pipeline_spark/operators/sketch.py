@@ -434,3 +434,115 @@ def certified_heavy_hitters(
         .agg(F.count(F.lit(1)).alias("freq"))
         .where(F.col("freq") > n / (k + 1))
     )
+
+
+def bottomk_sample_state(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    k: int = 512,
+    salt: str = "sq",
+) -> DataFrame:
+    """The mergeable state of the bottom-k quantile sketch: per group,
+    the ``k`` rows whose ``md5(salt || key)`` sorts lowest (plus the
+    group's TRUE row count). A hash-bottom-k set is a uniform sample
+    that is a pure function of the data — same rows on any engine, any
+    partitioning — and it MERGES: bottom-k of a union is the bottom-k
+    of the concatenated states (``merge_bottomk_states``), so the
+    sketch folds over batches/partitions like the HLL registers above.
+
+    One shuffle (the per-group rank window); per-group state is O(k),
+    versus the exact percentile's O(group) value buffer — the
+    bounded-memory quantile path at 100 TB. md5 (not xxhash64) so a
+    DuckDB oracle replays the identical sample (module docstring)."""
+    h = F.md5(
+        F.concat(F.lit(salt), F.col(key_col).cast("string"))
+    ).alias("__h")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__h"), F.col(key_col))
+    return (
+        df.select(*group_cols, F.col(value_col), F.col(key_col), h)
+        .withColumn(
+            "__n",
+            F.count(F.lit(1)).over(Window.partitionBy(*group_cols)),
+        )
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def merge_bottomk_states(
+    a: DataFrame, b: DataFrame, group_cols: list[str], key_col: str, k: int
+) -> DataFrame:
+    """Fold two bottom-k states over DISJOINT row sets into the state
+    of their union: re-rank the concatenation on the same hash order
+    and keep k; true counts are additive. Associative and
+    commutative — the sketch's merge operator."""
+    from pyspark.sql import Window
+
+    u = a.unionByName(b)
+    # __n repeats on every kept row WITHIN a state — sum one value per
+    # (group, source state), never per row (a per-row sum over-counts
+    # by up to k times); full outer so one-sided groups keep their n
+    na = a.groupBy(*group_cols).agg(F.first("__n").alias("__na"))
+    nb = b.groupBy(*group_cols).agg(F.first("__n").alias("__nb"))
+    totals = na.join(nb, group_cols, "full").select(
+        *group_cols,
+        (
+            F.coalesce(F.col("__na"), F.lit(0))
+            + F.coalesce(F.col("__nb"), F.lit(0))
+        ).alias("__n_total"),
+    )
+    w = Window.partitionBy(*group_cols).orderBy(F.col("__h"), F.col(key_col))
+    return (
+        u.drop("__n")
+        .join(totals, group_cols)
+        .withColumnRenamed("__n_total", "__n")
+        .withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def quantiles_from_bottomk(
+    state: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: list[float],
+) -> DataFrame:
+    """Interpolated quantile estimates + the true group count from a
+    bottom-k state: ``(group_cols..., n_rows, q_<q>...)``."""
+    pct = F.percentile(value_col, F.array(*[F.lit(q) for q in qs]))
+    out = state.groupBy(*group_cols).agg(
+        F.first("__n").alias("n_rows"), pct.alias("__p")
+    )
+    for i, q in enumerate(qs):
+        out = out.withColumn(
+            f"q_{str(q).replace('.', '_')}",
+            F.round(F.element_at("__p", i + 1), 6),
+        )
+    return out.drop("__p")
+
+
+def sampled_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    key_col: str,
+    qs: list[float],
+    k: int = 512,
+    salt: str = "sq",
+) -> DataFrame:
+    """Bounded-memory per-group quantiles from the deterministic
+    bottom-k hash sample — the scale path next to the exact
+    ``F.percentile`` (whose per-group value buffer is O(group)) and
+    Spark's ``percentile_approx`` (whose KLL state is engine-opaque,
+    so no cross-engine oracle can check it). Sample error is the
+    standard order-statistic bound (~1/sqrt(k) on the rank); the
+    SAMPLE itself is exact-reproducible, so the estimate is a pure
+    function of the data and the DuckDB twin hash-matches it."""
+    state = bottomk_sample_state(df, group_cols, value_col, key_col, k, salt)
+    return quantiles_from_bottomk(state, group_cols, value_col, qs)

@@ -836,7 +836,7 @@ def pricing_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "text_length_percentiles",
     oracle="""
-SELECT lang,
+SELECT 'exact' AS method, lang,
        count(*) AS n_docs,
        round(quantile_cont(n_chars, 0.25), 6) AS p25,
        round(quantile_cont(n_chars, 0.5), 6) AS p50,
@@ -844,25 +844,60 @@ SELECT lang,
        round(quantile_cont(n_chars, 0.95), 6) AS p95
 FROM documents
 GROUP BY lang
+UNION ALL
+SELECT 'sampled_k128' AS method, lang,
+       CAST(max(n) AS BIGINT) AS n_docs,
+       round(quantile_cont(n_chars, 0.25), 6) AS p25,
+       round(quantile_cont(n_chars, 0.5), 6) AS p50,
+       round(quantile_cont(n_chars, 0.75), 6) AS p75,
+       round(quantile_cont(n_chars, 0.95), 6) AS p95
+FROM (
+  SELECT lang, n_chars,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY md5(concat('sq', CAST(doc_id AS VARCHAR))), doc_id
+         ) AS rk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents)
+WHERE rk <= 128
+GROUP BY lang
 """,
 )
 def text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus length distribution per language: exact interpolated
-    percentiles (one pass; at 100 TB swap `percentile` for
-    `percentile_approx` — same plan shape, bounded memory)."""
+    """Corpus length distribution per language, two method-labelled
+    branches: 'exact' (interpolated `F.percentile`, whose per-group
+    value buffer is O(group) — fine below ~10^8 rows/group) and
+    'sampled_k128' (`sketch.sampled_quantiles` — the bounded-memory
+    scale path: per-group state is O(k) rows of the deterministic
+    md5-bottom-k sample, which the oracle replays EXACTLY; Spark's
+    own `percentile_approx` has no cross-engine-checkable state)."""
+    from rental_data_pipeline_spark.operators.sketch import sampled_quantiles
+
     docs = load_table(spark, "documents", sf_dir)
-    pct = F.percentile("n_chars", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(0.95)))
-    return (
+    qs = [0.25, 0.5, 0.75, 0.95]
+    pct = F.percentile("n_chars", F.array(*[F.lit(q) for q in qs]))
+    exact = (
         docs.groupBy("lang")
         .agg(F.count(F.lit(1)).alias("n_docs"), pct.alias("p"))
         .select(
-            "lang", "n_docs",
+            F.lit("exact").alias("method"), "lang", "n_docs",
             F.round(F.element_at("p", 1), 6).alias("p25"),
             F.round(F.element_at("p", 2), 6).alias("p50"),
             F.round(F.element_at("p", 3), 6).alias("p75"),
             F.round(F.element_at("p", 4), 6).alias("p95"),
         )
     )
+    sampled = sampled_quantiles(
+        docs, ["lang"], "n_chars", "doc_id", qs, k=128
+    ).select(
+        F.lit("sampled_k128").alias("method"), "lang",
+        F.col("n_rows").alias("n_docs"),
+        F.col("q_0_25").alias("p25"),
+        F.col("q_0_5").alias("p50"),
+        F.col("q_0_75").alias("p75"),
+        F.col("q_0_95").alias("p95"),
+    )
+    return exact.unionByName(sampled)
 
 
 @register(

@@ -312,3 +312,55 @@ def test_certified_heavy_hitters_deterministic_exact(spark):
             ).collect()
         }
         assert got == want
+
+
+def test_bottomk_quantile_sketch_merges_like_a_sketch(spark, sf_dir):
+    """The bottom-k quantile state is a real mergeable summary:
+    fold(state(A), state(B)) over a disjoint split == state(A ∪ B),
+    and the estimates are a pure function of the data (identical
+    across partitionings). Sampled estimates land near exact."""
+    from rental_data_pipeline_spark.operators.sketch import (
+        bottomk_sample_state,
+        merge_bottomk_states,
+        quantiles_from_bottomk,
+        sampled_quantiles,
+    )
+    from rental_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    qs = [0.5, 0.9]
+    whole = sampled_quantiles(docs, ["lang"], "n_chars", "doc_id", qs, k=64)
+    want = {r.lang: (r.n_rows, r.q_0_5, r.q_0_9) for r in whole.collect()}
+    assert want
+
+    # disjoint split -> per-part states -> merge == whole
+    a = docs.where("doc_id % 2 = 0")
+    b = docs.where("doc_id % 2 = 1")
+    sa = bottomk_sample_state(a, ["lang"], "n_chars", "doc_id", k=64)
+    sb = bottomk_sample_state(b, ["lang"], "n_chars", "doc_id", k=64)
+    merged = merge_bottomk_states(sa, sb, ["lang"], "doc_id", k=64)
+    got = {
+        r.lang: (r.n_rows, r.q_0_5, r.q_0_9)
+        for r in quantiles_from_bottomk(
+            merged, ["lang"], "n_chars", qs
+        ).collect()
+    }
+    assert got == want
+
+    # partition-independence of the whole-frame estimate
+    re = sampled_quantiles(
+        docs.repartition(13), ["lang"], "n_chars", "doc_id", qs, k=64
+    )
+    assert {r.lang: (r.n_rows, r.q_0_5, r.q_0_9) for r in re.collect()} == want
+
+    # sanity: the k=64 sample's median lands near the exact median
+    exact = {
+        r.lang: r.m
+        for r in docs.groupBy("lang")
+        .agg(F.percentile("n_chars", F.lit(0.5)).alias("m"))
+        .collect()
+    }
+    for lang, (_, q50, _) in want.items():
+        assert abs(q50 - exact[lang]) / max(exact[lang], 1) < 0.35
