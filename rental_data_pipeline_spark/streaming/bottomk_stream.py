@@ -55,7 +55,13 @@ def read_bottomk_state(
     """The merged bottom-k state across every committed slice: counts
     summed once per (group, slice), the union re-ranked on the same
     hash order, k kept — byte-equal to the batch operator over the
-    concatenated input."""
+    concatenated input.
+
+    ``k`` must be AT MOST the k the slices were folded with: each
+    slice only retains its own bottom-k rows, so a larger read-k
+    would silently under-sample (rows ranked k+1 within one slice can
+    belong to the union's true bottom-k'). Reading a smaller k is
+    exact (bottom-k' of a bottom-k superset, k' <= k)."""
     dirs = sliced_committed(path)
     if not dirs:
         return None

@@ -25,6 +25,7 @@ QUICK_MODULES = {
     "test_merge.py",              # CDC upsert core
     "test_training_ops.py",       # dedup/ANN/textstats/multimodal smoke
     "test_operator_hardening5.py",  # newest edge-case pins
+    "test_codec_property.py",     # BMP codec + fallback-tier equivalence
 }
 
 
