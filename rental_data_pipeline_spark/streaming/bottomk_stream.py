@@ -45,6 +45,59 @@ from rental_data_pipeline_spark.streaming.incremental import (
 )
 
 
+_META = "_meta.json"
+
+
+def _check_meta(
+    state_path: str,
+    k: int,
+    salt: str | None,
+    group_cols: list[str],
+    key_col: str,
+    create: bool = False,
+) -> None:
+    """Freeze the sketch parameters at first fold (the sibling
+    stores' ``_meta.json`` discipline): slices folded under different
+    (k, salt, columns) are NOT mergeable — a different salt draws a
+    different hash order (the union of two bottom-k sets under
+    different hashes is a bottom-k of nothing), and reading or
+    compacting with k above the folded k silently under-samples.
+    Mismatches refuse loudly instead."""
+    import json as _json
+
+    path = f"{state_path}/{_META}"
+    if not _os.path.exists(path):
+        if create:
+            _os.makedirs(state_path, exist_ok=True)
+            _atomic_json_write(
+                path,
+                {
+                    "k": k,
+                    "salt": salt,
+                    "group_cols": list(group_cols),
+                    "key_col": key_col,
+                },
+            )
+        return
+    with open(path) as f:
+        meta = _json.load(f)
+    problems = []
+    if k > meta["k"] or (create and k != meta["k"]):
+        problems.append(f"k={k} vs folded k={meta['k']}")
+    if salt is not None and salt != meta["salt"]:
+        problems.append(f"salt={salt!r} vs folded salt={meta['salt']!r}")
+    if list(group_cols) != meta["group_cols"] or key_col != meta["key_col"]:
+        problems.append(
+            f"columns ({group_cols}, {key_col}) vs folded "
+            f"({meta['group_cols']}, {meta['key_col']})"
+        )
+    if problems:
+        raise ValueError(
+            f"bottomk_stream: {state_path} was folded with different "
+            "parameters — " + "; ".join(problems)
+        )
+
+
 def read_bottomk_state(
     spark: SparkSession,
     path: str,
@@ -62,6 +115,7 @@ def read_bottomk_state(
     would silently under-sample (rows ranked k+1 within one slice can
     belong to the union's true bottom-k'). Reading a smaller k is
     exact (bottom-k' of a bottom-k superset, k' <= k)."""
+    _check_meta(path, k, None, group_cols, key_col)
     dirs = sliced_committed(path)
     if not dirs:
         return None
@@ -119,6 +173,18 @@ def compact_bottomk(
         sweep_covered_slices,
     )
 
+    import json as _json
+
+    meta_path = f"{state_path}/{_META}"
+    if _os.path.exists(meta_path):
+        with open(meta_path) as f:
+            fold_k = _json.load(f)["k"]
+        if k != fold_k:
+            raise ValueError(
+                f"compact_bottomk: k={k} but {state_path} was folded "
+                f"with k={fold_k} — compacting at a smaller k would "
+                "permanently trim sample rows later reads are owed"
+            )
     sweep_covered_slices(state_path, sweep_grace_sec, uncommitted_re=C_SLICE_RE)
     dirs = sliced_committed(state_path)
     if len(dirs) < min_slices:
@@ -150,6 +216,7 @@ def fold_bottomk_batch(
     """Fold ONE batch's bottom-k slice — idempotent per ``batch_id``
     (committed replays and compacted-away replays both no-op; a
     crashed half-written slice is rewritten wholesale)."""
+    _check_meta(state_path, k, salt, group_cols, key_col, create=True)
     bdir = f"{state_path}/b_{batch_id:09d}"
     if _os.path.exists(f"{bdir}/_SUCCESS"):
         return

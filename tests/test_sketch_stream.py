@@ -300,3 +300,42 @@ def test_bottomk_replay_and_crash_slices_are_invisible(spark, sf_dir, tmpdirs):
     extra = docs.where("doc_id % 7 = 0").groupBy("lang").count().collect()
     for r in extra:
         assert n_after[r.lang] == want[r.lang][0] + r["count"]
+
+
+def test_bottomk_meta_freezes_parameters(spark, sf_dir, tmpdirs):
+    """The sketch parameters freeze at first fold: a different salt
+    draws a different hash order (states not mergeable), a larger
+    read-k under-samples, a smaller compact-k would trim rows later
+    reads are owed — all refuse loudly instead of degrading."""
+    import pytest as _pytest
+
+    from rental_data_pipeline_spark.streaming.bottomk_stream import (
+        compact_bottomk,
+        fold_bottomk_batch,
+        read_bottomk_state,
+    )
+
+    _, state, _ = tmpdirs
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "n_chars"
+    )
+    fold_bottomk_batch(
+        spark, state, docs, 0, ["lang"], "n_chars", "doc_id", k=32
+    )
+    with _pytest.raises(ValueError, match="salt"):
+        fold_bottomk_batch(
+            spark, state, docs, 1, ["lang"], "n_chars", "doc_id",
+            k=32, salt="other",
+        )
+    with _pytest.raises(ValueError, match="k="):
+        fold_bottomk_batch(
+            spark, state, docs, 1, ["lang"], "n_chars", "doc_id", k=64
+        )
+    with _pytest.raises(ValueError, match="k="):
+        read_bottomk_state(spark, state, ["lang"], "doc_id", k=64)
+    with _pytest.raises(ValueError, match="columns"):
+        read_bottomk_state(spark, state, ["lang"], "n_chars", k=32)
+    with _pytest.raises(ValueError, match="compact"):
+        compact_bottomk(spark, state, ["lang"], "doc_id", k=16)
+    # smaller read-k stays exact and allowed
+    assert read_bottomk_state(spark, state, ["lang"], "doc_id", k=8).count() > 0
