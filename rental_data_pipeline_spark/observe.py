@@ -105,17 +105,27 @@ class SafeObservation:
     def _is_missing_row_error(e: Exception) -> bool:
         """True iff ``e`` matches a known missing-metrics-row signature
         (the optimizer dropped the CollectMetrics node from an empty
-        plan), as opposed to an unrelated bridge failure."""
+        plan), as opposed to an unrelated bridge failure.
+
+        The signatures trace ``Observation.get``'s row path
+        (``self._jo.getRow()`` → ``utils.toPyRow(jrow)`` →
+        ``CPickleSerializer().loads``): a null jrow dies in the JVM
+        bridge (Py4J error text naming toPyRow / CollectMetrics /
+        NullPointerException), a null pickle payload dies in
+        ``loads`` (EOFError / UnpicklingError / a ``TypeError``
+        complaining about ``NoneType``). The NoneType needle is scoped
+        to TypeError — an unrelated exception that merely MENTIONS
+        NoneType (e.g. an AttributeError inside a callback) must
+        re-raise, and there is deliberately no blanket AssertionError
+        match: the only assertion on this path (``assert self._jvm is
+        not None``) signals a torn-down session, where a recompute
+        would lie, not a missing row."""
         import pickle
 
         if isinstance(e, (EOFError, pickle.UnpicklingError)):
             return True  # CPickleSerializer().loads on a null row
+        if isinstance(e, TypeError) and "NoneType" in str(e):
+            return True  # loads(None): "a bytes-like object is required"
         text = f"{type(e).__name__}: {e}"
-        needles = (
-            "toPyRow",
-            "CollectMetrics",
-            "NullPointerException",
-            "NoneType",          # TypeError unpickling a null jrow
-            "AssertionError",    # jrow-present assertion variants
-        )
+        needles = ("toPyRow", "CollectMetrics", "NullPointerException")
         return any(n in text for n in needles)

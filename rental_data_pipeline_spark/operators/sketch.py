@@ -436,6 +436,53 @@ def certified_heavy_hitters(
     )
 
 
+def _bottomk_order(key_col: str, payload_cols: list[str]) -> list[Column]:
+    """The sketch's canonical total order: hash first, then the key,
+    then every payload column (name-sorted) as the tiebreak. ``__h`` is
+    a pure function of the key, so rows tie on (``__h``, key) exactly
+    when they share a key — the payload tiebreak is what keeps the
+    rank-k cut deterministic for NON-unique keys (rows identical in
+    key AND every payload column are interchangeable in the state, so
+    row_number's arbitrary choice among them cannot change the output
+    multiset)."""
+    return [
+        F.col("__h"),
+        F.col(key_col),
+        *[F.col(c) for c in sorted(payload_cols)],
+    ]
+
+
+def _state_payload_cols(
+    df: DataFrame, group_cols: list[str], key_col: str
+) -> list[str]:
+    """Payload columns of a bottom-k state frame: everything that is
+    not a group key, the sample key, or sketch bookkeeping."""
+    meta = set(group_cols) | {key_col, "__h", "__n", "__sid"}
+    return [c for c in df.columns if c not in meta]
+
+
+def _join_group_totals(
+    rows: DataFrame, totals: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Attach per-group totals with a NULL-SAFE equi-join: a plain
+    ``join(on=group_cols)`` silently drops every NULL-keyed group
+    (NULL never equals NULL in an equi-join), so a null group value
+    present in the state would vanish from the merge. ``eqNullSafe``
+    on each group column keeps it."""
+    import functools
+    import operator
+
+    renamed = totals.select(
+        *[F.col(c).alias(f"__t_{c}") for c in group_cols],
+        *[c for c in totals.columns if c not in group_cols],
+    )
+    cond = functools.reduce(
+        operator.and_,
+        [rows[c].eqNullSafe(renamed[f"__t_{c}"]) for c in group_cols],
+    )
+    return rows.join(renamed, cond).drop(*[f"__t_{c}" for c in group_cols])
+
+
 def bottomk_sample_state(
     df: DataFrame,
     group_cols: list[str],
@@ -443,34 +490,83 @@ def bottomk_sample_state(
     key_col: str,
     k: int = 512,
     salt: str = "sq",
+    n_shards: int = 32,
 ) -> DataFrame:
     """The mergeable state of the bottom-k quantile sketch: per group,
     the ``k`` rows whose ``md5(salt || key)`` sorts lowest (plus the
     group's TRUE row count). A hash-bottom-k set is a uniform sample
     that is a pure function of the data — same rows on any engine, any
-    partitioning — and it MERGES: bottom-k of a union is the bottom-k
-    of the concatenated states (``merge_bottomk_states``), so the
-    sketch folds over batches/partitions like the HLL registers above.
+    partitioning, any ``n_shards`` — and it MERGES: bottom-k of a
+    union is the bottom-k of the concatenated states
+    (``merge_bottomk_states``), so the sketch folds over
+    batches/partitions like the HLL registers above.
 
-    One shuffle (the per-group rank window); per-group state is O(k),
-    versus the exact percentile's O(group) value buffer — the
-    bounded-memory quantile path at 100 TB. md5 (not xxhash64) so a
-    DuckDB oracle replays the identical sample (module docstring)."""
+    Plan shape (two-level rank, gated by
+    ``tests/test_plans.py::test_bottomk_state_sharded_two_level``): no
+    single task ever sorts a whole group. Stage 1 ranks within
+    (group, ``__shard``) where the shard is a deterministic hash of
+    the key, so a group's rows spread across ``n_shards`` even tasks
+    (task volume O(group/n_shards)) and each shard keeps only its own
+    bottom-k; stage 2 re-ranks the ≤ k·n_shards survivors per group —
+    the straggler-free replacement for a single per-group window whose
+    one task buffers O(group) rows. Two bounded shuffles; the result
+    is identical for any ``n_shards`` (every globally-bottom-k row is
+    bottom-k within its shard), so size ``n_shards`` ≈ max group rows
+    / target task rows at scale. Per-group state is O(k), versus the
+    exact percentile's O(group) value buffer — the bounded-memory
+    quantile path at 100 TB. md5 (not xxhash64) so a DuckDB oracle
+    replays the identical sample (module docstring).
+
+    NULL keys are excluded from the sketch entirely — sample AND count
+    (mirroring the as-of join's documented null-key semantics): a NULL
+    key has no hash (null-propagating concat), would sort first under
+    Spark's asc-nulls-first while DuckDB sorts it last, and ties with
+    every other NULL key nondeterministically. Duplicate keys ARE
+    supported: the rank order tiebreaks on the value column
+    (:func:`_bottomk_order`), so the kept row set is deterministic as
+    long as (key, value) pairs are; rows identical in key and value
+    are interchangeable."""
+    from pyspark.sql import Window
+
+    df = df.where(F.col(key_col).isNotNull())
     h = F.md5(
         F.concat(F.lit(salt), F.col(key_col).cast("string"))
     ).alias("__h")
-    from pyspark.sql import Window
-
-    w = Window.partitionBy(*group_cols).orderBy(F.col("__h"), F.col(key_col))
-    return (
-        df.select(*group_cols, F.col(value_col), F.col(key_col), h)
-        .withColumn(
-            "__n",
-            F.count(F.lit(1)).over(Window.partitionBy(*group_cols)),
+    order = _bottomk_order(key_col, [value_col])
+    staged = df.select(*group_cols, F.col(value_col), F.col(key_col), h).withColumn(
+        # shard = independent hex window of the same md5 (chars 17-24),
+        # a pure function of the key: duplicate keys land in ONE shard,
+        # so the stage-1 cut sees every row that can tie on (__h, key)
+        "__shard",
+        F.conv(F.substring(F.col("__h"), 17, 8), 16, 10).cast("bigint")
+        % n_shards,
+    )
+    w1 = Window.partitionBy(*group_cols, "__shard").orderBy(*order)
+    pruned = (
+        staged.withColumn(
+            "__n_shard",
+            F.count(F.lit(1)).over(Window.partitionBy(*group_cols, "__shard")),
         )
-        .withColumn("__rk", F.row_number().over(w))
+        .withColumn("__rk1", F.row_number().over(w1))
+        .where(F.col("__rk1") <= k)
+        # exactly one carrier row per non-empty (group, shard): the
+        # group's true count must be summed once per shard, not once
+        # per surviving row
+        .withColumn(
+            "__n_carry",
+            F.when(F.col("__rk1") == 1, F.col("__n_shard")).otherwise(
+                F.lit(0).cast("long")
+            ),
+        )
+    )
+    w2 = Window.partitionBy(*group_cols).orderBy(*order)
+    return (
+        pruned.withColumn(
+            "__n", F.sum("__n_carry").over(Window.partitionBy(*group_cols))
+        )
+        .withColumn("__rk", F.row_number().over(w2))
         .where(F.col("__rk") <= k)
-        .drop("__rk")
+        .select(*group_cols, value_col, key_col, "__h", "__n")
     )
 
 
@@ -480,26 +576,30 @@ def merge_bottomk_states(
     """Fold two bottom-k states over DISJOINT row sets into the state
     of their union: re-rank the concatenation on the same hash order
     and keep k; true counts are additive. Associative and
-    commutative — the sketch's merge operator."""
+    commutative — the sketch's merge operator. Group columns may be
+    NULL (the totals join is null-safe); ties between equal keys
+    tiebreak on the payload columns, matching
+    :func:`bottomk_sample_state`'s order exactly."""
     from pyspark.sql import Window
 
     u = a.unionByName(b)
     # __n repeats on every kept row WITHIN a state — sum one value per
     # (group, source state), never per row (a per-row sum over-counts
-    # by up to k times); full outer so one-sided groups keep their n
-    na = a.groupBy(*group_cols).agg(F.first("__n").alias("__na"))
-    nb = b.groupBy(*group_cols).agg(F.first("__n").alias("__nb"))
-    totals = na.join(nb, group_cols, "full").select(
-        *group_cols,
-        (
-            F.coalesce(F.col("__na"), F.lit(0))
-            + F.coalesce(F.col("__nb"), F.lit(0))
-        ).alias("__n_total"),
+    # by up to k times). The per-side counts combine via union +
+    # groupBy, NOT an outer join: groupBy treats NULL as an ordinary
+    # group value, while a join on group_cols would leave a null
+    # group's two sides unmatched and mint two totals rows for it.
+    na = a.groupBy(*group_cols).agg(F.first("__n").alias("__n_side"))
+    nb = b.groupBy(*group_cols).agg(F.first("__n").alias("__n_side"))
+    totals = (
+        na.unionByName(nb)
+        .groupBy(*group_cols)
+        .agg(F.sum("__n_side").alias("__n_total"))
     )
-    w = Window.partitionBy(*group_cols).orderBy(F.col("__h"), F.col(key_col))
+    order = _bottomk_order(key_col, _state_payload_cols(a, group_cols, key_col))
+    w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
-        u.drop("__n")
-        .join(totals, group_cols)
+        _join_group_totals(u.drop("__n"), totals, group_cols)
         .withColumnRenamed("__n_total", "__n")
         .withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= k)
@@ -535,6 +635,7 @@ def sampled_quantiles(
     qs: list[float],
     k: int = 512,
     salt: str = "sq",
+    n_shards: int = 32,
 ) -> DataFrame:
     """Bounded-memory per-group quantiles from the deterministic
     bottom-k hash sample — the scale path next to the exact
@@ -542,7 +643,10 @@ def sampled_quantiles(
     Spark's ``percentile_approx`` (whose KLL state is engine-opaque,
     so no cross-engine oracle can check it). Sample error is the
     standard order-statistic bound (~1/sqrt(k) on the rank); the
-    SAMPLE itself is exact-reproducible, so the estimate is a pure
-    function of the data and the DuckDB twin hash-matches it."""
-    state = bottomk_sample_state(df, group_cols, value_col, key_col, k, salt)
+    SAMPLE itself is exact-reproducible (for any ``n_shards``), so the
+    estimate is a pure function of the data and the DuckDB twin
+    hash-matches it."""
+    state = bottomk_sample_state(
+        df, group_cols, value_col, key_col, k, salt, n_shards
+    )
     return quantiles_from_bottomk(state, group_cols, value_col, qs)

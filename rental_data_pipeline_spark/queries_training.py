@@ -855,7 +855,7 @@ FROM (
   SELECT lang, n_chars,
          row_number() OVER (
            PARTITION BY lang
-           ORDER BY md5(concat('sq', CAST(doc_id AS VARCHAR))), doc_id
+           ORDER BY md5(concat('sq', CAST(doc_id AS VARCHAR))), doc_id, n_chars
          ) AS rk,
          count(*) OVER (PARTITION BY lang) AS n
   FROM documents)

@@ -114,7 +114,20 @@ def read_bottomk_state(
     slice only retains its own bottom-k rows, so a larger read-k
     would silently under-sample (rows ranked k+1 within one slice can
     belong to the union's true bottom-k'). Reading a smaller k is
-    exact (bottom-k' of a bottom-k superset, k' <= k)."""
+    exact (bottom-k' of a bottom-k superset, k' <= k).
+
+    Group columns may be NULL: the totals groupBy keys nulls like any
+    other value and the totals join is null-safe
+    (``_join_group_totals``) — a plain equi-join would silently drop
+    every null-keyed group from the merged state. The rank order
+    carries the payload-column tiebreak (``_bottomk_order``), matching
+    the batch operator exactly for non-unique keys."""
+    from rental_data_pipeline_spark.operators.sketch import (
+        _bottomk_order,
+        _join_group_totals,
+        _state_payload_cols,
+    )
+
     _check_meta(path, k, None, group_cols, key_col)
     dirs = sliced_committed(path)
     if not dirs:
@@ -126,10 +139,10 @@ def read_bottomk_state(
         .groupBy(*group_cols)
         .agg(F.sum("__n_slice").alias("__n_total"))
     )
-    w = Window.partitionBy(*group_cols).orderBy(F.col("__h"), F.col(key_col))
+    order = _bottomk_order(key_col, _state_payload_cols(df, group_cols, key_col))
+    w = Window.partitionBy(*group_cols).orderBy(*order)
     return (
-        df.drop("__n", "__sid")
-        .join(totals, group_cols)
+        _join_group_totals(df.drop("__n", "__sid"), totals, group_cols)
         .withColumnRenamed("__n_total", "__n")
         .withColumn("__rk", F.row_number().over(w))
         .where(F.col("__rk") <= k)

@@ -300,3 +300,24 @@ def test_registry_names_bind_their_own_functions():
     assert set(oracles) == set(qs)
     for name, sql in oracles.items():
         assert isinstance(sql, str) and sql.strip(), name
+
+
+def test_bottomk_state_sharded_two_level(spark, sf_dir):
+    """The bottom-k quantile state must never sort a whole group in
+    one task (the r12 group-skew straggler): stage 1 ranks within
+    (group, __shard) — the first exchange partitions on the shard —
+    and only the ≤ k·n_shards survivors reach the per-group exchange.
+    Exactly two shuffles, all JVM-side."""
+    from rental_data_pipeline_spark.operators.sketch import bottomk_sample_state
+    from rental_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    st = bottomk_sample_state(docs, ["lang"], "n_chars", "doc_id", k=16, n_shards=8)
+    st.write.format("noop").mode("overwrite").save()
+    plan = st._jdf.queryExecution().executedPlan().toString()
+    assert _exchanges(plan) == 2, "two-level rank is exactly two shuffles"
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
+    assert any("__shard" in p for p in parts), (
+        "stage-1 exchange must shard groups: no task sorts a whole group"
+    )
+    assert "EvalPython" not in plan and "MapInPandas" not in plan

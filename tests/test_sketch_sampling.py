@@ -364,3 +364,63 @@ def test_bottomk_quantile_sketch_merges_like_a_sketch(spark, sf_dir):
     }
     for lang, (_, q50, _) in want.items():
         assert abs(q50 - exact[lang]) / max(exact[lang], 1) < 0.35
+
+
+def test_bottomk_state_null_groups_nulls_keys_dup_keys(spark):
+    """The r12-ADVICE edge set, all on one tiny frame:
+
+    - a NULL group value must survive the merge's totals join (a plain
+      equi-join on group_cols silently drops it);
+    - NULL keys are excluded from the sketch entirely — sample AND
+      count (no hash, engine-divergent sort position);
+    - duplicate keys are deterministic: the rank order tiebreaks on
+      the value column, so the kept rows are a pure function of the
+      data for any partitioning and any n_shards.
+    """
+    from rental_data_pipeline_spark.operators.sketch import (
+        bottomk_sample_state,
+        merge_bottomk_states,
+        quantiles_from_bottomk,
+    )
+
+    rows = []
+    for i in range(40):
+        rows.append(("g1", i * 10, f"k{i}"))
+        rows.append((None, i * 10 + 1, f"n{i}"))        # null GROUP
+    rows += [("g1", 5, None), (None, 7, None)]           # null KEYS
+    rows += [("g1", 100 + j, "dup") for j in range(6)]   # duplicate key
+    df = spark.createDataFrame(rows, "lang string, n_chars long, doc_id string")
+
+    def norm(frame):
+        return sorted(
+            map(tuple, frame.collect()),
+            key=lambda t: tuple((v is None, v) for v in t),
+        )
+
+    state = bottomk_sample_state(df, ["lang"], "n_chars", "doc_id", k=8)
+    got = norm(state)
+    # null keys never sampled and never counted
+    assert all(t[2] is not None for t in got)
+    n_by_group = {t[0]: t[4] for t in got}
+    assert n_by_group["g1"] == 46 and n_by_group[None] == 40
+    # deterministic under repartitioning AND a different shard count,
+    # duplicate 'dup' keys included
+    for variant in (
+        bottomk_sample_state(df.repartition(7), ["lang"], "n_chars", "doc_id", k=8),
+        bottomk_sample_state(df, ["lang"], "n_chars", "doc_id", k=8, n_shards=3),
+    ):
+        assert norm(variant) == got
+
+    # merged == batch over the concatenation, null group included
+    a = df.where("n_chars % 2 = 0")
+    b = df.where("n_chars % 2 = 1")
+    sa = bottomk_sample_state(a, ["lang"], "n_chars", "doc_id", k=8)
+    sb = bottomk_sample_state(b, ["lang"], "n_chars", "doc_id", k=8)
+    merged = merge_bottomk_states(sa, sb, ["lang"], "doc_id", k=8)
+    assert norm(merged) == got
+    # and the quantile fold sees both groups with the right counts
+    q = {
+        r.lang: r.n_rows
+        for r in quantiles_from_bottomk(merged, ["lang"], "n_chars", [0.5]).collect()
+    }
+    assert q == {"g1": 46, None: 40}

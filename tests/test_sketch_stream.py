@@ -339,3 +339,39 @@ def test_bottomk_meta_freezes_parameters(spark, sf_dir, tmpdirs):
         compact_bottomk(spark, state, ["lang"], "doc_id", k=16)
     # smaller read-k stays exact and allowed
     assert read_bottomk_state(spark, state, ["lang"], "doc_id", k=8).count() > 0
+
+
+def test_bottomk_stream_null_group_survives_merge(spark, tmpdirs):
+    """A NULL group value folded across slices must come back from
+    read_bottomk_state with the summed count — the reader's totals
+    join is null-safe (r12 ADVICE: a plain equi-join on group_cols
+    drops NULL-keyed groups from every merged/streamed state)."""
+    from rental_data_pipeline_spark.operators.sketch import sampled_quantiles
+    from rental_data_pipeline_spark.streaming.bottomk_stream import (
+        fold_bottomk_batch,
+        read_sampled_quantiles,
+    )
+
+    _, state, _ = tmpdirs
+    rows = [
+        (None if i % 3 == 0 else f"g{i % 2}", i * 3 % 97, f"k{i}")
+        for i in range(120)
+    ]
+    df = spark.createDataFrame(rows, "lang string, n_chars long, doc_id string")
+    a = df.where("n_chars % 2 = 0")
+    b = df.where("n_chars % 2 = 1")
+    fold_bottomk_batch(spark, state, a, 0, ["lang"], "n_chars", "doc_id", k=16)
+    fold_bottomk_batch(spark, state, b, 1, ["lang"], "n_chars", "doc_id", k=16)
+    got = {
+        r.lang: (r.n_rows, r.q_0_5)
+        for r in read_sampled_quantiles(
+            spark, state, ["lang"], "n_chars", "doc_id", [0.5], k=16
+        ).collect()
+    }
+    want = {
+        r.lang: (r.n_rows, r.q_0_5)
+        for r in sampled_quantiles(
+            df, ["lang"], "n_chars", "doc_id", [0.5], k=16
+        ).collect()
+    }
+    assert None in want and got == want
