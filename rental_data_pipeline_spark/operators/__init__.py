@@ -64,6 +64,7 @@ from rental_data_pipeline_spark.operators.sampling import (  # noqa: F401
     stratified_deterministic_sample,
 )
 from rental_data_pipeline_spark.operators.scd import scd2_intervals  # noqa: F401
+from rental_data_pipeline_spark.operators.topk import topk_per_group  # noqa: F401
 from rental_data_pipeline_spark.operators.similarity import (  # noqa: F401
     cosine_topk,
     hard_negatives,
@@ -147,6 +148,7 @@ __all__ = [
     "text_profile",
     "tfidf_top_terms",
     "theta_distinct",
+    "topk_per_group",
     "validate",
     "write_bucketed",
 ]

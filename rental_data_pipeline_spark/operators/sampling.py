@@ -204,12 +204,24 @@ def exact_k_sample(
             .limit(int(k))
             .drop("__h", "__rh")
         )
-    w = Window.partitionBy(*group_cols).orderBy(h, F.col(key_col), rh)
-    return (
-        df.withColumn("__rk", F.row_number().over(w))
-        .where(F.col("__rk") <= k)
-        .drop("__rk")
-    )
+    # per-group exact-k: sharded two-level rank (operators/topk.py) —
+    # a single per-group window would buffer and sort a whole stratum
+    # in one task (unbounded at corpus scale); sharding on the same
+    # key hash spreads it, and the result is identical for any shard
+    # count. Equal keys co-locate (the shard is a function of __h, a
+    # function of the key), so the __rh row-content tiebreak resolves
+    # duplicate-key ties inside one shard exactly as the global order
+    # would.
+    from rental_data_pipeline_spark.operators.topk import topk_per_group
+
+    staged = df.withColumn("__h", h).withColumn("__rh", rh)
+    return topk_per_group(
+        staged,
+        group_cols,
+        [F.col("__h"), F.col(key_col), F.col("__rh")],
+        int(k),
+        shard_expr=F.col("__h"),
+    ).drop("__h", "__rh")
 
 
 def mix_corpora(

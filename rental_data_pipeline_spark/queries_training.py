@@ -1866,8 +1866,6 @@ def sketch_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     full (group, user) shuffle of the exact forms; all are md5-hash
     deterministic so the oracle replays identical arithmetic
     (`operators/sketch.py`)."""
-    from pyspark.sql import Window
-
     from rental_data_pipeline_spark.operators.sketch import (
         certified_heavy_hitters,
         countmin_lookup,
@@ -1883,18 +1881,31 @@ def sketch_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     hll = hll_distinct(ev, ["event_type"], "user_id")
     theta = theta_distinct(ev, ["event_type"], "user_id", rate=_THETA_RATE)
 
-    w = Window.partitionBy("event_type").orderBy(
-        F.col("cnt").desc(), F.col("user_id")
-    )
+    # top-1 user per event type: min_by over the (-cnt, user_id) order
+    # key — a plain map-side-combinable aggregate with O(1) state per
+    # group, replacing a per-event-type rank window whose one task
+    # would sort every distinct user of that type (unbounded at scale;
+    # the same straggler shape `operators/topk.py` exists for, but
+    # top-1 needs no window at all). Negating cnt is overflow-safe
+    # (cnt >= 1); negating user_id would not be (LONG_MIN), hence
+    # min_by-with-negated-count rather than max_by-with-negated-user.
     topu = (
         ev.groupBy("event_type", "user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .groupBy("event_type")
+        .agg(
+            F.min_by(
+                F.struct("user_id", "cnt"),
+                F.struct(
+                    (F.lit(0) - F.col("cnt")).alias("neg_cnt"),
+                    F.col("user_id").alias("uid"),
+                ),
+            ).alias("__t")
+        )
         .select(
             "event_type",
-            F.col("user_id").alias("top_user"),
-            F.col("cnt").alias("top_user_freq"),
+            F.col("__t.user_id").alias("top_user"),
+            F.col("__t.cnt").alias("top_user_freq"),
         )
     )
     cm = countmin_lookup(
@@ -2001,10 +2012,13 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tiebreak — the n-gram LM / contamination-index
     building block. Classic wordcount shape: explode bigrams map-side,
     one hash aggregation (partial combine collapses repeats before the
-    shuffle), then a tiny per-lang top-k window over the aggregated
-    (lang, bigram) rows — the window input is already reduced, so the
-    sort cost is bounded by distinct bigrams, not corpus tokens."""
+    shuffle), then the SHARDED per-lang top-k (`operators/topk.py`):
+    a language's distinct-bigram set is unbounded at corpus scale, so
+    a single per-lang rank window would sort a whole language in one
+    task — the two-level rank keeps 10 per (lang, bigram-hash shard)
+    first, then re-ranks the bounded survivors."""
     from rental_data_pipeline_spark.operators.textstats import tokens
+    from rental_data_pipeline_spark.operators.topk import topk_per_group
 
     docs = load_table(spark, "documents", sf_dir)
     toks = tokens("text")
@@ -2018,8 +2032,8 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = docs.select("lang", F.explode(bigrams).alias("bigram"))
     c = b.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("bigram"))
-    return (
-        c.select("lang", "bigram", "n", F.row_number().over(w).alias("rank"))
-        .where(F.col("rank") <= 10)
+    top = topk_per_group(
+        c, ["lang"], [F.col("n").desc(), F.col("bigram")], 10,
+        shard_expr=F.xxhash64("bigram"), rank_name="rank",
     )
+    return top.select("lang", "bigram", "n", "rank")

@@ -207,10 +207,15 @@ def test_stratified_split_is_pure_map(spark, sf_dir):
     assert "Join" not in plan
 
 
-def test_ngram_counts_single_agg_plus_window(spark, sf_dir):
+def test_ngram_counts_single_agg_plus_sharded_topk(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ngram_lm_counts")
-    assert _exchanges(plan) <= 2, "wordcount agg + per-lang window only"
+    assert _exchanges(plan) <= 3, "wordcount agg + two-level top-k only"
     assert "Join" not in plan
+    # a language's distinct bigrams are unbounded at corpus scale: the
+    # top-k must shard before the per-lang rank, never sort a whole
+    # language in one task
+    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
+    assert any("__tk_shard" in p for p in parts)
 
 
 def test_sketch_joins_broadcast_never_sortmerge(spark, sf_dir):
