@@ -204,14 +204,15 @@ def exact_k_sample(
             .limit(int(k))
             .drop("__h", "__rh")
         )
-    # per-group exact-k: sharded two-level rank (operators/topk.py) —
-    # a single per-group window would buffer and sort a whole stratum
-    # in one task (unbounded at corpus scale); sharding on the same
-    # key hash spreads it, and the result is identical for any shard
-    # count. Equal keys co-locate (the shard is a function of __h, a
-    # function of the key), so the __rh row-content tiebreak resolves
-    # duplicate-key ties inside one shard exactly as the global order
-    # would.
+    # per-group exact-k: sharded two-level rank (operators/topk.py).
+    # Spark's rank-limit pushdown already bounds the map side of the
+    # plain window at k rows per partition; the shard level bounds the
+    # per-stratum REDUCE task (P·k partial survivors at a 100 TB
+    # scan's partition count) at max(P·k/n_shards, k·n_shards), and
+    # the result is identical for any shard count. Equal keys
+    # co-locate (the shard is __h, a function of the key), so the
+    # __rh row-content tiebreak resolves duplicate-key ties inside
+    # one shard exactly as the global order would.
     from rental_data_pipeline_spark.operators.topk import topk_per_group
 
     staged = df.withColumn("__h", h).withColumn("__rh", rh)

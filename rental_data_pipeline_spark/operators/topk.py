@@ -1,21 +1,39 @@
-"""Sharded two-level per-group top-k — the straggler-free rank window.
+"""Sharded two-level per-group top-k — bounding the rank window's
+REDUCE-side tail.
 
-A single ``row_number() OVER (PARTITION BY group ORDER BY ...)`` puts a
-group's ENTIRE row set into one window task, which buffers and sorts
-O(group) rows: at 100 TB a skewed group (one dominant language's
-distinct bigrams, one event type's distinct users) turns into a
-straggler that a 1000-executor cluster waits on. The fix mirrors the
-bottom-k quantile sketch's round-13 rework (``operators/sketch.py``):
+What Spark already does: a ``row_number() OVER (PARTITION BY group
+ORDER BY ...)`` filtered to ``<= k`` triggers ``InferWindowGroupLimit``
+(Spark 3.5+), which inserts a map-side ``WindowGroupLimit Partial``
+BEFORE the shuffle — each upstream partition forwards at most k rows
+per group, so the map side is never a whole-group sort. (Measured in
+``scripts/stress_topk_skew.py``: a 20M-row hot group ranks in ~2 s
+either way locally.)
 
-1. shard each group by a deterministic hash of the row, rank within
-   (group, shard) and keep only k per shard — task volume
-   O(group / n_shards), spread evenly because the shard is a hash;
-2. re-rank the ≤ k·n_shards survivors per group and keep k.
+What it does NOT bound: the reduce side. One task per group still
+receives and sorts ``P·k`` rows (P = upstream partitions). At 100 TB
+with ~10^5-10^6 scan partitions and a handful of groups (languages,
+event types), that is 10^6-10^7 rows funneled through ONE task per
+group — a tail, not a crash, but exactly the kind of straggler a
+1000-executor cluster waits on. This operator adds the middle level of
+a hierarchical merge: rank within (group, hash-shard) first — the
+reduce cell there receives ~``P·k / n_shards`` rows — then re-rank the
+≤ ``k·n_shards`` survivors per group. Reduce-side task volume drops
+from ``P·k`` to ``max(P·k/n_shards, k·n_shards)`` for one extra (tiny)
+shuffle; locally the extra exchange costs ~0.5-1 s on 20M rows (the
+stress script records both).
 
-The result is IDENTICAL to the single-window form for any ``n_shards``:
-every row in the group's true top-k is, a fortiori, within the top-k of
-its own shard (the shard is a subset ranked by the same order), so
-stage 1 only ever discards rows the global cut would discard too.
+The result is IDENTICAL to the single-window form for any
+``n_shards``: every row in the group's true top-k is, a fortiori,
+within the top-k of its own shard (the shard is a subset ranked by the
+same order), so stage 1 only ever discards rows the global cut would
+discard too.
+
+The sibling case that is NOT optional: when another window function
+rides the same partition (the bottom-k sketch's per-group count),
+``InferWindowGroupLimit`` cannot fire and the single-window form
+really does buffer and sort the whole group in one task — measured
+94 s vs 8 s sharded on a 20M-row group (``operators/sketch.py``
+handles that shape itself; this module is for plain rank limits).
 
 Correctness precondition (same as any row_number use): the order must
 be TOTAL over distinct rows within a group — supply tiebreak columns —
@@ -43,16 +61,17 @@ def topk_per_group(
     n_shards: int = 32,
     rank_name: str | None = None,
 ) -> DataFrame:
-    """Keep each group's top ``k`` rows under ``order_cols`` without
-    ever sorting a whole group in one task.
+    """Keep each group's top ``k`` rows under ``order_cols`` with the
+    per-group reduce task bounded at ``max(P·k/n_shards, k·n_shards)``
+    rows instead of ``P·k`` (module docstring).
 
     ``shard_expr`` must be a DETERMINISTIC function of the row (a
     hash of one of its columns — nondeterministic expressions break
     retry/recompute consistency under shuffle replay). ``n_shards``
-    never changes the result, only the parallelism of stage 1: size
-    it ≈ max group rows / target task rows. ``rank_name`` adds the
-    final 1-based rank as a column; the two bookkeeping columns are
-    always dropped."""
+    never changes the result, only the fan-in of the merge: size it
+    ≈ sqrt(P·k / k) at scale. ``rank_name`` adds the final 1-based
+    rank as a column; the two bookkeeping columns are always
+    dropped."""
     rk = rank_name or "__tk_rank"
     w1 = Window.partitionBy(*group_cols, "__tk_shard").orderBy(*order_cols)
     w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)

@@ -1883,12 +1883,13 @@ def sketch_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # top-1 user per event type: min_by over the (-cnt, user_id) order
     # key — a plain map-side-combinable aggregate with O(1) state per
-    # group, replacing a per-event-type rank window whose one task
-    # would sort every distinct user of that type (unbounded at scale;
-    # the same straggler shape `operators/topk.py` exists for, but
-    # top-1 needs no window at all). Negating cnt is overflow-safe
-    # (cnt >= 1); negating user_id would not be (LONG_MIN), hence
-    # min_by-with-negated-count rather than max_by-with-negated-user.
+    # group, replacing a per-event-type rank window. The window form
+    # was map-side-bounded by Spark's rank-limit pushdown, but its
+    # reduce task still merged P partial survivors per event type and
+    # paid a sort; top-1 needs no window (or sort) at all. Negating
+    # cnt is overflow-safe (cnt >= 1); negating user_id would not be
+    # (LONG_MIN), hence min_by-with-negated-count rather than
+    # max_by-with-negated-user.
     topu = (
         ev.groupBy("event_type", "user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -2012,11 +2013,13 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministic tiebreak — the n-gram LM / contamination-index
     building block. Classic wordcount shape: explode bigrams map-side,
     one hash aggregation (partial combine collapses repeats before the
-    shuffle), then the SHARDED per-lang top-k (`operators/topk.py`):
-    a language's distinct-bigram set is unbounded at corpus scale, so
-    a single per-lang rank window would sort a whole language in one
-    task — the two-level rank keeps 10 per (lang, bigram-hash shard)
-    first, then re-ranks the bounded survivors."""
+    shuffle), then the SHARDED per-lang top-k (`operators/topk.py`).
+    Spark's own rank-limit pushdown (InferWindowGroupLimit) already
+    bounds the MAP side of a plain per-lang window at k rows per
+    partition; what it can't bound is the reduce tail — one task per
+    language still merges P·k partial survivors, 10^6-10^7 rows at a
+    100 TB scan's partition count. The two-level rank caps that task
+    at max(P·k/n_shards, k·n_shards) for one extra tiny shuffle."""
     from rental_data_pipeline_spark.operators.textstats import tokens
     from rental_data_pipeline_spark.operators.topk import topk_per_group
 

@@ -211,11 +211,14 @@ def test_ngram_counts_single_agg_plus_sharded_topk(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ngram_lm_counts")
     assert _exchanges(plan) <= 3, "wordcount agg + two-level top-k only"
     assert "Join" not in plan
-    # a language's distinct bigrams are unbounded at corpus scale: the
-    # top-k must shard before the per-lang rank, never sort a whole
-    # language in one task
+    # the per-lang reduce tail must be sharded (operators/topk.py):
+    # the first rank exchange partitions on __tk_shard so no single
+    # task merges all P·k partial survivors of a language
     parts = re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
     assert any("__tk_shard" in p for p in parts)
+    # and Spark's rank-limit pushdown still bounds the map side of
+    # both rank levels (k rows per group per partition pre-shuffle)
+    assert "WindowGroupLimit" in plan
 
 
 def test_sketch_joins_broadcast_never_sortmerge(spark, sf_dir):
