@@ -468,10 +468,14 @@ def _join_group_totals(
     ``join(on=group_cols)`` silently drops every NULL-keyed group
     (NULL never equals NULL in an equi-join), so a null group value
     present in the state would vanish from the merge. ``eqNullSafe``
-    on each group column keeps it."""
+    on each group column keeps it. With no group columns (a GLOBAL
+    sketch) the totals frame is one row: attach it as a cross join —
+    an empty condition list has no reduce identity."""
     import functools
     import operator
 
+    if not group_cols:
+        return rows.crossJoin(totals)
     renamed = totals.select(
         *[F.col(c).alias(f"__t_{c}") for c in group_cols],
         *[c for c in totals.columns if c not in group_cols],

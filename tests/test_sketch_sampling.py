@@ -424,3 +424,32 @@ def test_bottomk_state_null_groups_nulls_keys_dup_keys(spark):
         for r in quantiles_from_bottomk(merged, ["lang"], "n_chars", [0.5]).collect()
     }
     assert q == {"g1": 46, None: 40}
+
+
+def test_bottomk_global_no_groups(spark):
+    """group_cols=[] — the GLOBAL sketch: stage 2 is a bounded
+    single-task merge of <= k*n_shards survivors, the merge fold's
+    totals attach via cross join (one totals row), and merged ==
+    batch over the concatenation."""
+    from rental_data_pipeline_spark.operators.sketch import (
+        bottomk_sample_state,
+        merge_bottomk_states,
+        quantiles_from_bottomk,
+    )
+
+    df = spark.createDataFrame(
+        [(i * 7 % 101, f"k{i}") for i in range(200)], "v long, key string"
+    )
+    whole = bottomk_sample_state(df, [], "v", "key", k=16)
+    got = sorted(map(tuple, whole.collect()))
+    assert len(got) == 16 and all(t[3] == 200 for t in got)
+    a = df.where("v % 2 = 0")
+    b = df.where("v % 2 = 1")
+    merged = merge_bottomk_states(
+        bottomk_sample_state(a, [], "v", "key", k=16),
+        bottomk_sample_state(b, [], "v", "key", k=16),
+        [], "key", k=16,
+    )
+    assert sorted(map(tuple, merged.collect())) == got
+    q = quantiles_from_bottomk(merged, [], "v", [0.5]).collect()[0]
+    assert q.n_rows == 200
