@@ -444,11 +444,21 @@ def _bottomk_order(key_col: str, payload_cols: list[str]) -> list[Column]:
     rank-k cut deterministic for NON-unique keys (rows identical in
     key AND every payload column are interchangeable in the state, so
     row_number's arbitrary choice among them cannot change the output
-    multiset)."""
+    multiset).
+
+    Payload tiebreaks order ``asc_nulls_last``, NOT Spark's default
+    asc (nulls first): DuckDB's default ASC is NULLS LAST, so a null
+    payload on a duplicate key would silently pick different survivor
+    rows per engine under the default — nulls-last is the one
+    spelling both engines agree on (an oracle mirroring the tiebreak
+    writes ``ORDER BY ..., v NULLS LAST``, which is DuckDB's default
+    anyway). NaN needs no such care: both engines sort NaN above
+    every number. ``__h`` and the key carry no null handling because
+    null keys are excluded from the sketch entirely."""
     return [
         F.col("__h"),
         F.col(key_col),
-        *[F.col(c) for c in sorted(payload_cols)],
+        *[F.col(c).asc_nulls_last() for c in sorted(payload_cols)],
     ]
 
 

@@ -453,3 +453,68 @@ def test_bottomk_global_no_groups(spark):
     assert sorted(map(tuple, merged.collect())) == got
     q = quantiles_from_bottomk(merged, [], "v", [0.5]).collect()[0]
     assert q.n_rows == 200
+
+
+def test_bottomk_payload_tiebreak_matches_duckdb(spark):
+    """Duplicate keys with NULL and NaN payload values: the rank-k cut
+    must pick the SAME survivor rows on both engines. Spark's default
+    asc is NULLS FIRST while DuckDB's is NULLS LAST — the sketch
+    orders its payload tiebreak asc_nulls_last explicitly, the one
+    spelling both engines agree on (NaN sorts above every number in
+    both)."""
+    import math
+
+    import duckdb
+
+    from rental_data_pipeline_spark.operators.sketch import (
+        bottomk_sample_state,
+    )
+
+    rows = []
+    for i in range(30):
+        # key "dupN" appears 3x with payloads {value, NULL, NaN}
+        rows.append((f"g{i % 2}", float(i), f"dup{i % 5}"))
+        rows.append((f"g{i % 2}", None, f"dup{i % 5}"))
+        rows.append((f"g{i % 2}", float("nan"), f"dup{i % 5}"))
+    df = spark.createDataFrame(rows, "g string, v double, key string")
+    k = 7
+
+    def norm(v):
+        if v is None:
+            return "NULL"
+        if isinstance(v, float) and math.isnan(v):
+            return "NaN"
+        return f"{float(v):.6f}"
+
+    got = sorted(
+        (r["g"], norm(r["v"]), r["key"], r["__n"])
+        for r in bottomk_sample_state(df, ["g"], "v", "key", k=k).collect()
+    )
+    con = duckdb.connect()
+    # build the table NATIVELY: a pandas registration collapses NaN
+    # into NULL (float64 can't carry both), which is a harness
+    # artifact — parquet (the driver's oracle path) and native tables
+    # keep them distinct, and both engines then agree on
+    # numbers < NaN < NULL under NULLS LAST
+    con.execute("CREATE TABLE t(g VARCHAR, v DOUBLE, key VARCHAR)")
+    vals = ", ".join(
+        "('%s', %s, '%s')"
+        % (g, "NULL" if v is None else ("'NaN'::DOUBLE" if math.isnan(v) else repr(v)), key)
+        for g, v, key in rows
+    )
+    con.execute(f"INSERT INTO t VALUES {vals}")
+    want = sorted(
+        (g, norm(v), key, n)
+        for g, v, key, n in con.execute(f"""
+            SELECT g, v, key, n FROM (
+              SELECT g, v, key,
+                     count(*) OVER (PARTITION BY g) AS n,
+                     row_number() OVER (
+                       PARTITION BY g
+                       ORDER BY md5('sq' || CAST(key AS VARCHAR)),
+                                key, v NULLS LAST) AS rk
+              FROM t WHERE key IS NOT NULL)
+            WHERE rk <= {k}
+        """).fetchall()
+    )
+    assert got == want
