@@ -542,6 +542,13 @@ def bottomk_sample_state(
     are interchangeable."""
     from pyspark.sql import Window
 
+    if n_shards < 1:
+        # % 0 is NULL in Spark SQL: every row would land in one NULL
+        # shard cell — the single-task sort this rework removed,
+        # silently restored. Refuse instead.
+        raise ValueError(
+            f"bottomk_sample_state: n_shards must be >= 1, got {n_shards}"
+        )
     df = df.where(F.col(key_col).isNotNull())
     h = F.md5(
         F.concat(F.lit(salt), F.col(key_col).cast("string"))

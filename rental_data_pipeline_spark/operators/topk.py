@@ -72,6 +72,11 @@ def topk_per_group(
     ≈ sqrt(P·k / k) at scale. ``rank_name`` adds the final 1-based
     rank as a column; the two bookkeeping columns are always
     dropped."""
+    if n_shards < 1:
+        # pmod by 0 is NULL in Spark SQL: every row would land in one
+        # NULL shard cell — the exact single-task funnel this operator
+        # exists to prevent, silently. Refuse instead.
+        raise ValueError(f"topk_per_group: n_shards must be >= 1, got {n_shards}")
     rk = rank_name or "__tk_rank"
     w1 = Window.partitionBy(*group_cols, "__tk_shard").orderBy(*order_cols)
     w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
