@@ -729,8 +729,18 @@ def pq_topk(
     n_iter: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    codebooks: "list[list[list[float]]] | None" = None,
 ) -> DataFrame:
     """PQ ANN: train → encode → ADC shortlist → exact re-rank.
+
+    ``codebooks`` (from :func:`pq_train`, deterministic) makes this
+    the probe half of train-once/probe-many — the same contract as
+    ``ivf_topk_trained(centroids=...)``: a deployment trains offline
+    and every query reuses the frozen codebooks, so callers that
+    probe repeatedly (the bench, a query service) don't re-pay the
+    ``n_iter`` training passes per call. Omitted, it trains inline
+    (identical results either way — training is a pure function of
+    the corpus).
 
     Asymmetric distance computation: each query precomputes a lookup
     table ``lut[mi*k + j] = <q_mi, codebook[mi][j]>`` (driver-side —
@@ -744,7 +754,10 @@ def pq_topk(
     At 100 TB the codes table is memory-resident where raw vectors
     cannot be; this train → encode → ADC → re-rank composition is the
     standard IVF-PQ query path with nprobe = all cells."""
-    codebooks = pq_train(df, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
+    if codebooks is None:
+        codebooks = pq_train(
+            df, m=m, k=k, n_iter=n_iter, id_col=id_col, vec_col=vec_col
+        )
     sub = len(codebooks[0][0])
     unit = _unit_corpus(df, id_col, vec_col)
     codes = pq_encode(df, codebooks, id_col=id_col, vec_col=vec_col)

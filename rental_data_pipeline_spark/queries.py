@@ -1044,6 +1044,7 @@ def prebuild_artifacts(spark, sf_dir: str, max_workers: int = 6) -> float:
         queries_training._simhash_idx_base,
         queries_training._cc_labels_base,
         queries_training._ann_index_artifact,
+        queries_training._pq_codebooks_artifact,
         queries_scalar2.scalar_suite,
         queries_pipeline._fixtures,
     )
