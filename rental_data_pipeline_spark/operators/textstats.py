@@ -702,3 +702,114 @@ def char_entropy(
             F.log2("__total") - F.col("__sum_nlogn") / F.col("__total"), 6
         ).alias("char_entropy_bits"),
     )
+
+
+def bigram_lm_perplexity(
+    df: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Per-document bigram-LM perplexity — the CCNet-style quality
+    score: train an add-alpha-smoothed bigram model on the corpus
+    itself (per language) and score every document against it; fluent
+    in-distribution text scores low, boilerplate/garbage scores high.
+    The reference has no model-based quality signal (SURVEY §2.7 ends
+    at regex scalars); this is the training-data-curation operator the
+    100 TB brief calls for next to `quality_score`'s surface ratios.
+
+    Model: P(w2|w1) = (c(w1,w2) + alpha) / (c(w1) + alpha * V), with
+    c(w1) the CONTEXT count (occurrences of w1 as a bigram's first
+    token — the proper conditional denominator), V = distinct tokens
+    per language. score(doc) = 10^(-mean log10 P) over the doc's
+    bigram stream; docs with < 2 tokens produce no row (no bigrams to
+    score — the caller's length gate owns them).
+
+    Cross-engine determinism: each bigram's log-term rounds to 8 dp
+    and is summed as DECIMAL(38,8) (exact, order-independent — the
+    HLL register-sum discipline; a double sum's value depends on
+    partition visit order), and the single division + pow happen once
+    per doc on the exact sum. Duplicate (doc, bigram) pairs aggregate
+    to a per-doc count FIRST, so the expensive count joins move
+    distinct pairs, not occurrences.
+
+    Plan: one token pass (map-side) feeds the vocabulary agg and the
+    bigram stream; c2/c1 are partial-agg'd counts; the score joins are
+    shuffle equi-joins on (lang, w1[, w2]) — co-partitioned with the
+    counts they probe — plus one broadcast of the per-lang V; one
+    final (lang, doc) agg. Output: (lang, id, n_bigrams, ppl)."""
+    toks = tokens(text_col)
+    base = df.select(F.col(lang_col), F.col(id_col), toks.alias("__toks"))
+    pairs_arr = F.filter(
+        F.zip_with(
+            F.col("__toks"),
+            F.slice(
+                F.col("__toks"),
+                2,
+                F.greatest(F.size("__toks") - 1, F.lit(0)),
+            ),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        # zip_with pads the shorter side with NULL: the final token's
+        # struct has w2 NULL and is not a bigram
+        lambda s: s["w2"].isNotNull(),
+    )
+    pairs = base.select(
+        lang_col, id_col, F.explode(pairs_arr).alias("__bg")
+    ).select(
+        lang_col, id_col,
+        F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2"),
+    )
+    vocab = (
+        base.select(lang_col, F.explode("__toks").alias("__tok"))
+        .groupBy(lang_col)
+        .agg(F.count_distinct("__tok").alias("__V"))
+    )
+    c2 = pairs.groupBy(lang_col, "__w1", "__w2").agg(
+        F.count(F.lit(1)).alias("__c2")
+    )
+    c1 = pairs.groupBy(lang_col, "__w1").agg(F.count(F.lit(1)).alias("__c1"))
+    doc_pairs = pairs.groupBy(lang_col, id_col, "__w1", "__w2").agg(
+        F.count(F.lit(1)).alias("__c_doc")
+    )
+    term = F.round(
+        F.log10(
+            (F.col("__c2") + F.lit(alpha))
+            / (F.col("__c1") + F.lit(alpha) * F.col("__V"))
+        ),
+        8,
+    ).cast("decimal(20,8)")
+    scored = (
+        doc_pairs.join(c2, [lang_col, "__w1", "__w2"])
+        .join(c1, [lang_col, "__w1"])
+        .join(F.broadcast(vocab), [lang_col])
+        .select(
+            lang_col, id_col,
+            # __c_doc enters the multiply as DECIMAL(10,0), NOT long:
+            # decimal(20,8) x long is decimal(20,8) x decimal(20,0) =
+            # precision 41 > Spark's 38 cap, and the overflow rule
+            # TRUNCATES THE SCALE to 6 — every term silently loses its
+            # 7th/8th decimal while DuckDB (no such cap at this width)
+            # keeps all 8, skewing the summed exponent ~1e-5 per doc.
+            # At (10,0) the product is (31,8): exact in both engines.
+            # c_doc is a per-doc bigram multiplicity — 10 digits is
+            # unreachable (a doc would need 10^10 copies of one
+            # bigram).
+            (term * F.col("__c_doc").cast("decimal(10,0)")).alias("__term"),
+            F.col("__c_doc"),
+        )
+    )
+    return scored.groupBy(lang_col, id_col).agg(
+        F.sum("__c_doc").alias("n_bigrams"),
+        F.round(
+            F.pow(
+                F.lit(10.0),
+                -(
+                    F.sum("__term").cast("double")
+                    / F.sum("__c_doc").cast("double")
+                ),
+            ),
+            6,
+        ).alias("ppl"),
+    )

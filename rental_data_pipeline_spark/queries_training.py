@@ -2019,15 +2019,43 @@ def stratified_sample_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ngram_lm_counts",
     oracle=f"""
-WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+WITH t AS (SELECT lang, doc_id, {_TOKS} AS toks FROM documents),
 b AS (SELECT lang,
              unnest(list_transform(range(1, len(toks)),
                                    i -> toks[i] || ' ' || toks[i + 1])) AS bigram
       FROM t),
-c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY 1, 2)
-SELECT lang, bigram, n, rank FROM (
-  SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
-  FROM c) WHERE rank <= 10
+c AS (SELECT lang, bigram, count(*) AS n FROM b GROUP BY 1, 2),
+topb AS (
+  SELECT 'top_bigram' AS method, lang, bigram AS term,
+         CAST(n AS DOUBLE) AS score, rank
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rank
+    FROM c) WHERE rank <= 10),
+p AS (SELECT lang, doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                                   i -> {{'w1': toks[i], 'w2': toks[i + 1]}})) AS bg
+      FROM t),
+pp AS (SELECT lang, doc_id, bg['w1'] AS w1, bg['w2'] AS w2 FROM p),
+v AS (SELECT lang, count(DISTINCT tok) AS V
+      FROM (SELECT lang, unnest(toks) AS tok FROM t) GROUP BY lang),
+c2 AS (SELECT lang, w1, w2, count(*) AS c2 FROM pp GROUP BY 1, 2, 3),
+c1 AS (SELECT lang, w1, count(*) AS c1 FROM pp GROUP BY 1, 2),
+dp AS (SELECT lang, doc_id, w1, w2, count(*) AS c_doc FROM pp GROUP BY 1, 2, 3, 4),
+terms AS (
+  SELECT dp.lang, dp.doc_id,
+         CAST(round(log10((c2.c2 + 0.5) / (c1.c1 + 0.5 * v.V)), 8)
+              AS DECIMAL(20,8)) * CAST(dp.c_doc AS DECIMAL(10,0)) AS term,
+         dp.c_doc AS c_doc
+  FROM dp
+  JOIN c2 ON dp.lang = c2.lang AND dp.w1 = c2.w1 AND dp.w2 = c2.w2
+  JOIN c1 ON dp.lang = c1.lang AND dp.w1 = c1.w1
+  JOIN v ON dp.lang = v.lang),
+ppl AS (
+  SELECT 'doc_ppl' AS method, lang, CAST(doc_id AS VARCHAR) AS term,
+         round(pow(10.0, -(CAST(sum(term) AS DOUBLE) / sum(c_doc))), 6) AS score,
+         CAST(NULL AS INT) AS rank
+  FROM terms GROUP BY lang, doc_id)
+SELECT * FROM topb UNION ALL SELECT * FROM ppl
 """,
 )
 def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2041,8 +2069,20 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition; what it can't bound is the reduce tail — one task per
     language still merges P·k partial survivors, 10^6-10^7 rows at a
     100 TB scan's partition count. The two-level rank caps that task
-    at max(P·k/n_shards, k·n_shards) for one extra tiny shuffle."""
-    from rental_data_pipeline_spark.operators.textstats import tokens
+    at max(P·k/n_shards, k·n_shards) for one extra tiny shuffle.
+
+    The 'doc_ppl' branch is the MODEL-BASED quality score built from
+    the same bigram statistics (`textstats.bigram_lm_perplexity`,
+    CCNet-style): every document scored against the corpus's own
+    add-alpha bigram LM — per-term log10 rounded to 8 dp and summed
+    as exact DECIMAL so the per-doc score is order-independent and
+    the oracle replays it bit-for-bit. One feed, schema
+    (method, lang, term, score, rank): 'top_bigram' rows carry the
+    ranked bigrams, 'doc_ppl' rows carry per-doc perplexity."""
+    from rental_data_pipeline_spark.operators.textstats import (
+        bigram_lm_perplexity,
+        tokens,
+    )
     from rental_data_pipeline_spark.operators.topk import topk_per_group
 
     docs = load_table(spark, "documents", sf_dir)
@@ -2060,5 +2100,15 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     top = topk_per_group(
         c, ["lang"], [F.col("n").desc(), F.col("bigram")], 10,
         shard_expr=F.xxhash64("bigram"), rank_name="rank",
+    ).select(
+        F.lit("top_bigram").alias("method"), "lang",
+        F.col("bigram").alias("term"),
+        F.col("n").cast("double").alias("score"), "rank",
     )
-    return top.select("lang", "bigram", "n", "rank")
+    ppl = bigram_lm_perplexity(docs).select(
+        F.lit("doc_ppl").alias("method"), "lang",
+        F.col("doc_id").cast("string").alias("term"),
+        F.col("ppl").alias("score"),
+        F.lit(None).cast("int").alias("rank"),
+    )
+    return top.unionByName(ppl)

@@ -209,8 +209,6 @@ def test_stratified_split_is_pure_map(spark, sf_dir):
 
 def test_ngram_counts_single_agg_plus_sharded_topk(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ngram_lm_counts")
-    assert _exchanges(plan) <= 3, "wordcount agg + two-level top-k only"
-    assert "Join" not in plan
     # the per-lang reduce tail must be sharded (operators/topk.py):
     # the first rank exchange partitions on __tk_shard so no single
     # task merges all P·k partial survivors of a language
@@ -219,6 +217,13 @@ def test_ngram_counts_single_agg_plus_sharded_topk(spark, sf_dir):
     # and Spark's rank-limit pushdown still bounds the map side of
     # both rank levels (k rows per group per partition pre-shuffle)
     assert "WindowGroupLimit" in plan
+    # the doc_ppl branch's count probes are equi-joins on
+    # (lang, w1[, w2]) — shuffle-joinable at corpus scale where the
+    # count tables outgrow broadcast range, but never a cartesian;
+    # the per-lang vocab is the one broadcast
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, "per-lang V must broadcast"
+    assert not re.search(r"EvalPython|MapInPandas", plan)
 
 
 def test_sketch_joins_broadcast_never_sortmerge(spark, sf_dir):

@@ -830,3 +830,34 @@ def test_connected_components_reliable_checkpoint(spark, tmp_path):
         for r in jaccard_pairs(docs, threshold=0.5, checkpoint_dir=p_ck).collect()
     }
     assert a == b == {(1, 2, 1.0)}
+
+
+def test_bigram_lm_perplexity_semantics(spark):
+    """Model-based quality score: in-distribution repetitive text
+    scores LOWER perplexity than out-of-distribution word salad;
+    docs with < 2 tokens produce no row; scores are a pure function
+    of the data (stable under repartitioning); n_bigrams matches the
+    token stream."""
+    from pyspark.sql import functions as F
+
+    from rental_data_pipeline_spark.operators.textstats import (
+        bigram_lm_perplexity,
+    )
+
+    fluent = "the cat sat on the mat"
+    rows = (
+        [("en", i, fluent) for i in range(8)]
+        + [("en", 100, "zq xv qk jw zz pq vv kx")]  # unique-bigram salad
+        + [("en", 101, "single"), ("en", 102, "")]  # no bigrams
+    )
+    df = spark.createDataFrame(rows, "lang string, doc_id long, text string")
+    out = {r.doc_id: (r.n_bigrams, float(r.ppl)) for r in
+           bigram_lm_perplexity(df).collect()}
+    assert 101 not in out and 102 not in out
+    assert out[0][0] == 5  # "the cat sat on the mat" -> 5 bigrams
+    assert out[0] == out[7]  # identical docs, identical score
+    # the corpus-dominant doc is far more predictable than the salad
+    assert out[0][1] < out[100][1] / 2
+    again = {r.doc_id: (r.n_bigrams, float(r.ppl)) for r in
+             bigram_lm_perplexity(df.repartition(7)).collect()}
+    assert again == out
