@@ -35,6 +35,7 @@ def _ops():
     from rental_data_pipeline_spark.operators import dedup as D
     from rental_data_pipeline_spark.operators import similarity as S
     from rental_data_pipeline_spark.operators import textstats as TS
+    from rental_data_pipeline_spark.operators.sketch import sampled_quantiles
 
     def _x10(df, id_col):
         """Synthetic 10x tier: ten id-shifted replicas with a per-copy
@@ -90,6 +91,16 @@ def _ops():
         ),
         "text_profile": lambda spark, sf: TS.profile(docs(spark, sf)),
         "tfidf": lambda spark, sf: TS.tfidf_top_terms(docs(spark, sf)),
+        # round-13 additions: the reworked bounded-memory quantile
+        # sketch and the bigram-LM quality score — both should hold a
+        # ~linear slope (the sketch's two-level rank is k-bounded per
+        # shard; the LM's joins move distinct (lang, w1[, w2]) counts)
+        "bottomk_quantiles": lambda spark, sf: sampled_quantiles(
+            docs(spark, sf), ["lang"], "n_chars", "doc_id", [0.5, 0.9], k=128
+        ),
+        "bigram_lm_ppl": lambda spark, sf: TS.bigram_lm_perplexity(
+            docs(spark, sf)
+        ),
     }
 
 
