@@ -40,6 +40,32 @@ STOPWORDS: tuple[str, ...] = (
 BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 
+def nd_barrier(col: Column) -> Column:
+    """Predicate-pushdown barrier: the value of ``col``, unchanged.
+
+    ``monotonically_increasing_id()`` is non-negative by construction
+    (partition_id << 33 | row_in_partition), so the WHEN always takes
+    the ``col`` branch — but the expression is flagged
+    non-deterministic, and Catalyst's ``PushPredicateThroughNonJoin``
+    refuses to push any filter through a Project that contains a
+    non-deterministic item. This is the optimization guide's
+    ``asNondeterministic()`` duplicate-evaluation fix (§4.4) applied
+    to native Column expressions: without it, a filter on an
+    expensive derived column is SUBSTITUTED below the projection —
+    every ``__toks`` reference re-inlines ``split(regexp_replace(...))``
+    (no common-subexpression elimination inside a Filter condition,
+    measured ~50 inlined copies for the curation gate) — and, when a
+    small corpus was fanned out by ``_with_tokens``'s repartition, the
+    pushed filter lands in the single-split SCAN stage and serializes
+    the whole corpus' scoring onto one core (measured 3.9-4.7 s of a
+    ~3.5 s bench slot at sf0.1). With the barrier the gate evaluates
+    once, above the projection, in the fanned-out stage. Trade-off:
+    no predicate at all crosses this projection — callers' own
+    filters on curation OUTPUT columns were never scan-pushable
+    anyway (all derived), so nothing real is lost at any scale."""
+    return F.when(F.monotonically_increasing_id() >= 0, col)
+
+
 def tokens(text: Column | str) -> Column:
     """Whitespace tokenization (split on runs of whitespace).
 
@@ -296,11 +322,16 @@ def curation_scored(
         6,
     )
 
+    # nd_barrier on ONE projection item blocks the curation gate below
+    # from being substituted under this projection (see nd_barrier):
+    # without it the whole scoring tree re-inlines per conjunct inside
+    # a Filter pushed all the way into the (single-split) scan stage —
+    # serial AND ~50x-duplicated per row. Values are unchanged.
     return df.select(
         F.col(id_col),
         predicted.alias("predicted_lang"),
         n.alias("n_tokens"),
-        quality.alias("quality_score"),
+        nd_barrier(quality).alias("quality_score"),
         F.md5(F.col(text_col)).alias("content_hash"),
     ).where(
         F.col("predicted_lang").isin(*languages)
@@ -342,12 +373,14 @@ def curate_corpus(
     rows are exchanged — at 100 TB the post-filter volume is what
     crosses the wire.
 
-    Known trade-off: Catalyst pushes the filter below the projection by
-    substituting the score aliases, so the scoring expressions evaluate
-    ~2× in the map stage (once in the filter, once in the project).
-    That doubles map-side CPU on a fully-pipelined, shuffle-free stage;
-    the alternative (a barrier to stop pushdown) would either shuffle
-    unfiltered rows or materialize the corpus — both worse at scale.
+    The curation gate is kept ABOVE the scoring projection with
+    :func:`nd_barrier` (round 13): Catalyst otherwise substitutes the
+    score aliases into the filter and pushes it below — measured as
+    ~50 re-inlined ``split(regexp_replace(...))`` copies per row (no
+    common-subexpression elimination inside a Filter) landing in the
+    single-split scan stage, i.e. the whole corpus scored serially AND
+    redundantly. With the barrier each score evaluates once, in the
+    fanned-out stage, and the filter runs on the computed columns.
     """
     return curation_dedup(
         curation_scored(
@@ -407,14 +440,21 @@ def repetition_stats(
 ) -> DataFrame:
     """Gopher-style intra-document repetition signals: duplicate
     token / 2-gram / 3-gram fractions and the top-token frequency
-    share. All native array expressions — one scan, zero shuffles,
-    O(n log n) in tokens per doc (top-token share via sorted
-    longest-run, never the quadratic distinct×filter scan). Quality
-    gates at 100 TB filter on these map-side, so they push down ahead
-    of any exchange.
+    share. All native array expressions, O(n log n) in tokens per doc
+    (top-token share via sorted longest-run, never the quadratic
+    distinct×filter scan). Quality gates at 100 TB filter on these
+    map-side, so they push down ahead of any exchange.
+
+    Fan-out discipline (round 13): goes through :func:`_with_tokens`
+    like every other per-doc textstats operator — at corpus scale the
+    conditional repartition is a no-op (scan splits ≥ cores) and the
+    operator keeps its one-scan shape; on a single-split corpus file
+    the previous direct-on-scan form fused the WHOLE per-doc array
+    fold into one scan task (measured 4.6 s single-task broadcast
+    build inside ``text_repetition``'s join, ~70% of the slot).
     """
-    t = df.select(F.col(id_col), tokens(text_col).alias("toks"))
-    toks = F.col("toks")
+    t = _with_tokens(df, text_col, id_col)
+    toks = F.col("__toks")
     n = F.size(toks)
 
     def dup_ratio(arr: Column) -> Column:

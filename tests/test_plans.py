@@ -145,10 +145,22 @@ def test_repetition_operator_pure_map_query_join_broadcasts(spark, sf_dir):
     from rental_data_pipeline_spark.sources.tables import load_table
 
     docs = load_table(spark, "documents", sf_dir)
+    # corpus-scale shape: input already fanned out (splits >= cores) →
+    # _with_tokens skips its repartition and the operator stays a pure
+    # map-side scan, zero exchanges
+    n = spark.sparkContext.defaultParallelism
+    wide = repetition_stats(docs.repartition(n, "doc_id"))
+    wide.write.format("noop").mode("overwrite").save()
+    wp = wide._jdf.queryExecution().executedPlan().toString()
+    # exactly the input repartition we added; the operator adds none
+    assert _exchanges(wp) == 1, "repetition_stats is map-side at scale"
+    # single-split corpus file: the conditional fan-out engages so the
+    # per-doc array folds don't serialize onto the one scan task
+    # (round 13: this was a measured 4.6 s single-task stage)
     op = repetition_stats(docs)
     op.write.format("noop").mode("overwrite").save()
     op_plan = op._jdf.queryExecution().executedPlan().toString()
-    assert _exchanges(op_plan) == 0, "repetition_stats is map-side"
+    assert _exchanges(op_plan) == 1, "single-split input fans out"
     assert "EvalPython" not in op_plan and "MapInPandas" not in op_plan
 
     plan = _plan(spark, sf_dir, "text_repetition")
