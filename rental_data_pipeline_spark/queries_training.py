@@ -1897,9 +1897,6 @@ def sketch_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, "events", sf_dir)
-    exact = ev.groupBy("event_type").agg(
-        F.count_distinct("user_id").alias("exact_distinct")
-    )
     hll = hll_distinct(ev, ["event_type"], "user_id")
     theta = theta_distinct(ev, ["event_type"], "user_id", rate=_THETA_RATE)
 
@@ -1912,25 +1909,38 @@ def sketch_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # cnt is overflow-safe (cnt >= 1); negating user_id would not be
     # (LONG_MIN), hence min_by-with-negated-count rather than
     # max_by-with-negated-user.
-    topu = (
+    # exact COUNT(DISTINCT) and top-1 user share ONE (event_type,
+    # user_id) pair aggregation: both branches used to shuffle the
+    # identical full pair set separately (count_distinct expands to the
+    # same two-level aggregate), and column pruning specializes the
+    # pair aggregate per consumer so ReuseExchange cannot dedup them —
+    # computing count + min_by in a single second-level agg removes one
+    # full-table shuffle and one assembly join outright (guide §2.3).
+    # count("user_id") over the pair set counts non-null distinct users
+    # — exactly COUNT(DISTINCT user_id)'s null-ignoring semantics —
+    # while min_by still sees the NULL-user pair row, as before.
+    exact_topu = (
         ev.groupBy("event_type", "user_id")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .groupBy("event_type")
         .agg(
+            F.count("user_id").alias("exact_distinct"),
             F.min_by(
                 F.struct("user_id", "cnt"),
                 F.struct(
                     (F.lit(0) - F.col("cnt")).alias("neg_cnt"),
                     F.col("user_id").alias("uid"),
                 ),
-            ).alias("__t")
+            ).alias("__t"),
         )
         .select(
             "event_type",
+            "exact_distinct",
             F.col("__t.user_id").alias("top_user"),
             F.col("__t.cnt").alias("top_user_freq"),
         )
     )
+    topu = exact_topu.select("event_type", "top_user", "top_user_freq")
     cm = countmin_lookup(
         countmin_sketch(ev, ["event_type"], "user_id", _CM_DEPTH, _CM_WIDTH),
         topu.select("event_type", F.col("top_user").alias("user_id")),
@@ -1948,13 +1958,16 @@ def sketch_distinct_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("user_id").alias("n_heavy_users"))
     )
     return (
-        exact.join(hll, "event_type", "left")
+        exact_topu.join(hll, "event_type", "left")
         .join(theta, "event_type", "left")
-        .join(topu, "event_type", "left")
         .join(cm, "event_type", "left")
         .join(hh, "event_type", "left")
         .withColumn(
             "n_heavy_users", F.coalesce("n_heavy_users", F.lit(0)).cast("long")
+        )
+        .select(
+            "event_type", "exact_distinct", "hll_estimate", "theta_estimate",
+            "top_user", "top_user_freq", "cm_top_user_freq", "n_heavy_users",
         )
     )
 
