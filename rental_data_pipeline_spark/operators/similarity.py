@@ -161,24 +161,56 @@ IVF_NPROBE = 2
 
 def _ivf_probe(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids: DataFrame | None,
     query_ids: list[int],
     nprobe: int,
     top_k: int,
+    cent_row: DataFrame | None = None,
 ) -> DataFrame:
     """Shared IVF query path: Voronoi-assign the corpus to broadcast
     ``centroids (cid, cv)``, prune each query to its ``nprobe`` nearest
-    cells, exact cosine + top-k within the probed cells only."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "v", "cid",
-        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim"),
+    cells, exact cosine + top-k within the probed cells only.
+
+    Assignment is a MAP-SIDE argmax over the centroid set packed into
+    one broadcast array row (:func:`_assign_to_centroids`'s shape) —
+    the earlier form exploded corpus×k rows and ranked them with a
+    ``row_number`` window partitioned by vec_id, i.e. a full-corpus
+    shuffle+sort of k·N rows just to pick each row's best cell. Same
+    (csim desc, cid asc) order, same rounded cosine, so the assignment
+    — and therefore every result row — is identical; the shuffle is
+    simply gone (guide §2.1: remove shuffles outright).
+
+    ``cent_row`` (one row, ``cents array<struct<cid,cv>>``) skips the
+    fold-to-one-row aggregation when the caller already holds the
+    centroids driver-side (the trained path)."""
+    if cent_row is None:
+        cent_row = centroids.agg(
+            F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("cents")
+        )
+    # struct(s, negcid): array_max = (csim desc, cid asc) rank 1;
+    # reverse(array_sort(...)) = the same order for the nprobe slice.
+    # collect_list order is nondeterministic, but both reductions are
+    # order-insensitive, so the assignment stays a pure function of
+    # the data.
+    packed = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(cosine(F.col("v"), c["cv"]), 6).alias("s"),
+            (-c["cid"]).alias("negcid"),
+        ),
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cid"))
-    ranked = scored.withColumn("rn", F.row_number().over(w_assign))
-    cells = ranked.where(F.col("rn") == 1).select("vec_id", "v", "cid")
+    scored = corpus.crossJoin(F.broadcast(cent_row))
+    best = F.array_max(packed)
+    cells = scored.select("vec_id", "v", (-best["negcid"]).alias("cid"))
+    qtop = F.slice(F.reverse(F.array_sort(packed)), 1, nprobe)
     qprobe = (
-        ranked.where(F.col("vec_id").isin(query_ids) & (F.col("rn") <= nprobe))
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), "cid")
+        scored.where(F.col("vec_id").isin(query_ids))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.explode(qtop).alias("__qc"),
+        )
+        .select("query_id", "qv", (-F.col("__qc.negcid")).alias("cid"))
     )
     sim = F.round(cosine(F.col("qv"), F.col("v")), 6)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
@@ -245,13 +277,15 @@ def ivf_topk_trained(
         centroids, _ = kmeans_train(df, k=n_cells, n_iter=n_iter, id_col=id_col, vec_col=vec_col)
     corpus = _corpus(df, id_col, vec_col)
     spark = df.sparkSession
-    # single-slice literal frame: k rows must not fan out into a
-    # defaultParallelism-task broadcast build (see _centroid_frame)
-    cent_df = spark.createDataFrame(
-        spark.sparkContext.parallelize(list(enumerate(centroids)), 1),
-        "cid int, cv array<double>",
+    # single-slice, single-row packed frame (see _centroid_frame): the
+    # centroids are already driver-side, so hand _ivf_probe its
+    # broadcast row directly instead of a (cid, cv) frame it would
+    # have to fold to one row with an extra single-partition exchange
+    cent_row = spark.createDataFrame(
+        spark.sparkContext.parallelize([(list(enumerate(centroids)),)], 1),
+        "cents array<struct<cid:int, cv:array<double>>>",
     )
-    return _ivf_probe(corpus, cent_df, query_ids, nprobe, top_k)
+    return _ivf_probe(corpus, None, query_ids, nprobe, top_k, cent_row=cent_row)
 
 
 def embedding_near_dup_pairs(
@@ -330,21 +364,28 @@ def semantic_dedup(
             corpus.orderBy("vec_id").limit(n_cells)
             .select(F.col("vec_id").alias("cid"), F.col("v").alias("cv"))
         )
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
-        "vec_id", "v", "cid",
-        F.round(cosine(F.col("v"), F.col("cv")), 6).alias("csim"),
+    # map-side argmax assignment against the centroid set packed into
+    # one broadcast array row — same (csim desc, cid asc) order as the
+    # former row_number window, without the k·N-row full-corpus
+    # shuffle+sort the window needed (see _ivf_probe)
+    cent_row = centroids.agg(
+        F.collect_list(F.struct(F.col("cid"), F.col("cv"))).alias("cents")
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("csim").desc(), F.col("cid")
+    packed = F.transform(
+        F.col("cents"),
+        lambda c: F.struct(
+            F.round(cosine(F.col("v"), c["cv"]), 6).alias("s"),
+            (-c["cid"]).alias("negcid"),
+        ),
     )
+    best = F.array_max(packed)
     # the assignment feeds three consumers (both self-join sides + the
-    # final annotation): persist so the crossJoin+window runs once —
+    # final annotation): persist so the crossJoin+argmax runs once —
     # at corpus scale this materialization is the cell-partitioned
     # assignment table you would write anyway (build_ann_index's shape)
     cells = (
-        scored.withColumn("rn", F.row_number().over(w_assign))
-        .where(F.col("rn") == 1)
-        .select("vec_id", "v", "cid")
+        corpus.crossJoin(F.broadcast(cent_row))
+        .select("vec_id", "v", (-best["negcid"]).alias("cid"))
         .persist()
     )
     a, b = cells.alias("a"), cells.alias("b")
