@@ -435,30 +435,33 @@ def cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard_out_of_order on and off, where stale updates are no-ops
     under the guard and overwrite without it (SURVEY §2.8 T5), both
     variants independently replayed by the oracle."""
-    price = cdc_price_changes(spark, sf_dir).select(
-        "offer_id", "change_date",
-        F.lit("price_change").alias("kind"),
-        "price_diff", "new_price", "old_price",
-    )
-    unpub = cdc_unpublish_transitions(spark, sf_dir).select(
-        "offer_id",
-        F.col("unpublished_at").alias("change_date"),
-        F.lit("unpublish").alias("kind"),
-        F.lit(None).cast("long").alias("price_diff"),
-        F.lit(None).cast("double").alias("new_price"),
-        F.lit(None).cast("double").alias("old_price"),
-    )
-    ts_type = dict(price.dtypes)["change_date"]
+    # ONE window pass serves both event-derived branches: an event row
+    # is either a price change or an unpublish transition (the chg
+    # predicate excludes unpub_tr rows by construction), so instead of
+    # unioning two separately-windowed frames — two full shuffles+sorts
+    # of the snapshot that column pruning keeps ReuseExchange from
+    # deduplicating — flag both transitions in a single pass and
+    # project kind/price fields conditionally. Row-for-row identical
+    # output (the union was disjoint), half the event-table work.
+    feed = _cdc_transition_feed(spark, sf_dir)
+    ts_type = dict(feed.dtypes)["change_date"]
     fixture = _merge_edge_fixture_feed(spark, ts_type)
     guard = _guard_fixture_feed(spark, ts_type)
-    return price.unionByName(unpub).unionByName(fixture).unionByName(guard)
+    return feed.unionByName(fixture).unionByName(guard)
 
 
-def cdc_price_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1 as a row stream: every price-change event with its diff."""
+def _cdc_transition_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1 + W2 in one windowed pass: every event row labelled
+    'price_change' (with diff/new/old) or 'unpublish' (price fields
+    NULL) — the disjoint union cdc_price_changes ∪
+    cdc_unpublish_transitions without computing the per-key ordered
+    window twice."""
     snap = _event_snapshots(spark, sf_dir)
-    w = Window.partitionBy("offer_id").orderBy("updated_date", "event_id")
-    w_prev = w.rowsBetween(Window.unboundedPreceding, -1)
+    w_prev = (
+        Window.partitionBy("offer_id")
+        .orderBy("updated_date", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
     prev_price = F.last("price_value", ignorenulls=True).over(w_prev)
     prev_unpub = F.last("is_unpublished", ignorenulls=True).over(w_prev)
     unpub_tr = (
@@ -473,44 +476,24 @@ def cdc_price_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         & prev_price.isNotNull()
         & (F.col("price_value") != prev_price)
     )
+    is_chg = F.coalesce(chg, F.lit(False))
     return (
         snap.select(
             "offer_id",
             F.col("updated_date").alias("change_date"),
-            (F.col("price_value").cast("long") - prev_price.cast("long")).alias(
-                "price_diff"
-            ),
-            F.col("price_value").alias("new_price"),
-            prev_price.alias("old_price"),
-            F.coalesce(chg, F.lit(False)).alias("__chg"),
+            F.when(is_chg, F.lit("price_change"))
+            .otherwise(F.lit("unpublish"))
+            .alias("kind"),
+            F.when(
+                is_chg,
+                F.col("price_value").cast("long") - prev_price.cast("long"),
+            ).alias("price_diff"),
+            F.when(is_chg, F.col("price_value")).alias("new_price"),
+            F.when(is_chg, prev_price).alias("old_price"),
+            (is_chg | F.coalesce(unpub_tr, F.lit(False))).alias("__keep"),
         )
-        .where(F.col("__chg"))
-        .drop("__chg")
-    )
-
-
-def cdc_unpublish_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W2: false→true transitions of is_unpublished."""
-    snap = _event_snapshots(spark, sf_dir)
-    w_prev = (
-        Window.partitionBy("offer_id")
-        .orderBy("updated_date", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    prev_unpub = F.last("is_unpublished", ignorenulls=True).over(w_prev)
-    tr = (
-        F.col("updated_date").isNotNull()
-        & (F.col("is_unpublished") == F.lit(True))
-        & (prev_unpub == F.lit(False))
-    )
-    return (
-        snap.select(
-            "offer_id",
-            F.col("updated_date").alias("unpublished_at"),
-            F.coalesce(tr, F.lit(False)).alias("__tr"),
-        )
-        .where(F.col("__tr"))
-        .drop("__tr")
+        .where(F.col("__keep"))
+        .drop("__keep")
     )
 
 
