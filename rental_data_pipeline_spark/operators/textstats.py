@@ -744,12 +744,79 @@ def char_entropy(
     )
 
 
+def bigram_model_frames(
+    df: DataFrame,
+    lang_col: str = "lang",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> tuple[DataFrame, DataFrame, DataFrame, DataFrame]:
+    """The shared bigram-LM statistics: ``(doc_pairs, c2, c1, vocab)``.
+
+    ``doc_pairs`` (lang, id, w1, w2, __c_doc) is persisted — it is the
+    finest aggregate, filled by the ONE tokenize+explode corpus pass,
+    and both the corpus-level counts and the scoring join read it.
+    ``c2``/``c1`` are derived from it by exact re-aggregation
+    (Σ __c_doc, then Σ __c2), never by re-scanning the corpus; callers
+    needing corpus bigram frequencies (the top-bigram feed) should
+    read ``c2`` rather than recount. The persisted frame is released
+    by the session-level cache clear between queries (bench.py) — the
+    operator itself stays lazy, so it cannot unpersist mid-lineage.
+
+    The tokenize projection fans a single-split corpus file out across
+    the cluster first (``_with_tokens``'s conditional-repartition
+    discipline): without it every one of these statistics serializes
+    its explode onto the lone scan task."""
+    n = df.sparkSession.sparkContext.defaultParallelism
+    src = df
+    if src.rdd.getNumPartitions() < n:
+        src = src.repartition(n, F.col(id_col))
+    base = src.select(
+        F.col(lang_col), F.col(id_col), tokens(text_col).alias("__toks")
+    )
+    pairs_arr = F.filter(
+        F.zip_with(
+            F.col("__toks"),
+            F.slice(
+                F.col("__toks"),
+                2,
+                F.greatest(F.size("__toks") - 1, F.lit(0)),
+            ),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        # zip_with pads the shorter side with NULL: the final token's
+        # struct has w2 NULL and is not a bigram
+        lambda s: s["w2"].isNotNull(),
+    )
+    pairs = base.select(
+        lang_col, id_col, F.explode(pairs_arr).alias("__bg")
+    ).select(
+        lang_col, id_col,
+        F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2"),
+    )
+    doc_pairs = (
+        pairs.groupBy(lang_col, id_col, "__w1", "__w2")
+        .agg(F.count(F.lit(1)).alias("__c_doc"))
+        .persist()
+    )
+    c2 = doc_pairs.groupBy(lang_col, "__w1", "__w2").agg(
+        F.sum("__c_doc").alias("__c2")
+    )
+    c1 = c2.groupBy(lang_col, "__w1").agg(F.sum("__c2").alias("__c1"))
+    vocab = (
+        base.select(lang_col, F.explode("__toks").alias("__tok"))
+        .groupBy(lang_col)
+        .agg(F.count_distinct("__tok").alias("__V"))
+    )
+    return doc_pairs, c2, c1, vocab
+
+
 def bigram_lm_perplexity(
     df: DataFrame,
     lang_col: str = "lang",
     id_col: str = "doc_id",
     text_col: str = "text",
     alpha: float = 0.5,
+    frames: "tuple[DataFrame, DataFrame, DataFrame, DataFrame] | None" = None,
 ) -> DataFrame:
     """Per-document bigram-LM perplexity — the CCNet-style quality
     score: train an add-alpha-smoothed bigram model on the corpus
@@ -774,45 +841,24 @@ def bigram_lm_perplexity(
     to a per-doc count FIRST, so the expensive count joins move
     distinct pairs, not occurrences.
 
-    Plan: one token pass (map-side) feeds the vocabulary agg and the
-    bigram stream; c2/c1 are partial-agg'd counts; the score joins are
-    shuffle equi-joins on (lang, w1[, w2]) — co-partitioned with the
-    counts they probe — plus one broadcast of the per-lang V; one
-    final (lang, doc) agg. Output: (lang, id, n_bigrams, ppl)."""
-    toks = tokens(text_col)
-    base = df.select(F.col(lang_col), F.col(id_col), toks.alias("__toks"))
-    pairs_arr = F.filter(
-        F.zip_with(
-            F.col("__toks"),
-            F.slice(
-                F.col("__toks"),
-                2,
-                F.greatest(F.size("__toks") - 1, F.lit(0)),
-            ),
-            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
-        ),
-        # zip_with pads the shorter side with NULL: the final token's
-        # struct has w2 NULL and is not a bigram
-        lambda s: s["w2"].isNotNull(),
-    )
-    pairs = base.select(
-        lang_col, id_col, F.explode(pairs_arr).alias("__bg")
-    ).select(
-        lang_col, id_col,
-        F.col("__bg.w1").alias("__w1"), F.col("__bg.w2").alias("__w2"),
-    )
-    vocab = (
-        base.select(lang_col, F.explode("__toks").alias("__tok"))
-        .groupBy(lang_col)
-        .agg(F.count_distinct("__tok").alias("__V"))
-    )
-    c2 = pairs.groupBy(lang_col, "__w1", "__w2").agg(
-        F.count(F.lit(1)).alias("__c2")
-    )
-    c1 = pairs.groupBy(lang_col, "__w1").agg(F.count(F.lit(1)).alias("__c1"))
-    doc_pairs = pairs.groupBy(lang_col, id_col, "__w1", "__w2").agg(
-        F.count(F.lit(1)).alias("__c_doc")
-    )
+    Plan: ONE corpus pass fills the per-doc distinct-pair counts
+    (``doc_pairs``, persisted — the finest aggregate), and the model
+    counts are DERIVED from it by further aggregation instead of
+    re-scanning the corpus: c2 = Σ_doc c_doc per (lang, w1, w2),
+    c1 = Σ_w2 c2 per (lang, w1) — exact identities, so each level
+    shuffles strictly fewer rows than the one below (distinct pairs,
+    then distinct bigrams, then distinct first-tokens) where the
+    earlier form ran three independent full tokenize+explode+shuffle
+    passes over the raw corpus (plus pruning-specialized subtrees that
+    ReuseExchange could never dedup). The vocabulary is the one other
+    corpus pass (V counts tokens, not pairs — a 1-token doc has a
+    vocab entry but no bigram). The score joins are shuffle equi-joins
+    on (lang, w1[, w2]) co-partitioned with the counts they probe,
+    plus one broadcast of the per-lang V; one final (lang, doc) agg.
+    Output: (lang, id, n_bigrams, ppl)."""
+    if frames is None:
+        frames = bigram_model_frames(df, lang_col, id_col, text_col)
+    doc_pairs, c2, c1, vocab = frames
     term = F.round(
         F.log10(
             (F.col("__c2") + F.lit(alpha))

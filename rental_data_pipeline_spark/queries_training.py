@@ -2094,22 +2094,23 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked bigrams, 'doc_ppl' rows carry per-doc perplexity."""
     from rental_data_pipeline_spark.operators.textstats import (
         bigram_lm_perplexity,
-        tokens,
+        bigram_model_frames,
     )
     from rental_data_pipeline_spark.operators.topk import topk_per_group
 
     docs = load_table(spark, "documents", sf_dir)
-    toks = tokens("text")
-    bigrams = F.filter(
-        F.zip_with(
-            toks,
-            F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-            lambda a, b: F.concat(a, F.lit(" "), b),
-        ),
-        lambda x: x.isNotNull(),
+    # one shared statistics build feeds BOTH branches: the corpus
+    # bigram frequencies are c2 re-labelled (n = Σ per-doc counts —
+    # an exact identity), so the top-bigram feed no longer pays its
+    # own tokenize+explode+count pass over the corpus next to the
+    # perplexity model's
+    frames = bigram_model_frames(docs)
+    _, c2, _, _ = frames
+    c = c2.select(
+        "lang",
+        F.concat("__w1", F.lit(" "), "__w2").alias("bigram"),
+        F.col("__c2").alias("n"),
     )
-    b = docs.select("lang", F.explode(bigrams).alias("bigram"))
-    c = b.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
     top = topk_per_group(
         c, ["lang"], [F.col("n").desc(), F.col("bigram")], 10,
         shard_expr=F.xxhash64("bigram"), rank_name="rank",
@@ -2118,7 +2119,7 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("bigram").alias("term"),
         F.col("n").cast("double").alias("score"), "rank",
     )
-    ppl = bigram_lm_perplexity(docs).select(
+    ppl = bigram_lm_perplexity(docs, frames=frames).select(
         F.lit("doc_ppl").alias("method"), "lang",
         F.col("doc_id").cast("string").alias("term"),
         F.col("ppl").alias("score"),
