@@ -1208,19 +1208,39 @@ def connected_components(
     # scan per round — the standard iterative-graph shape on Spark (the
     # executor-resident-blocks recovery trade is the same one
     # _materialize_release documents).
-    labels = barrier(
-        edges.select(F.col("src").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("component"))
-    )
     # convergence metric: labels only ever DECREASE per node, so the
     # sum strictly decreases until fixpoint. Sum over decimal(38,0) —
     # a signed-long sum overflows for hash-derived id domains (ids up
     # to 2^56 here; a few hundred nodes already pass 2^63), which
     # under ANSI mode crashes the collect and with ANSI off could
-    # wrap two different states to equal sums.
-    _metric = F.sum(F.col("component").cast("decimal(38,0)"))
-    total = labels.agg(_metric).collect()[0][0]
+    # wrap two different states to equal sums. The metric rides the
+    # barrier's own materialization job as an Observation (coalesced
+    # to 0 for the empty graph, SafeObservation's fallback covering
+    # the dropped-CollectMetrics edge) instead of a separate agg job —
+    # one driver action per round, not two.
+    def _metric_obs() -> "SafeObservation":
+        from rental_data_pipeline_spark.observe import SafeObservation
+
+        return SafeObservation()
+
+    def _observed_barrier(df: DataFrame) -> "tuple[DataFrame, object]":
+        obs = _metric_obs()
+        out = barrier(
+            obs.on(
+                df,
+                F.coalesce(
+                    F.sum(F.col("component").cast("decimal(38,0)")),
+                    F.lit(0).cast("decimal(38,0)"),
+                ).alias("total"),
+            )
+        )
+        return out, obs.get["total"]
+
+    labels, total = _observed_barrier(
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("component"))
+    )
     converged = False
     for i in range(max_iter):
         neighbor_min = edges.join(
@@ -1253,8 +1273,7 @@ def connected_components(
                     F.coalesce("__pc", "component").alias("component"),
                 )
             )
-        new_labels = barrier(new_labels)
-        new_total = new_labels.agg(_metric).collect()[0][0]
+        new_labels, new_total = _observed_barrier(new_labels)
         labels = new_labels
         if new_total == total:
             converged = True
