@@ -419,14 +419,25 @@ def run_pipeline(
     # release this run's cached intermediates: a long-lived driver
     # re-running the pipeline would otherwise accumulate three cached
     # frames per run until executor storage evicts or OOMs (the
-    # returned state survives independently via localCheckpoint)
-    for cached in (cards, parsed):
-        cached.unpersist()
+    # returned state survives independently via localCheckpoint).
+    # ONLY in the sink path, where the snapshot writes above already
+    # materialized them: in the lazy path (no output_dir) NO action has
+    # run yet, so an unpersist here would strip the caches before the
+    # caller's first action and every broadcast-exchange subjob and
+    # state self-reference would re-run BOTH heavy HTML parses from
+    # scratch (measured: 42 -> 26 jobs, 2x parse stages -> 1x on the
+    # flagship query). The lazy caller owns the cache lifecycle via
+    # spark.catalog.clearCache() or the returned handles.
+    out_cached: list[DataFrame] = []
     if output_dir:
+        for cached in (cards, parsed):
+            cached.unpersist()
         # the PRE-checkpoint handle: the returned frame reads its own
         # localCheckpoint blocks, which an unpersist on it would drop
         persisted_state.unpersist()
-    out = {"state": state, "metrics": metrics}
+    else:
+        out_cached = [cards, parsed]
+    out = {"state": state, "metrics": metrics, "cached": out_cached}
     if exp_quarantine is not None:
         out["expectation_quarantine"] = exp_quarantine
     return out

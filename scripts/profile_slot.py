@@ -131,8 +131,12 @@ def main() -> None:
         wall = (s["t1"] - s["t0"]) / 1000 if s["t1"] and s["t0"] else 0
         rows.append((wall, sid, jid, s))
     total_wall = sum(r[0] for r in rows)
+    total_task = sum((r[3]["task_time"] or 0) / 1000 for r in rows)
     njobs = len(timed_jobs)
-    print(f"timed-rep jobs: {njobs}, stages: {len(rows)}, sum stage wall: {total_wall:.2f}s")
+    print(
+        f"timed-rep jobs: {njobs}, stages: {len(rows)}, "
+        f"sum stage wall: {total_wall:.2f}s, sum task time: {total_task:.1f}s"
+    )
     print(f"{'wall_s':>7} {'tasks':>5} {'task_s':>7} {'shufR':>8} {'shufW':>8} {'input':>8}  stage (job) callsite")
     for wall, sid, jid, s in sorted(rows, key=lambda r: -r[0])[:25]:
         print(
