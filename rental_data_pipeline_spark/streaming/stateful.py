@@ -42,7 +42,7 @@ def _detect(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     last = state.get[0] if state.exists else None
-    out: list[tuple] = []
+    out: list[pd.DataFrame] = []
     for pdf in pdfs:
         # event-time order within the batch (micro-batch rows arrive
         # unordered); cross-batch order is the source's file order.
@@ -52,31 +52,45 @@ def _detect(
         pdf = pdf.sort_values(
             ["updated_date", "event_id"], na_position="first"
         )
-        for _, row in pdf.iterrows():
-            price = row["price_value"]
-            if pd.isna(price):
-                continue
-            price = float(price)
-            upd = row["updated_date"]
-            # W4 parity with the batch merge: a row without
-            # updated_date merges fields (last updates below) but
-            # emits ZERO CDC — the batch W1 predicate gates on
-            # upd.isNotNull()
-            if last is not None and price != last and not pd.isna(upd):
-                out.append(
-                    (
-                        int(key[0]),
-                        upd,
-                        last,
-                        price,
-                        int(price) - int(last),
-                    )
+        # Vectorized fold (same per-chunk semantics as the former
+        # iterrows loop, which cost ~1 s of Python per micro-batch):
+        # NaN-price rows never update `last` nor emit, so the fold is
+        # a shift over the non-NaN price subsequence seeded with the
+        # carried state. W4 parity: a row without updated_date merges
+        # fields (it becomes the new `last` below) but emits ZERO CDC
+        # — the batch W1 predicate gates on upd.isNotNull().
+        prices = pdf["price_value"].astype("float64")
+        seen = prices.notna()
+        if not seen.any():
+            continue
+        prices = prices[seen]
+        upds = pdf["updated_date"][seen]
+        prev = prices.shift(1)
+        if last is not None:
+            prev.iloc[0] = float(last)
+        chg = prev.notna() & (prices != prev) & upds.notna()
+        if chg.any():
+            new_p = prices[chg]
+            old_p = prev[chg]
+            out.append(
+                pd.DataFrame(
+                    {
+                        "offer_id": int(key[0]),
+                        "change_ts": upds[chg].to_numpy(),
+                        "old_price": old_p.to_numpy(),
+                        "new_price": new_p.to_numpy(),
+                        # int() truncates toward zero; astype int64 on
+                        # float64 is the same C cast
+                        "price_diff": new_p.astype("int64").to_numpy()
+                        - old_p.astype("int64").to_numpy(),
+                    }
                 )
-            last = price
+            )
+        last = float(prices.iloc[-1])
     if last is not None:
         state.update((last,))
     if out:
-        yield pd.DataFrame(out, columns=[f.name for f in CHANGE_SCHEMA.fields])
+        yield pd.concat(out, ignore_index=True)
 
 
 def price_change_stream(snapshots: DataFrame) -> DataFrame:
