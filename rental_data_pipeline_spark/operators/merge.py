@@ -166,7 +166,7 @@ def merge_listings(
     else:
         source = source.where(F.col(key).isNotNull())
 
-    # ---- build the per-key event stream: seed(seq 0) ∪ batch(1..n) ---
+    # ---- build the per-key event stream: seed first, batch after -----
     # Final deterministic tiebreak: when two batch rows share key + all
     # order_cols (e.g. colliding updated_date), break by a content hash
     # so last-wins is stable across runs and partitionings, not
@@ -174,14 +174,31 @@ def merge_listings(
     # doesn't support them); identical rows tie harmlessly.
     hashable = [n for n, t in columns if "map<" not in t]
     tiebreak_hash = F.xxhash64(*[F.col(n) for n in hashable]) if hashable else F.lit(0)
-    w_order = Window.partitionBy(key).orderBy(*order_cols, tiebreak_hash.asc())
     src_events = _align(source, columns + [(upd_col, upd_type)]).select(
-        "*", F.row_number().over(w_order).alias(_SEQ), F.lit(True).alias(_IS_SRC)
+        "*", F.lit(True).alias(_IS_SRC)
     )
     tgt_events = _align(target.where(F.col(key).isNotNull()), columns + [(upd_col, upd_type)]).select(
-        "*", F.lit(0).alias(_SEQ), F.lit(False).alias(_IS_SRC)
+        "*", F.lit(False).alias(_IS_SRC)
     )
-    events = tgt_events.unionByName(src_events)
+    # ONE window over the union numbers the whole event stream:
+    # _IS_SRC leads the sort, so the (keyed-unique) seed row always
+    # precedes every source row regardless of order_cols, exactly the
+    # old seed-seq-0 contract. Numbering the union instead of the
+    # source alone lets the seq window, the prev-value window and the
+    # per-key aggregation below all share a single Exchange on the key
+    # (numbering the source pre-union forced a second full shuffle of
+    # state + batch for the union's window). Sequence semantics are
+    # unchanged where they matter: relative order is identical, and a
+    # brand-new key (no seed row) numbers its source rows 1..n exactly
+    # as before, which the J4 first-source-row test (seq > 1) relies
+    # on; with a seed present source rows shift to 2..n+1, and no
+    # consumer of _SEQ in that branch reads absolute values.
+    w_order = Window.partitionBy(key).orderBy(
+        F.col(_IS_SRC).asc(), *order_cols, tiebreak_hash.asc()
+    )
+    events = tgt_events.unionByName(src_events).select(
+        "*", F.row_number().over(w_order).alias(_SEQ)
+    )
 
     # ---- T5 ordering guard: drop stale source rows ------------------
     if guard_out_of_order:
