@@ -1136,28 +1136,24 @@ def _cc_labels_base(spark: SparkSession, sf_dir: str) -> str:
 
     def _build_labels() -> str:
         base = session_tempdir("rdp_cc_labels_q_")
-        # persist across the two folds: each fold_pairs_batch call
-        # collects its chunk, and the chunks are filters over the SAME
-        # pair set — without the cache the full shingle self-join runs
-        # once per fold (guide §1.2: don't compute things twice). The
-        # first fold's collect populates the cache; the second reuses
-        # it. Released before returning — the artifact is the on-disk
-        # label state, not the cached frame.
+        # jaccard_pairs returns an EAGERLY MATERIALIZED frame
+        # (localCheckpoint(eager=True) in dedup._materialize_release),
+        # so the shingle self-join runs exactly once here and both
+        # fold chunks' filters read the checkpointed blocks — no
+        # second caching layer needed (an earlier persist() around
+        # this loop was redundant for that reason and is gone).
         pairs = D.jaccard_pairs(
             load_table(spark, "documents", sf_dir), threshold=0.8
-        ).persist()
-        try:
-            for i in range(2):
-                fold_pairs_batch(
-                    spark,
-                    base,
-                    pairs.where(
-                        F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(2)) == i
-                    ),
-                    i,
-                )
-        finally:
-            pairs.unpersist()
+        )
+        for i in range(2):
+            fold_pairs_batch(
+                spark,
+                base,
+                pairs.where(
+                    F.pmod(F.xxhash64("doc_a", "doc_b"), F.lit(2)) == i
+                ),
+                i,
+            )
         return base
 
     return session_artifact(spark, ("cc_labels_q", sf_dir), _build_labels)
