@@ -504,7 +504,7 @@ def bottomk_sample_state(
     key_col: str,
     k: int = 512,
     salt: str = "sq",
-    n_shards: int = 32,
+    n_shards: "int | str" = 32,
 ) -> DataFrame:
     """The mergeable state of the bottom-k quantile sketch: per group,
     the ``k`` rows whose ``md5(salt || key)`` sorts lowest (plus the
@@ -542,6 +542,17 @@ def bottomk_sample_state(
     are interchangeable."""
     from pyspark.sql import Window
 
+    if n_shards == "auto":
+        # SCALE-ADAPTIVE shard count (guide §2.4: partitioning sized to
+        # the data, not a constant): the input's planned scan
+        # partitioning is a volume proxy (≈ bytes / maxPartitionBytes),
+        # so a bench-scale table resolves to ONE shard — the result is
+        # provably identical for any n_shards (every globally-bottom-k
+        # row is bottom-k within its shard; property-tested), and with
+        # one shard the stage-1 rank is pure overhead (an extra
+        # exchange + window over the full input), while a 100 TB scan
+        # (thousands of splits) keeps the full anti-straggler sharding.
+        n_shards = max(1, min(32, df.rdd.getNumPartitions()))
     if n_shards < 1:
         # % 0 is NULL in Spark SQL: every row would land in one NULL
         # shard cell — the single-task sort this rework removed,
@@ -554,6 +565,21 @@ def bottomk_sample_state(
         F.concat(F.lit(salt), F.col(key_col).cast("string"))
     ).alias("__h")
     order = _bottomk_order(key_col, [value_col])
+    if n_shards == 1:
+        # one shard ≡ the plain single-shuffle per-group rank: skip the
+        # stage-1 window entirely instead of running it over a
+        # constant shard id (the two-level plan with n_shards=1 still
+        # pays a second exchange + sort for zero pruning)
+        w = Window.partitionBy(*group_cols).orderBy(*order)
+        return (
+            df.select(*group_cols, F.col(value_col), F.col(key_col), h)
+            .withColumn(
+                "__n", F.count(F.lit(1)).over(Window.partitionBy(*group_cols))
+            )
+            .withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k)
+            .select(*group_cols, value_col, key_col, "__h", "__n")
+        )
     staged = df.select(*group_cols, F.col(value_col), F.col(key_col), h).withColumn(
         # shard = independent hex window of the same md5 (chars 17-24),
         # a pure function of the key: duplicate keys land in ONE shard,
@@ -656,7 +682,7 @@ def sampled_quantiles(
     qs: list[float],
     k: int = 512,
     salt: str = "sq",
-    n_shards: int = 32,
+    n_shards: "int | str" = "auto",
 ) -> DataFrame:
     """Bounded-memory per-group quantiles from the deterministic
     bottom-k hash sample — the scale path next to the exact

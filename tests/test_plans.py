@@ -346,3 +346,28 @@ def test_bottomk_state_sharded_two_level(spark, sf_dir):
         "stage-1 exchange must shard groups: no task sorts a whole group"
     )
     assert "EvalPython" not in plan and "MapInPandas" not in plan
+
+
+def test_bottomk_state_auto_shards_collapse_small(spark, sf_dir):
+    """n_shards='auto' sizes the shard stage to the input volume
+    (guide §2.4): a bench-scale table (few scan splits) must collapse
+    to the plain single-shuffle per-group rank — no __shard exchange —
+    while producing EXACTLY the rows of the sharded plan (bottom-k is
+    n_shards-invariant by construction)."""
+    from rental_data_pipeline_spark.operators.sketch import bottomk_sample_state
+    from rental_data_pipeline_spark.sources.tables import load_table
+
+    docs = load_table(spark, "documents", sf_dir)
+    auto = bottomk_sample_state(
+        docs, ["lang"], "n_chars", "doc_id", k=16, n_shards="auto"
+    )
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "__shard" not in plan, (
+        "small input must keep the single-shuffle plan under auto shards"
+    )
+    sharded = bottomk_sample_state(
+        docs, ["lang"], "n_chars", "doc_id", k=16, n_shards=8
+    )
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, sharded.collect())
+    )
