@@ -70,15 +70,21 @@ _CDC_OUT = (
 
 
 def _align(df: DataFrame, columns: list[tuple[str, str]]) -> DataFrame:
-    """Project df to exactly `columns` (name, ddl-type), nulling missing."""
+    """Project df to exactly `columns` (name, ddl-type), nulling missing.
+
+    Built as ONE ``selectExpr`` call: per-column ``F.col().cast()``
+    objects cost 4-6 py4j round trips each, and this projection runs
+    per micro-batch fold — the driver-side construction cost is real
+    latency at streaming cadence (see ``_merge_exprs``)."""
     have = {f.name: f.dataType.simpleString() for f in df.schema.fields}
     exprs = []
     for name, dtype in columns:
+        q = name.replace("`", "``")
         if name in have:
-            exprs.append(F.col(name).cast(dtype).alias(name))
+            exprs.append(f"CAST(`{q}` AS {dtype}) AS `{q}`")
         else:
-            exprs.append(F.lit(None).cast(dtype).alias(name))
-    return df.select(*exprs)
+            exprs.append(f"CAST(NULL AS {dtype}) AS `{q}`")
+    return df.selectExpr(*exprs)
 
 
 def merge_listings(
@@ -167,25 +173,79 @@ def merge_listings(
         source = source.where(F.col(key).isNotNull())
 
     # ---- build the per-key event stream: seed first, batch after -----
-    # Final deterministic tiebreak: when two batch rows share key + all
-    # order_cols (e.g. colliding updated_date), break by a content hash
-    # so last-wins is stable across runs and partitionings, not
-    # arbitrary shuffle order. Map columns are excluded (xxhash64
-    # doesn't support them); identical rows tie harmlessly.
-    hashable = [n for n, t in columns if "map<" not in t]
-    tiebreak_hash = F.xxhash64(*[F.col(n) for n in hashable]) if hashable else F.lit(0)
+    # Every pure expression below (seq window, guard, CDC flags, the
+    # ~50 aggregates) comes from the per-signature memo: construction
+    # is hundreds of py4j round trips (measured 1.9 s of a 2.4 s merge
+    # build under load), paid once per schema instead of once per
+    # micro-batch. Expressions are unresolved and immutable, so reuse
+    # across DataFrames is exactly reusing a prepared statement.
+    ex = _merge_exprs(
+        tuple(columns), upd_type, key, price_col, unpub_col, upd_col,
+        desc_col, tuple(protected), tuple(order_cols), guard_out_of_order,
+    )
     src_events = _align(source, columns + [(upd_col, upd_type)]).select(
         "*", F.lit(True).alias(_IS_SRC)
     )
     tgt_events = _align(target.where(F.col(key).isNotNull()), columns + [(upd_col, upd_type)]).select(
         "*", F.lit(False).alias(_IS_SRC)
     )
-    # ONE window over the union numbers the whole event stream:
+    events = tgt_events.unionByName(src_events).select("*", ex["seq"])
+
+    # ---- T5 ordering guard: drop stale source rows ------------------
+    if guard_out_of_order:
+        # a dropped row is by definition <= the running max, so its
+        # absence cannot change the watermark later rows compare to
+        events = (
+            events.select("*", ex["stale"])
+            .where(~F.col("__stale"))
+            .drop("__stale")
+        )
+
+    flagged = events.select("*", *ex["flags"])
+    out = flagged.groupBy(key).agg(*ex["aggs"]).drop("__has_tgt")
+    if derive_status_col:
+        out = out.withColumn("status", derive_status(F.col(unpub_col)))
+    return out
+
+
+# Prepared expression bundles keyed by the merge's full signature —
+# bounded by the number of distinct state schemas a process touches.
+_MERGE_EXPR_CACHE: dict[tuple, dict] = {}
+
+
+def _merge_exprs(
+    columns: tuple[tuple[str, str], ...],
+    upd_type: str,
+    key: str,
+    price_col: str,
+    unpub_col: str,
+    upd_col: str,
+    desc_col: str,
+    protected: tuple[str, ...],
+    order_cols: tuple,
+    guard_out_of_order: bool,
+) -> dict:
+    """The merge's pure expression set (seq window, T5 guard, CDC row
+    flags, per-key aggregates) for one signature. ``order_cols`` may
+    hold Column objects, which are keyed by their expression string —
+    deterministic for a given expression tree."""
+    order_key = tuple(
+        c if isinstance(c, str) else str(c) for c in order_cols
+    )
+    ck = (
+        columns, upd_type, key, price_col, unpub_col, upd_col, desc_col,
+        protected, order_key, guard_out_of_order,
+    )
+    cached = _MERGE_EXPR_CACHE.get(ck)
+    if cached is not None:
+        return cached
+
+    # ---- seq: one window numbers the whole event stream --------------
     # _IS_SRC leads the sort, so the (keyed-unique) seed row always
     # precedes every source row regardless of order_cols, exactly the
     # old seed-seq-0 contract. Numbering the union instead of the
     # source alone lets the seq window, the prev-value window and the
-    # per-key aggregation below all share a single Exchange on the key
+    # per-key aggregation share a single Exchange on the key
     # (numbering the source pre-union forced a second full shuffle of
     # state + batch for the union's window). Sequence semantics are
     # unchanged where they matter: relative order is identical, and a
@@ -193,39 +253,37 @@ def merge_listings(
     # as before, which the J4 first-source-row test (seq > 1) relies
     # on; with a seed present source rows shift to 2..n+1, and no
     # consumer of _SEQ in that branch reads absolute values.
+    # Final deterministic tiebreak: when two batch rows share key + all
+    # order_cols (e.g. colliding updated_date), break by a content hash
+    # so last-wins is stable across runs and partitionings, not
+    # arbitrary shuffle order. Map columns are excluded (xxhash64
+    # doesn't support them); identical rows tie harmlessly.
+    hashable = [n for n, t in columns if "map<" not in t]
+    tiebreak_hash = F.xxhash64(*[F.col(n) for n in hashable]) if hashable else F.lit(0)
     w_order = Window.partitionBy(key).orderBy(
         F.col(_IS_SRC).asc(), *order_cols, tiebreak_hash.asc()
     )
-    events = tgt_events.unionByName(src_events).select(
-        "*", F.row_number().over(w_order).alias(_SEQ)
-    )
+    seq_col = F.row_number().over(w_order).alias(_SEQ)
 
-    # ---- T5 ordering guard: drop stale source rows ------------------
-    if guard_out_of_order:
-        has_la = any(n == "last_active" for n, _ in columns)
-        seed_la = (
-            F.col("last_active").cast(upd_type)
-            if has_la
-            else F.lit(None).cast(upd_type)
-        )
-        event_la = F.when(F.col(_IS_SRC), F.col(upd_col)).otherwise(seed_la)
-        w_guard = (
-            Window.partitionBy(key)
-            .orderBy(_SEQ)
-            .rowsBetween(Window.unboundedPreceding, -1)
-        )
-        stale = (
-            F.col(_IS_SRC)
-            & F.col(upd_col).isNotNull()
-            & (F.col(upd_col) < F.max(event_la).over(w_guard))
-        )
-        # a dropped row is by definition <= the running max, so its
-        # absence cannot change the watermark later rows compare to
-        events = (
-            events.select("*", F.coalesce(stale, F.lit(False)).alias("__stale"))
-            .where(~F.col("__stale"))
-            .drop("__stale")
-        )
+    # ---- T5 guard column ---------------------------------------------
+    has_la = any(n == "last_active" for n, _ in columns)
+    seed_la = (
+        F.col("last_active").cast(upd_type)
+        if has_la
+        else F.lit(None).cast(upd_type)
+    )
+    event_la = F.when(F.col(_IS_SRC), F.col(upd_col)).otherwise(seed_la)
+    w_guard = (
+        Window.partitionBy(key)
+        .orderBy(_SEQ)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    stale = (
+        F.col(_IS_SRC)
+        & F.col(upd_col).isNotNull()
+        & (F.col(upd_col) < F.max(event_la).over(w_guard))
+    )
+    stale_col = F.coalesce(stale, F.lit(False)).alias("__stale")
 
     # ---- W1/W2 row flags against evolving state (window, same key) ---
     w_prev = (
@@ -253,12 +311,11 @@ def merge_listings(
     )
     diff = price_diff(price, prev_price)  # try_cast-safe shared X20
 
-    flagged = events.select(
-        "*",
+    flags = [
         F.coalesce(unpub_transition, F.lit(False)).alias("__unpub_tr"),
         F.coalesce(price_change, F.lit(False)).alias("__price_chg"),
         F.when(price_change, diff).alias("__diff"),
-    )
+    ]
 
     # ---- per-key aggregation ----------------------------------------
     seq = F.col(_SEQ)
@@ -382,10 +439,9 @@ def merge_listings(
         .alias("price_changes_dates"),
     ]
 
-    out = flagged.groupBy(key).agg(*aggs).drop("__has_tgt")
-    if derive_status_col:
-        out = out.withColumn("status", derive_status(F.col(unpub_col)))
-    return out
+    bundle = {"seq": seq_col, "stale": stale_col, "flags": flags, "aggs": aggs}
+    _MERGE_EXPR_CACHE[ck] = bundle
+    return bundle
 
 
 def merge_snapshots(
