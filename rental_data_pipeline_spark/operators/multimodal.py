@@ -65,13 +65,15 @@ def _python_stage_partitions(df: DataFrame, id_col: str) -> DataFrame:
     single-split small file must not serialize a compute-heavy stage
     through one worker either. Repartition only UP — a 100 TB scan
     already carries thousands of splits and is left untouched."""
+    from rental_data_pipeline_spark.operators.planmeta import plan_partitions, plan_rows
+
     spark = df.sparkSession
-    n_rows = df.count()  # zero-column parquet scan — cheap at any scale
+    n_rows = plan_rows(df)  # zero-column parquet scan, memoized per session
     target = min(
         spark.sparkContext.defaultParallelism,
         max(1, -(-n_rows // ROWS_PER_PYTHON_PARTITION)),
     )
-    if df.rdd.getNumPartitions() < target:
+    if plan_partitions(df) < target:
         df = df.repartition(target, F.col(id_col))
     return df
 

@@ -222,6 +222,7 @@ def exact_k_sample(
         [F.col("__h"), F.col(key_col), F.col("__rh")],
         int(k),
         shard_expr=F.col("__h"),
+        n_shards="auto",
     ).drop("__h", "__rh")
 
 

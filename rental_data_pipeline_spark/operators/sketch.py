@@ -552,7 +552,9 @@ def bottomk_sample_state(
         # one shard the stage-1 rank is pure overhead (an extra
         # exchange + window over the full input), while a 100 TB scan
         # (thousands of splits) keeps the full anti-straggler sharding.
-        n_shards = max(1, min(32, df.rdd.getNumPartitions()))
+        from rental_data_pipeline_spark.operators.planmeta import plan_partitions
+
+        n_shards = max(1, min(32, plan_partitions(df)))
     if n_shards < 1:
         # % 0 is NULL in Spark SQL: every row would land in one NULL
         # shard cell — the single-task sort this rework removed,

@@ -98,8 +98,10 @@ def _with_tokens(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     Per-doc aggregations downstream pay their own (much smaller)
     shuffle of map-side-combined partials instead.
     """
+    from rental_data_pipeline_spark.operators.planmeta import plan_partitions
+
     n = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= n:
+    if plan_partitions(df) >= n:
         return df.select(
             F.col(id_col), F.col(text_col), tokens(text_col).alias("__toks")
         )
@@ -772,9 +774,11 @@ def bigram_model_frames(
     the cluster first (``_with_tokens``'s conditional-repartition
     discipline): without it every one of these statistics serializes
     its explode onto the lone scan task."""
+    from rental_data_pipeline_spark.operators.planmeta import plan_partitions
+
     n = df.sparkSession.sparkContext.defaultParallelism
     src = df
-    if src.rdd.getNumPartitions() < n:
+    if plan_partitions(src) < n:
         src = src.repartition(n, F.col(id_col))
     base = src.select(
         F.col(lang_col), F.col(id_col), tokens(text_col).alias("__toks")

@@ -58,7 +58,7 @@ def topk_per_group(
     order_cols: list[Column],
     k: int,
     shard_expr: Column,
-    n_shards: int = 32,
+    n_shards: "int | str" = 32,
     rank_name: str | None = None,
 ) -> DataFrame:
     """Keep each group's top ``k`` rows under ``order_cols`` with the
@@ -69,17 +69,37 @@ def topk_per_group(
     hash of one of its columns — nondeterministic expressions break
     retry/recompute consistency under shuffle replay). ``n_shards``
     never changes the result, only the fan-in of the merge: size it
-    ≈ sqrt(P·k / k) at scale. ``rank_name`` adds the final 1-based
-    rank as a column; the two bookkeeping columns are always
-    dropped."""
+    ≈ sqrt(P·k / k) at scale, or pass ``"auto"`` to derive it from the
+    input's upstream partition count P (guide §2.4 — partitioning
+    sized to the data): small P collapses to the plain single-window
+    rank (the reduce task's P·k rows are trivial, and the shard level
+    would add an exchange that prunes nothing), large P shards at
+    ~sqrt(P). ``rank_name`` adds the final 1-based rank as a column;
+    the two bookkeeping columns are always dropped."""
+    if n_shards == "auto":
+        from rental_data_pipeline_spark.operators.planmeta import plan_partitions
+
+        p = plan_partitions(df)
+        if p <= 256:
+            n_shards = 1
+        else:
+            n_shards = max(2, min(256, int(p ** 0.5)))
     if n_shards < 1:
         # pmod by 0 is NULL in Spark SQL: every row would land in one
         # NULL shard cell — the exact single-task funnel this operator
         # exists to prevent, silently. Refuse instead.
         raise ValueError(f"topk_per_group: n_shards must be >= 1, got {n_shards}")
     rk = rank_name or "__tk_rank"
-    w1 = Window.partitionBy(*group_cols, "__tk_shard").orderBy(*order_cols)
     w2 = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    if n_shards == 1:
+        # one shard ≡ the plain rank: skip the shard level instead of
+        # paying its exchange for zero pruning
+        out = (
+            df.withColumn(rk, F.row_number().over(w2))
+            .where(F.col(rk) <= k)
+        )
+        return out if rank_name else out.drop(rk)
+    w1 = Window.partitionBy(*group_cols, "__tk_shard").orderBy(*order_cols)
     out = (
         df.withColumn("__tk_shard", F.pmod(shard_expr, F.lit(n_shards)))
         .withColumn("__tk_rk1", F.row_number().over(w1))

@@ -2121,7 +2121,7 @@ def ngram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     top = topk_per_group(
         c, ["lang"], [F.col("n").desc(), F.col("bigram")], 10,
-        shard_expr=F.xxhash64("bigram"), rank_name="rank",
+        shard_expr=F.xxhash64("bigram"), n_shards="auto", rank_name="rank",
     ).select(
         F.lit("top_bigram").alias("method"), "lang",
         F.col("bigram").alias("term"),

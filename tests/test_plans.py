@@ -221,11 +221,13 @@ def test_stratified_split_is_pure_map(spark, sf_dir):
 
 def test_ngram_counts_single_agg_plus_sharded_topk(spark, sf_dir):
     plan = _plan(spark, sf_dir, "ngram_lm_counts")
-    # the per-lang reduce tail must be sharded (operators/topk.py):
-    # the first rank exchange partitions on __tk_shard so no single
-    # task merges all P·k partial survivors of a language
-    parts = re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
-    assert any("__tk_shard" in p for p in parts)
+    # the per-lang rank runs topk_per_group with n_shards='auto': at
+    # bench scale (few upstream partitions) the shard level collapses
+    # to the plain single-window rank — no __tk_shard exchange; the
+    # sharded regime at scale is pinned directly below
+    assert "__tk_shard" not in plan, (
+        "small input must keep the single-window rank under auto shards"
+    )
     # and Spark's rank-limit pushdown still bounds the map side of
     # both rank levels (k rows per group per partition pre-shuffle)
     assert "WindowGroupLimit" in plan

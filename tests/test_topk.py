@@ -69,3 +69,22 @@ def test_topk_plan_is_sharded(spark):
     parts = re.findall(r"Exchange hashpartitioning\(([^)]*)", plan)
     assert any("__tk_shard" in p for p in parts)
     assert len(re.findall(r"\bExchange\b", plan)) == 2
+
+
+def test_topk_auto_shards_collapse_and_match(spark):
+    """n_shards='auto' collapses to the single-window rank on few
+    upstream partitions (no __tk_shard exchange) and returns exactly
+    the sharded plan's rows (the result is n_shards-invariant)."""
+    from pyspark.sql import functions as F
+
+    df = spark.range(0, 5000, 1, 4).select(
+        (F.col("id") % 7).alias("g"), F.col("id").alias("v")
+    )
+    order = [F.col("v").desc()]
+    auto = topk_per_group(df, ["g"], order, 5, F.xxhash64("v"), n_shards="auto")
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "__tk_shard" not in plan
+    sharded = topk_per_group(df, ["g"], order, 5, F.xxhash64("v"), n_shards=8)
+    assert sorted(map(tuple, auto.collect())) == sorted(
+        map(tuple, sharded.collect())
+    )
