@@ -844,25 +844,51 @@ def near_pair_suite(
     )
 
 
+# The minhash aggregate and band-key expression sets are CONSTANT
+# Column trees (hashing.py constants + fixed column names) but cost
+# hundreds of py4j round trips to build — real driver latency when
+# every near-dup query constructs them per call. Built once per
+# process; expressions are unresolved and immutable, so reuse across
+# DataFrames is exactly reusing a prepared statement.
+_MINHASH_AGG_EXPRS: "list[Column] | None" = None
+_LSH_BANDS_EXPR: "Column | None" = None
+
+
+def _minhash_agg_exprs() -> "list[Column]":
+    global _MINHASH_AGG_EXPRS
+    if _MINHASH_AGG_EXPRS is None:
+        _MINHASH_AGG_EXPRS = [
+            F.min(minhash_perm(F.col("h"), i)).alias(f"mh{i}")
+            for i in range(NUM_PERM)
+        ]
+    return _MINHASH_AGG_EXPRS
+
+
+def _lsh_bands_expr() -> Column:
+    global _LSH_BANDS_EXPR
+    if _LSH_BANDS_EXPR is None:
+        _LSH_BANDS_EXPR = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                        )
+                    ).alias("bkey"),
+                )
+                for b in range(LSH_BANDS)
+            ]
+        )
+    return _LSH_BANDS_EXPR
+
+
 def lsh_band_keys(sig: DataFrame) -> DataFrame:
     """Band the signature: band key = md5 of the band's concatenated
     minhash values (LSH_BANDS=8 bands x LSH_ROWS=4 rows — the
     hashing.py constants; recall curves must be computed for THIS
     configuration). One row per (doc, band)."""
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.md5(
-                    F.concat_ws(
-                        ",", *[F.col(f"mh{b * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-                    )
-                ).alias("bkey"),
-            )
-            for b in range(LSH_BANDS)
-        ]
-    )
-    return sig.select("doc", F.explode(bands).alias("bk")).select(
+    return sig.select("doc", F.explode(_lsh_bands_expr()).alias("bk")).select(
         "doc", F.col("bk.band").alias("band"), F.col("bk.bkey").alias("bkey")
     )
 
@@ -877,9 +903,7 @@ def banded_signatures(exploded: DataFrame) -> DataFrame:
     hashed = exploded.select(
         "doc", (portable_hash64(F.col("shingle")) % F.lit(2_147_483_647)).alias("h")
     )
-    sig = hashed.groupBy("doc").agg(
-        *[F.min(minhash_perm(F.col("h"), i)).alias(f"mh{i}") for i in range(NUM_PERM)]
-    )
+    sig = hashed.groupBy("doc").agg(*_minhash_agg_exprs())
     return lsh_band_keys(sig)
 
 
